@@ -1,0 +1,7 @@
+"""Similarity search over embedding vectors (LLM-data-pipeline extension)."""
+
+from __future__ import annotations
+
+from ..registry import QuerySpec
+
+SPECS: list[QuerySpec] = []

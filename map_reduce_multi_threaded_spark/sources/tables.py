@@ -1,0 +1,66 @@
+"""Parquet table loaders for the test star schema (see FIXTURES.md).
+
+Generalizes the reference's single directory-listing source
+(``map_reduce.cpp:477-495``) into a catalog of typed tables.  Spark's
+``InMemoryFileIndex`` + task scheduler replace the reference's
+master-thread pull queue (``map_reduce.cpp:127-150``) wholesale — file
+splits are assigned to tasks with locality and speculation for free.
+
+Scale note: at 100 TB these would be partitioned/bucketed tables, not
+single files; nothing else in the engine would change, because every
+operator takes a DataFrame and never assumes a partition count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: All tables the driver materializes per scale factor.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — safe to broadcast at any realistic scale
+#: (region/nation are bounded by geography; supplier stays ~1e4/sf).
+BROADCAST_SAFE = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's parquet
+    reader cannot decode natively; we read it as int64 nanoseconds
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+    microsecond TimestampType.  DuckDB (the correctness oracle)
+    truncates the same nanos to microseconds on read, so the two
+    engines see bit-identical timestamps.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works too."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

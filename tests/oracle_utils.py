@@ -1,0 +1,68 @@
+"""Driver-style oracle comparison: run a Spark query and its DuckDB SQL
+oracle over the same parquet tables, compare row count + column names +
+order-insensitive values.
+
+Comparison is EXACT by default (the driver hashes values), which is why
+every query in the registry is written to be bit-deterministic on both
+engines (decimal-sum tricks for double aggregates, md5-based hashing,
+explicit tie-breaks).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from map_reduce_multi_threaded_spark.sources.tables import TABLES
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NaN>"
+        return f"{v:.12g}"
+    if isinstance(v, bytes):
+        return "bytes:" + v.hex()
+    return f"{type(v).__name__}:{v}"
+
+
+def rows_multiset(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name (driver behavior), canonicalize values,
+    sort rows — an order-insensitive fingerprint."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark_df, sql: str, sf_dir: str) -> None:
+    con = duck_con(sf_dir)
+    duck = con.sql(sql)
+    duck_cols = [d.lower() for d in duck.columns]
+    duck_rows = duck.fetchall()
+    spark_cols = [c.lower() for c in spark_df.columns]
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s = rows_multiset(spark_cols, spark_rows)
+    d = rows_multiset(duck_cols, duck_rows)
+    if s != d:
+        diff_s = [r for r in s if r not in set(d)][:5]
+        diff_d = [r for r in d if r not in set(s)][:5]
+        raise AssertionError(
+            f"value mismatch ({len(diff_s)}+ rows differ)\n"
+            f"spark-only: {diff_s}\nduck-only: {diff_d}"
+        )

@@ -1,0 +1,97 @@
+"""Flagship word-count tests.
+
+1. Golden test: Spark result must equal a pure-Python reimplementation
+   of the reference's tokenize→clean→count semantics
+   (map_reduce.cpp:159-171), per SURVEY.md §5 item 2.
+2. Oracle-differential test (driver-style DuckDB comparison).
+3. Property tests: passes multiplier (the reference's own S3 invariant,
+   map_reduce.cpp:36,130) and repartition invariance.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections import Counter
+
+import duckdb
+import pyspark.sql.functions as F
+
+from map_reduce_multi_threaded_spark.operators import wordcount
+from tests.oracle_utils import compare
+
+
+def python_reference_counts(texts: list[str], passes: int = 1) -> Counter:
+    """map_reduce.cpp:159-171 semantics: whitespace split (>>), erase
+    ispunct chars, drop empties, tolower, count; ×passes (the
+    LOOP_OVER_DIRECTORY replay)."""
+    counts: Counter = Counter()
+    punct = set(string.punctuation)
+    for text in texts:
+        for tok in re.split(r"\s+", text):
+            w = "".join(ch for ch in tok if ch not in punct).lower()
+            if w:
+                counts[w] += 1
+    for k in counts:
+        counts[k] *= passes
+    return counts
+
+
+def _texts(sf_dir: str) -> list[str]:
+    return [
+        r[0]
+        for r in duckdb.sql(f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()
+    ]
+
+
+def test_golden_vs_python_reference(spark, sf_dir):
+    expected = python_reference_counts(_texts(sf_dir))
+    got = {r["word"]: r["cnt"] for r in wordcount.word_counts(spark, sf_dir).collect()}
+    assert got == dict(expected)
+
+
+def test_sorted_output_contract(spark, sf_dir):
+    rows = wordcount.word_counts_sorted(spark, sf_dir).collect()
+    words = [r["word"] for r in rows]
+    assert words == sorted(words)
+    assert len(words) > 0
+
+
+def test_passes_multiplier_invariant(spark, sf_dir):
+    """count over N passes == N × single pass (reference S3)."""
+    one = {r["word"]: r["cnt"] for r in wordcount.word_counts(spark, sf_dir).collect()}
+    eight = {
+        r["word"]: r["cnt"]
+        for r in wordcount.word_counts(spark, sf_dir, passes=8).collect()
+    }
+    assert eight == {w: c * 8 for w, c in one.items()}
+
+
+def test_repartition_invariance(spark, sf_dir):
+    base = wordcount.words(spark, sf_dir)
+    a = {
+        r["word"]: r["cnt"]
+        for r in base.groupBy("word").agg(F.count("*").alias("cnt")).collect()
+    }
+    b = {
+        r["word"]: r["cnt"]
+        for r in base.repartition(7)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_oracle_wordcount(spark, sf_oracle_dir):
+    for spec in wordcount.SPECS:
+        compare(spec.fn(spark, sf_oracle_dir), spec.oracle, sf_oracle_dir)
+
+
+def test_plan_shape(spark, sf_dir):
+    """The physical plan must be the reference's plan: partial
+    HashAggregate → Exchange hashpartitioning(word) → final
+    HashAggregate, all inside whole-stage codegen."""
+    plan = wordcount.word_counts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "hashpartitioning" in plan or "Exchange" in plan
