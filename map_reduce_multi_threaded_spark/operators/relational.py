@@ -1,12 +1,986 @@
 """Relational operator suite over the TPC-H-ish star schema.
 
-The reference had exactly one aggregation (COUNT by key) and zero
-joins/windows/sorts/set-ops (SURVEY.md §2.1).  This module is the
-generalized relational surface, DataFrame-first so Catalyst plans it.
+The reference implements exactly one aggregation — COUNT by key with a
+partial/final split (``map_reduce.cpp:191-236, :386-438``) — and zero
+joins, windows, sorts, or set operations (SURVEY.md §2.1).  This module
+is the generalized relational surface a user of a "count things by key"
+engine grows into, written DataFrame-first so Catalyst plans it
+(predicate pushdown, column pruning, join selection, AQE).
+
+Determinism contract (every query here hash-matches its DuckDB oracle):
+
+* double aggregates go through ``decimal`` casts — decimal addition is
+  exact and order-independent, so partial/final aggregation order (or a
+  1000-executor shuffle) cannot change a single bit;
+* ``avg``/``stddev`` are derived from exact decimal sums with one final
+  IEEE double division (deterministic on both engines);
+* timestamps are emitted as formatted strings; every sort has a total
+  order via explicit tie-break columns.
+
+Scale notes are inline per query; the common themes: dimension joins
+broadcast (region/nation/supplier are bounded), fact-fact joins shuffle
+on their keys and rely on AQE for skew, aggregations are always
+partial-before-shuffle (automatic), and nothing ever collects to the
+driver.
 """
 
 from __future__ import annotations
 
-from ..registry import QuerySpec
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
-SPECS: list[QuerySpec] = []
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# deterministic aggregate helpers (Spark side)
+# --------------------------------------------------------------------------
+
+DEC = "decimal(18,4)"
+#: money columns are exact 2-decimal doubles (asserted in tests) — this
+#: cast is lossless, and narrow enough that triple products stay inside
+#: decimal(38) without scale truncation on either engine.
+DECM = "decimal(14,2)"
+#: discount/tax ratios: 2-decimal values in [0, 1).
+DECR = "decimal(4,2)"
+
+
+def dec(col) -> "F.Column":
+    """Raw money/ratio columns are exact 2-decimal values (checked in
+    tests), so this cast is lossless; all downstream arithmetic is then
+    exact decimal — products like price×(1−disc)×(1+tax) never round,
+    which is what makes the cross-engine (and cross-partitioning) value
+    hashes bit-stable.  Computing the product in *double* and casting
+    after is NOT safe: the 6-decimal product lands near .00005
+    midpoints where Spark (exact BigDecimal expansion) and DuckDB
+    (double-multiply-then-rint) round differently.
+
+    Input casts must stay narrow: Spark's decimal type inference caps
+    products at precision 38 and TRUNCATES SCALE past it, so
+    (14,2)×(5,2)×(5,2) → (26,6) exact, while (18,4)³ would overflow the
+    cap and silently round."""
+    return F.col(col).cast(DEC)
+
+
+def money(col) -> "F.Column":
+    return F.col(col).cast(DECM)
+
+
+def ratio_complement(col, plus: bool = False) -> "F.Column":
+    """(1 − ratio) or (1 + ratio) as exact narrow decimal."""
+    one = F.lit(1).cast(DECR)
+    r = F.col(col).cast(DECR)
+    return (one + r) if plus else (one - r)
+
+
+def dsum(col, alias: str):
+    """Exact, order-independent sum of a double column via decimal."""
+    return F.sum(dec(col)).cast("double").alias(alias)
+
+
+def dsum_expr(expr, alias: str):
+    """Exact sum of a decimal expression (see :func:`dec`)."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def davg(col, alias: str):
+    return (
+        F.sum(F.col(col).cast(DEC)).cast("double") / F.count(F.lit(1))
+    ).alias(alias)
+
+
+# DuckDB oracle mirrors
+def osum(expr: str, alias: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def oavg(expr: str, alias: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS {alias}"
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary — the bench anchor aggregate.
+
+    Scale: scan-bound with a tiny (6-group) shuffle; the partial
+    HashAggregate reduces ~everything map-side, exactly the reference's
+    1024-bin combiner generalized (map_reduce.cpp:191-236).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = money("l_extendedprice") * ratio_complement("l_discount")
+    charge = disc * ratio_complement("l_tax", plus=True)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-08-06"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {osum('l_quantity', 'sum_qty')},
+       {osum('l_extendedprice', 'sum_base_price')},
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       {oavg('l_quantity', 'avg_qty')},
+       {oavg('l_extendedprice', 'avg_price')},
+       {oavg('l_discount', 'avg_disc')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: tight filter + single global sum.
+
+    Scale: the predicates push to the parquet scan (min/max row-group
+    pruning on l_shipdate); the aggregate is one partial sum per task +
+    a 1-row exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum_expr(money("l_extendedprice") * F.col("l_discount").cast(DECR), "revenue"))
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group — expand + two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_AGG_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB answer to
+    count-distinct (no expand, fixed-size sketch per group, mergeable
+    across partitions).  HLL implementations differ between engines, so
+    no value-level oracle; tests assert <5% error vs exact instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev per group, with variance derived from exact
+    decimal sums (sum, sum-of-squares) so partial-aggregation order can
+    never flip a bit — the distributed-safe way to do second moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast(DEC)
+    sum_q = F.sum(qd).cast("double")
+    sum_q2 = F.sum(qd * qd).cast("double")
+    n = F.count(F.lit(1))
+    var = (sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            (sum_q / n).alias("avg_qty"),
+            F.sqrt(var).alias("stddev_qty"),
+            n.alias("n_rows"),
+        )
+    )
+
+
+_AGG_STATS_ORACLE = """
+SELECT l_linestatus,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+       sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+            / (count(*) - 1)) AS stddev_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): subtotals + grand total.
+    NULL group keys are coalesced to 'ALL' on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+_AGG_ROLLUP_ORACLE = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       {osum('l_quantity', 'sum_qty')},
+       count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+        )
+    )
+
+
+_AGG_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (no DataFrame API for it)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_AGG_GROUPING_SETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list so the plan
+    needs no extra pass to discover values — mandatory at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+        )
+    )
+
+
+_AGG_PIVOT_ORACLE = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# joins
+# --------------------------------------------------------------------------
+
+def join_dim_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with explicit broadcast hints.
+
+    Scale: nation/region are bounded dimensions (25/5 rows at ANY
+    scale factor) — broadcasting them turns two shuffles into zero;
+    the only exchange left is the final 5-group aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+_JOIN_DIM_ORACLE = f"""
+SELECT r_name, count(*) AS n_customers, {osum('c_acctbal', 'sum_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders — the big-big join.
+
+    Scale: both sides shuffle on the orderkey; AQE handles skew by
+    splitting oversized partitions.  At 100 TB you would bucket both
+    tables by orderkey at write time and this becomes a zero-shuffle
+    sort-merge join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev = money("l_extendedprice") * ratio_complement("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum_expr(rev, "revenue"))
+    )
+
+
+_JOIN_FACT_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one finished order (left semi —
+    no row multiplication, build side reduced to distinct keys)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+_JOIN_SEMI_ORACLE = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders in 1995 (left anti — scoped to a date
+    window so the result is non-empty at every test scale; at sf0.01
+    literally every customer has *some* order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_JOIN_ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
+def join_outer_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: order-count distribution including zero-order
+    customers (left outer + two-level aggregate)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_JOIN_OUTER_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier counts —
+    exercises null production on both sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+_JOIN_FULL_ORACLE = """
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+ON c_nationkey = s_nationkey
+"""
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join: lineitems whose quantity falls within
+    ±5 of their part's size.  Scale: the equi key carries the shuffle;
+    the range predicate evaluates post-match (never a cross join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_quantity >= p.p_size - 5)
+        & (li.l_quantity <= p.p_size + 5)
+    )
+    return (
+        li.join(p, cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_in_range"))
+    )
+
+
+_JOIN_RANGE_ORACLE = """
+SELECT p_brand, count(*) AS n_in_range
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+GROUP BY p_brand
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent error event
+    of the same user at-or-before it.
+
+    Spark has no native as-of join; the scalable composition is the
+    union-and-carry-forward pattern: tag both streams, union, and a
+    single window (partition by user, order by time) carries the last
+    error timestamp forward with ``last(ignorenulls)``.  One shuffle on
+    user_id, no row multiplication — unlike the naive
+    join-then-filter-then-max which explodes pairs.  DuckDB's native
+    ASOF JOIN is the oracle.  At equal timestamps the error sorts first
+    (kind=0) to match ASOF's >= semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"), F.lit(None).cast("timestamp").alias("err_ts")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"), F.col("ts").alias("err_ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(errors)
+        .withColumn("last_err_ts", F.last("err_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format("last_err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_error_ts"),
+        )
+    )
+
+
+_JOIN_ASOF_ORACLE = """
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# windows / sorts / top-k
+# --------------------------------------------------------------------------
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per market segment (window +
+    row_number, deterministic tie-break on key).
+
+    Scale: one shuffle on the group key; rank prunes before any
+    downstream join — never collect-and-sort on the driver."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+) WHERE rank <= 3
+"""
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: running spend (exact decimal
+    accumulation), previous/next order price, sequence number."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wsum).cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's share of its customer's total spend (partition
+    aggregate window, exact decimal denominator)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") / total).alias("spend_share"),
+    )
+
+
+_WINDOW_SHARE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       o_totalprice / CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+         AS spend_share
+FROM orders
+"""
+
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price — TakeOrderedAndProject, not a full sort:
+    each partition keeps 10 rows, the driver merges P×10."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+_SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# set operations
+# --------------------------------------------------------------------------
+
+def _ordering_custkeys(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(F.col("o_custkey").alias("custkey")).distinct()
+
+
+def _building_custkeys(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+
+
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ordering_custkeys(spark, sf_dir).union(_building_custkeys(spark, sf_dir)).distinct()
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ordering_custkeys(spark, sf_dir).intersect(_building_custkeys(spark, sf_dir))
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILDING customers minus customers with 1995 orders (scoped so
+    the difference is non-empty at test scales)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    ordering95 = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    return _building_custkeys(spark, sf_dir).exceptAll(ordering95)
+
+
+_SETOP_UNION_ORACLE = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+_SETOP_INTERSECT_ORACLE = """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+_SETOP_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar function coverage
+# --------------------------------------------------------------------------
+
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mon"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+_SCALAR_DATE_ORACLE = f"""
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr, month(o_orderdate) AS mon,
+       count(*) AS n_orders, {osum('o_totalprice', 'sum_price')}
+FROM orders GROUP BY 1, 2, 3
+"""
+
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.where(F.col("p_type") == "PROMO").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+    )
+
+
+_SCALAR_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_prefix,
+       length(p_name) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+FROM part WHERE p_type = 'PROMO'
+"""
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # sqrt is IEEE-754 correctly rounded → bit-identical across engines;
+        # ln is libm-dependent (JVM vs glibc last-ulp), so round to 9 dp.
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("ln_price"),
+        ((F.col("l_discount") + 1.0) * (F.col("l_discount") + 1.0)).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+_SCALAR_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       sqrt(l_quantity) AS sqrt_qty,
+       round(ln(l_extendedprice), 9) AS ln_price,
+       (l_discount + 1.0) * (l_discount + 1.0) AS disc_sq,
+       abs(l_quantity - 25) AS abs_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+       l_orderkey % 7 AS key_mod7
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (string column holding
+    ``{"k": N}``) — JVM-side get_json_object, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+_SCALAR_JSON_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over embeddings (size, element access, slice
+    sum computed element-wise — all JVM-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    head_sum = sum(F.element_at("embedding", i + 1).cast("double") for i in range(4))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        head_sum.alias("head4_sum"),
+        "label",
+    )
+
+
+_SCALAR_ARRAY_ORACLE = """
+SELECT vec_id, len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+         + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum,
+       label
+FROM embeddings
+"""
+
+
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based deterministic sampling — the scale-safe alternative
+    to ``df.sample`` (whose output depends on partitioning/seed and can
+    never hash-match another engine).  md5-derived bucket keeps ~10%."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(md5_long(F.col("doc_id")) % 10 == 0).select("doc_id", "lang", "source")
+
+
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# event-time windows (batch form; streaming variants in streaming/)
+# --------------------------------------------------------------------------
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window counts per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_TUMBLING_ORACLE = f"""
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events, {osum('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2
+    windows; Spark's window() generates them without self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+# each event belongs to windows starting at bucket(ts,5m) and bucket(ts,5m)-5m
+_EVENTS_SLIDING_ORACLE = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+  FROM events
+) GROUP BY 1
+"""
+
+
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user, batch mode.
+
+    Spark's session_window handles merge logic natively; the DuckDB
+    oracle derives the same sessions via gaps-and-islands (lag +
+    cumulative sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_EVENTS_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+SPECS = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
+    QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
+    QuerySpec("agg_distinct", agg_distinct, _AGG_DISTINCT_ORACLE, "exact count-distinct per group"),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, None, "HLL++ sketch (engine-specific; rows-only + test tolerance)"),
+    QuerySpec("agg_stats", agg_stats, _AGG_STATS_ORACLE, "min/max/avg/stddev from exact moments"),
+    QuerySpec("agg_rollup", agg_rollup, _AGG_ROLLUP_ORACLE, "ROLLUP subtotals"),
+    QuerySpec("agg_cube", agg_cube, _AGG_CUBE_ORACLE, "CUBE all combinations"),
+    QuerySpec("agg_grouping_sets", agg_grouping_sets, _AGG_GROUPING_SETS_ORACLE, "GROUPING SETS via SQL surface"),
+    QuerySpec("agg_pivot", agg_pivot, _AGG_PIVOT_ORACLE, "pivot with explicit values"),
+    QuerySpec("join_dim_broadcast", join_dim_broadcast, _JOIN_DIM_ORACLE, "broadcast dim join chain"),
+    QuerySpec("join_fact_fact", join_fact_fact, _JOIN_FACT_ORACLE, "big-big shuffle join"),
+    QuerySpec("join_semi", join_semi, _JOIN_SEMI_ORACLE, "left semi (EXISTS)"),
+    QuerySpec("join_anti", join_anti, _JOIN_ANTI_ORACLE, "left anti (NOT EXISTS)"),
+    QuerySpec("join_outer_custdist", join_outer_custdist, _JOIN_OUTER_ORACLE, "left outer + Q13 histogram"),
+    QuerySpec("join_full_outer", join_full_outer, _JOIN_FULL_ORACLE, "full outer with null coalesce"),
+    QuerySpec("join_range", join_range, _JOIN_RANGE_ORACLE, "equi + range predicate join"),
+    QuerySpec("join_asof", join_asof, _JOIN_ASOF_ORACLE, "as-of join via union + carry-forward window"),
+    QuerySpec("topk_per_group", topk_per_group, _TOPK_ORACLE, "window row_number top-k"),
+    QuerySpec("window_running", window_running, _WINDOW_RUNNING_ORACLE, "running sum / lag / lead"),
+    QuerySpec("window_share", window_share, _WINDOW_SHARE_ORACLE, "partition-total share"),
+    QuerySpec("sort_limit", sort_limit, _SORT_LIMIT_ORACLE, "global top-N (TakeOrdered)"),
+    QuerySpec("setop_union", setop_union, _SETOP_UNION_ORACLE, "UNION distinct"),
+    QuerySpec("setop_intersect", setop_intersect, _SETOP_INTERSECT_ORACLE, "INTERSECT"),
+    QuerySpec("setop_except", setop_except, _SETOP_EXCEPT_ORACLE, "EXCEPT ALL"),
+    QuerySpec("scalar_date", scalar_date, _SCALAR_DATE_ORACLE, "date part extraction"),
+    QuerySpec("scalar_string", scalar_string, _SCALAR_STRING_ORACLE, "string function coverage"),
+    QuerySpec("scalar_math", scalar_math, _SCALAR_MATH_ORACLE, "math function coverage"),
+    QuerySpec("scalar_json", scalar_json, _SCALAR_JSON_ORACLE, "JSON extraction (events.props)"),
+    QuerySpec("scalar_array", scalar_array, _SCALAR_ARRAY_ORACLE, "array functions (embeddings)"),
+    QuerySpec("sample_deterministic", sample_deterministic, _SAMPLE_ORACLE, "hash-based deterministic sampling"),
+    QuerySpec("events_tumbling", events_tumbling, _EVENTS_TUMBLING_ORACLE, "tumbling event-time windows (batch)"),
+    QuerySpec("events_sliding", events_sliding, _EVENTS_SLIDING_ORACLE, "sliding event-time windows (batch)"),
+    QuerySpec("events_session", events_session, _EVENTS_SESSION_ORACLE, "session windows (batch)"),
+]
