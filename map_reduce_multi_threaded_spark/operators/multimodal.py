@@ -1,7 +1,181 @@
-"""Multimodal (binary) column plumbing (LLM-data-pipeline extension)."""
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video ride through the engine as opaque ``binary``
+columns with typed metadata — the schema/partitioning/UDF-shape layer
+is what an engine must get right; the codec itself is a library call.
+This container has no image/audio libraries, so the decode step is a
+clearly-marked stub (:func:`decode_image_real`) plus a deterministic
+fake decode whose outputs are pure functions of the payload bytes —
+which makes even the ``mapInPandas`` path oracle-checkable in DuckDB.
+
+The payload fixture is ``documents.text`` UTF-8-encoded to binary (the
+corpus is ASCII, so byte values equal character codes on both engines).
+
+Scale notes:
+* binary payloads flow through Arrow batches (``mapInPandas``), sized
+  by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — at 100 TB you
+  bound executor memory by rows-per-batch × payload size;
+* metadata extraction is a narrow map: no shuffle, parquet scan feeds
+  straight into the Python worker and back.
+"""
 
 from __future__ import annotations
 
-from ..registry import QuerySpec
+from collections.abc import Iterator
 
-SPECS: list[QuerySpec] = []
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+FRAME_STRIDE = 16  # "video frame sampling": every 16th byte
+
+
+def with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a binary payload column (the multimodal stand-in)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real image decode — STUB.  Wire pillow/opencv here on a cluster
+    with the codec libraries installed; the surrounding Spark plumbing
+    (schema, batching, partitioning) is identical either way."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no pillow
+        raise NotImplementedError(
+            "image decode requires pillow, which is not available in this "
+            "container; use decode_metadata (deterministic fake) instead"
+        ) from exc
+    raise NotImplementedError("real decode path not exercised in tests")
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+_FMTS = ["jpeg", "png", "webp"]
+
+
+def decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary → metadata extraction via ``mapInPandas``.
+
+    The fake decode derives (fmt, width, height) purely from payload
+    length, so DuckDB can mirror it; the *plumbing* — binary Arrow
+    transfer, iterator-of-batches UDF, typed output schema — is the
+    real production shape."""
+    df = with_payload(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "fmt": n.map(lambda x: _FMTS[x % 3]),
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n * 7 % 480 + 1).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(decode, _META_SCHEMA)
+
+
+_DECODE_META_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE octet_length(encode(text)) % 3
+            WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS height
+FROM documents
+"""
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Video" frame sampling: take every FRAME_STRIDE-th byte of the
+    payload; emit the sampled-frame count and a checksum.  Same
+    ``mapInPandas`` shape a real ffmpeg-keyframe sampler would use
+    (batch in, variable summary out)."""
+    df = with_payload(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = pdf["payload"].map(lambda b: b[::FRAME_STRIDE])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": frames.map(len).astype("int64"),
+                    "frame_checksum": frames.map(lambda f: sum(f) % 256).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(sample, _FRAME_SCHEMA)
+
+
+# corpus is ASCII: byte k == ascii(char k), so SQL can mirror the bytes
+_FRAME_SAMPLE_ORACLE = f"""
+SELECT doc_id,
+       len(list_transform(generate_series(1, length(text), {FRAME_STRIDE}), i -> i)) AS n_frames,
+       list_sum(list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
+                               i -> ascii(substr(text, i, 1)))) % 256 AS frame_checksum
+FROM documents
+"""
+
+
+def binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM binary column ops (no Python): length, md5, prefix —
+    what you use to partition/bucket payloads before decode."""
+    df = with_payload(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.hex(F.substring("payload", 1, 4)).alias("magic_hex"),
+    )
+
+
+_BINARY_STATS_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       upper(hex(substr(text, 1, 4))) AS magic_hex
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("multimodal_decode_meta", decode_metadata, _DECODE_META_ORACLE,
+              "mapInPandas binary decode plumbing (deterministic fake codec)"),
+    QuerySpec("multimodal_frame_sample", frame_sample, _FRAME_SAMPLE_ORACLE,
+              "strided frame sampling over binary payloads"),
+    QuerySpec("multimodal_binary_stats", binary_stats, _BINARY_STATS_ORACLE,
+              "JVM-side binary column functions"),
+]

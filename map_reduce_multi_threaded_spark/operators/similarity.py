@@ -1,7 +1,276 @@
-"""Similarity search over embedding vectors (LLM-data-pipeline extension)."""
+"""Similarity search over embedding vectors (array<float> column).
+
+Two paths, per the standard ANN playbook:
+
+* **brute force** — exact cosine top-k; at test scale a broadcast
+  nested-loop, at 100 TB only viable for small query sets (broadcast
+  the queries, scan the corpus once — still a single pass, never a
+  corpus×corpus shuffle);
+* **LSH-bucketed** — random-hyperplane (here: Rademacher ±1 planes,
+  derived from md5 so Python/Spark/DuckDB agree bit-for-bit) signature
+  → bucket join.  Candidate generation is a keyed shuffle on the
+  bucket id; each query compares only within its bucket.  This is the
+  shape that survives 100 TB: probes scale with bucket size, not
+  corpus size.
+
+All vector math stays JVM-side (``zip_with`` + ``aggregate`` inside
+codegen — no Python UDF): elements are cast float→double (exact) and
+accumulated left-to-right, which DuckDB's ``list_sum(list_transform)``
+mirrors, so cosines are bit-identical and the driver's value-hash
+comparison holds.
+"""
 
 from __future__ import annotations
 
-from ..registry import QuerySpec
+import hashlib
 
-SPECS: list[QuerySpec] = []
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+DIM = 64
+K_NEIGHBORS = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixture
+COSINE_THRESHOLD = 0.4
+N_PLANES = 6  # 2^6 = 64 buckets per table
+N_TABLES = 8  # OR-amplification: recall 1-(1-p^6)^8 vs p^6 single-table
+
+
+def rademacher_sign(t: int, i: int, j: int) -> float:
+    """±1 hyperplane component, derived from md5 of 'plane:t:i:j'.
+
+    The same digest is computed inline by the Spark plan and the DuckDB
+    oracle (md5 is the one hash all three runtimes share), so the
+    planes exist nowhere as data — no literals to ship, no drift."""
+    h = hashlib.md5(f"plane:{t}:{i}:{j}".encode()).hexdigest()
+    return 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+
+
+# ---------------------------------------------------------------------------
+# Spark-side vector helpers (pure Column expressions)
+# ---------------------------------------------------------------------------
+
+def _to_double(col: str) -> F.Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Attach L2 norm; computed once per vector, reused across pairs."""
+    return df.withColumn("emb_d", _to_double("embedding")).withColumn(
+        "norm", F.sqrt(F.expr(_DOT.format(a="emb_d", b="emb_d")))
+    )
+
+
+_DUCK_NORMS = """
+  n AS (SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+"""
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id<10).
+
+    The queries side is broadcast — the corpus is scanned exactly once
+    regardless of its size; per-partition top-k then a tiny final
+    merge (window over ≤ P×k rows per query)."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb_d").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    sim = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+_KNN_BRUTE_ORACLE = f"""
+WITH {_DUCK_NORMS},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {K_NEIGHBORS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. embedding near-dup pairs (brute baseline for dedup-by-cosine)
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ τ — embedding-space near-duplicate
+    detection.  Brute all-pairs at test scale; the documented scale
+    path is :func:`lsh_buckets` candidates + this verification."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("ea"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("eb"), F.col("norm").alias("nb"))
+    sim = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+WITH {_DUCK_NORMS}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+#
+# Multi-table random-hyperplane LSH: N_TABLES independent signatures of
+# N_PLANES bits; a corpus vector is a candidate for a query if they
+# share ANY table's bucket (OR-amplification).  The projection sign is
+# a 64-term ordered fold (aggregate over sequence → left-to-right IEEE
+# addition, same as DuckDB's list_sum(list_transform)), with the ±1
+# plane components derived inline from md5('plane:t:i:j') on BOTH
+# engines — planes never exist as data.
+
+# dot of emb_d with plane (t=column, i=literal) — ordered fold, JVM-side
+_PLANE_DOT = (
+    "aggregate(sequence(1, {dim}), 0D, (acc, j) -> acc + "
+    "CASE WHEN cast(conv(substr(md5(concat('plane:', cast(t as string), ':', '{i}', ':', cast(j as string))), 1, 2), 16, 10) as int) % 2 = 0 "
+    "THEN element_at(emb_d, j) ELSE -element_at(emb_d, j) END)"
+)
+
+_DUCK_PLANE_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), j -> "
+    "CASE WHEN ('0x' || substr(md5('plane:' || t::VARCHAR || ':' || '{i}' || ':' || j::VARCHAR), 1, 2))::INT % 2 = 0 "
+    "THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END))"
+)
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, t, bucket): one 6-bit signature per hash table."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    tables = emb.crossJoin(F.broadcast(spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))))
+    bucket = F.lit(0).cast("long")
+    for i in range(N_PLANES):
+        dot = F.expr(_PLANE_DOT.format(dim=DIM, i=i))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return tables.select("vec_id", "t", "emb_d", "norm", bucket.alias("bucket"))
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 from multi-table LSH candidates.
+
+    Scale: candidates come from a keyed shuffle on (table, bucket) —
+    each query compares against ~N_TABLES/2^N_PLANES of the corpus, so
+    cost scales with bucket occupancy, not corpus size.  Recall vs
+    :func:`knn_bruteforce` is measured in tests (single-probe,
+    single-table LSH sat at the random floor on this near-uniform
+    fixture; 8-table OR-amplification lifts it an order of magnitude).
+    """
+    b = lsh_buckets(spark, sf_dir)
+    q = b.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("t").alias("q_t"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("t").alias("c_t"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    cand = (
+        q.join(
+            c,
+            (F.col("q_t") == F.col("c_t"))
+            & (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "q_emb", "q_norm", "neighbor_id")
+        .distinct()
+    )
+    n = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb_d").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    sim = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    pairs = cand.join(n, "neighbor_id").withColumn("cosine", sim)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _knn_lsh_oracle() -> str:
+    bucket_terms = " + ".join(
+        f"(CASE WHEN ({_DUCK_PLANE_DOT.format(dim=DIM, i=i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    return f"""
+WITH {_DUCK_NORMS},
+tabs AS (SELECT vec_id, embedding, unnest(generate_series(0, {N_TABLES - 1})) AS t FROM embeddings),
+buckets AS (SELECT vec_id, t, ({bucket_terms}) AS bucket FROM tabs),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c
+    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = cand.query_id JOIN n c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {K_NEIGHBORS}
+"""
+
+
+SPECS = [
+    QuerySpec("knn_bruteforce", knn_bruteforce, _KNN_BRUTE_ORACLE,
+              "exact cosine top-5 per query vector (broadcast queries)"),
+    QuerySpec("embedding_neardup", embedding_neardup, _NEARDUP_ORACLE,
+              "cosine≥τ near-dup pairs (brute baseline)"),
+    QuerySpec("knn_lsh", knn_lsh, _knn_lsh_oracle(),
+              "ANN top-5 within random-hyperplane LSH bucket (scale path)"),
+]

@@ -1,7 +1,255 @@
-"""Text analysis operators (LLM-data-pipeline extension)."""
+"""Text analysis operators — language-ID, quality scoring, token
+counting, document fingerprinting, TF-IDF.
+
+These generalize the reference's scalar text stages (tokenize / strip /
+lower, ``map_reduce.cpp:152-171``) into the analysis passes an LLM data
+pipeline runs over a crawl.  Everything is Column expressions (lambda
+higher-order functions stay inside codegen); nothing leaves the JVM.
+
+Scale: every query here is a narrow map over documents plus at most
+one keyed aggregate — the 100 TB cost is one scan.
+"""
 
 from __future__ import annotations
 
-from ..registry import QuerySpec
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
-SPECS: list[QuerySpec] = []
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+# marker stopwords per language, fixed priority order for argmax ties
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "von", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "los", "y", "en", "que", "un"),
+    "fr": ("le", "la", "les", "de", "et", "un", "en", "est"),
+    "zh": ("的", "是", "不", "了", "在", "人"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# 1. language identification (marker-token heuristic)
+# ---------------------------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by counting per-language marker tokens; argmax
+    with a fixed priority chain (first language in sorted order wins
+    ties) so the prediction is deterministic on every engine."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "lang", F.split("text", r"\s+").alias("t"))
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in markers)
+        d = d.withColumn(f"s_{lang}", F.expr(f"size(filter(t, x -> x in ({inlist})))"))
+    score_cols = [F.col(f"s_{lang}") for lang in LANG_MARKERS]
+    best = F.greatest(*score_cols)
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # build chain so earliest wins
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return d.select("doc_id", "lang", *[f"s_{lang}" for lang in LANG_MARKERS], pred.alias("lang_pred"))
+
+
+def _langid_oracle() -> str:
+    score_exprs = ",\n       ".join(
+        f"len(list_filter(t, x -> x IN ({_sql_list(m)}))) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    chain = "'und'"
+    for lang in reversed(langs):
+        chain = f"CASE WHEN s_{lang} = {best} THEN '{lang}' ELSE {chain} END"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+       {score_exprs}
+  FROM toks
+)
+SELECT doc_id, lang, {", ".join(f"s_{lang}" for lang in langs)},
+       CASE WHEN {best} = 0 THEN 'und' ELSE {chain} END AS lang_pred
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. quality scoring
+# ---------------------------------------------------------------------------
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features and a
+    keep/drop flag — the first filter stage of a training-data
+    pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "text", F.split("text", r"\s+").alias("t"))
+    n_chars = F.length("text")
+    n_tokens = F.size("t")
+    sum_tok_len = F.expr("aggregate(t, 0, (acc, x) -> acc + length(x))")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"\p{Punct}", ""))
+    inlist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    n_stop = F.expr(f"size(filter(t, x -> x in ({inlist})))")
+    avg_tok = sum_tok_len / n_tokens
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / n_tokens
+    keep = (
+        (n_tokens >= 5)
+        & (n_tokens <= 100000)
+        & (avg_tok >= 2)
+        & (avg_tok <= 20)
+        & (punct_ratio <= 0.2)
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS t FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_token_len,
+       (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+       len(list_filter(t, x -> x IN ({_sql_list(EN_STOPWORDS)}))) * 1.0 / len(t) AS stopword_ratio,
+       (len(t) >= 5 AND len(t) <= 100000
+        AND list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) BETWEEN 2 AND 20
+        AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) <= 0.2)
+         AS keep
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+#: letter runs / digit runs / single non-alnum — a crude BPE-style
+#: pre-tokenizer whose regex behaves identically in Java and RE2.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. document fingerprinting (k-min hash of char 8-grams)
+# ---------------------------------------------------------------------------
+
+SHINGLE_CHARS = 8
+FP_K = 3
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle fingerprint: md5 every char-8-gram, keep the K
+    lexicographically smallest digests (a deterministic winnowing
+    sketch) — pure array expressions, no explode, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_CHARS)
+    fp = F.expr(
+        f"concat_ws(',', slice(array_sort(array_distinct("
+        f"transform(sequence(1, length(text) - {SHINGLE_CHARS - 1}), i -> md5(substring(text, i, {SHINGLE_CHARS})))"
+        f")), 1, {FP_K}))"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       array_to_string(list_sort(list_distinct(
+         list_transform(generate_series(1, length(text) - {SHINGLE_CHARS - 1}),
+                        i -> md5(substr(text, i, {SHINGLE_CHARS})))
+       ))[1:{FP_K}], ',') AS fingerprint
+FROM documents
+WHERE length(text) >= {SHINGLE_CHARS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. TF-IDF top term per document
+# ---------------------------------------------------------------------------
+
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-tf-idf term per document.
+
+    Two keyed aggregates (term-per-doc, doc-frequency) + a broadcast
+    scalar N + one window — the classic distributed TF-IDF shape.
+    tf-idf is rounded to 9 dp before ranking so libm ln() last-ulp
+    differences can't reorder ties across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term")).where(
+        F.length("term") > 0
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE length(term) > 0 GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs * 1.0 / df.df), 9) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+SPECS = [
+    QuerySpec("text_langid", text_langid, _langid_oracle(),
+              "marker-stopword language identification"),
+    QuerySpec("text_quality", text_quality, _QUALITY_ORACLE,
+              "length/punct/stopword quality features + keep flag"),
+    QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE,
+              "whitespace + BPE-ish regex token counts"),
+    QuerySpec("text_fingerprint", text_fingerprint, _FINGERPRINT_ORACLE,
+              "k-min char-shingle md5 fingerprint"),
+    QuerySpec("text_tfidf_top_term", text_tfidf_top_term, _TFIDF_ORACLE,
+              "top tf-idf term per document"),
+]

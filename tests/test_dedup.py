@@ -1,0 +1,53 @@
+"""Dedup suite: oracle parity + algorithmic cross-checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_multi_threaded_spark.operators import dedup
+from tests.oracle_utils import compare
+
+ORACLE_SPECS = [s for s in dedup.SPECS if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_parity(spark, sf_oracle_dir, spec):
+    compare(spec.fn(spark, sf_oracle_dir), spec.oracle, sf_oracle_dir)
+
+
+def test_exact_dedup_finds_planted_batch(spark, sf_oracle_dir):
+    rows = dedup.dedup_exact(spark, sf_oracle_dir).collect()
+    # every doc appears exactly twice (original + simulated re-crawl)
+    assert all(r["n_copies"] == 2 for r in rows)
+    assert all(r["keeper_id"] < 1000000 for r in rows)
+
+
+def test_minhash_recall_vs_exact(spark, sf_oracle_dir):
+    """LSH candidates must recover every exact-Jaccard pair at τ=0.5
+    (P(miss) ≈ 1e-15 at the planted pairs' J≈0.97)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_oracle_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_oracle_dir).collect()
+    }
+    assert exact, "fixture should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_pairs_overlap_jaccard_pairs(spark, sf_oracle_dir):
+    """SimHash Hamming≤3 pairs should be near-dups by Jaccard too
+    (different sketch, same planted duplicates)."""
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_oracle_dir).collect()
+    }
+    sim = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_simhash_pairs(spark, sf_oracle_dir).collect()
+    }
+    assert sim, "simhash should find the planted near-dups"
+    # allow sketch disagreement at the margin, but require real overlap
+    assert len(sim & jac) >= len(sim) * 0.5

@@ -1,0 +1,88 @@
+"""Structured Streaming: oracle parity for drained streams, plus a
+real watermark late-data-drop test with staged file arrival."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_multi_threaded_spark.streaming import queries as SQ
+from map_reduce_multi_threaded_spark.streaming import windows as W
+from tests.oracle_utils import compare
+
+ORACLE_SPECS = [s for s in SQ.SPECS if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_parity(spark, sf_oracle_dir, spec):
+    compare(spec.fn(spark, sf_oracle_dir), spec.oracle, sf_oracle_dir)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: an event
+    arriving after its window has been evicted must be dropped.
+
+    Staged file arrival (maxFilesPerTrigger=1, ordered mtimes); note
+    the watermark advances BETWEEN micro-batches and eviction happens
+    at batch END, so the late event must arrive one batch after the
+    batch in which its window [00:00, 01:00) was emitted:
+      batch 0: 00:05            (wm after: 1969-…)
+      batch 1: 02:00            (wm after: 01:50)
+      batch 2: 02:10            → window [00:00,01:00) evicted, n=1
+      batch 3: 00:07 late       → dropped (window closed)
+    """
+    src = tmp_path / "events_src"
+    os.makedirs(src)
+    base = "2024-01-01 {t}"
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    write_file("b1", [(1, base.format(t="00:05:00"), 1)])
+    write_file("b2", [(2, base.format(t="02:00:00"), 1)])
+    write_file("b3", [(3, base.format(t="02:10:00"), 1)])
+    write_file("b4", [(4, base.format(t="00:07:00"), 1)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_s string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("start"), "n")
+    )
+    # NOT availableNow: that can drain all files in one micro-batch,
+    # and the watermark only advances BETWEEN micro-batches.  A normal
+    # trigger + maxFilesPerTrigger=1 yields one batch per file.
+    q = (
+        stream.writeStream.queryName("wm_sink")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["start"]: r["n"] for r in spark.table("wm_sink").collect()}
+    # the 00:00 window emitted with ONLY the on-time event; the late
+    # 00:07 event was dropped (watermark 01:50 > window end 01:00)
+    assert got.get("00:00") == 1, f"late event not dropped: {got}"
+
+
+def test_streaming_batch_equivalence(spark, sf_oracle_dir):
+    """The same tumbling_counts plan over batch input equals the
+    drained streaming result (operator is mode-agnostic)."""
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    batch = {
+        tuple(r)
+        for r in W.tumbling_counts(load_table(spark, sf_oracle_dir, "events")).collect()
+    }
+    streamed = {tuple(r) for r in SQ.stream_tumbling(spark, sf_oracle_dir).collect()}
+    assert batch == streamed

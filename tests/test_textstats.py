@@ -1,0 +1,32 @@
+"""Text analysis: oracle parity + sanity checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_multi_threaded_spark.operators import textstats
+from tests.oracle_utils import compare
+
+ORACLE_SPECS = [s for s in textstats.SPECS if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_parity(spark, sf_oracle_dir, spec):
+    compare(spec.fn(spark, sf_oracle_dir), spec.oracle, sf_oracle_dir)
+
+
+def test_quality_features_sane(spark, sf_oracle_dir):
+    rows = textstats.text_quality(spark, sf_oracle_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["punct_ratio"] <= 1
+        assert 0 <= r["stopword_ratio"] <= 1
+        assert r["n_tokens"] > 0
+
+
+def test_tfidf_prefers_rare_terms(spark, sf_oracle_dir):
+    """A term appearing in every document (df == N) has tf-idf 0, so a
+    top term must have df < N whenever any rarer term exists."""
+    rows = textstats.text_tfidf_top_term(spark, sf_oracle_dir).collect()
+    assert len(rows) == 500
+    assert all(r["tfidf"] >= 0 for r in rows)
