@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the noop sink (full execution, no
+driver-side row transfer — the number is the engine, not py4j).
+Provenance vs the reference: BASELINE.md records 19.677 s sequential /
+1.237 s best-parallel for its 1024-file-read word count on a 2019
+cluster; our absolute numbers are not directly comparable, so the
+contract is per-query seconds at the same sf across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from map_reduce_multi_threaded_spark.registry import collect_specs
+from map_reduce_multi_threaded_spark.session import get_spark
+
+#: Representative per-category headliners (SURVEY.md §2 + extensions).
+HEADLINE = [
+    "wordcount",            # the reference's entire surface (S1-S14)
+    "wordcount_passes8",    # + its 8x replay semantics (S3)
+    "q1_pricing_summary",   # scan-bound aggregate anchor
+    "q6_revenue",           # pushdown filter + global sum
+    "join_dim_broadcast",   # broadcast dimension chain
+    "join_fact_fact",       # big-big shuffle join
+    "join_asof",            # as-of via carry-forward window
+    "topk_per_group",       # window top-k
+    "window_running",       # running aggregates
+    "events_session",       # session windows (batch)
+    "stream_tumbling",      # real Structured Streaming drain
+    "dedup_minhash_lsh",    # MinHash+LSH near-dup end-to-end
+    "dedup_simhash",        # SimHash sketch
+    "knn_bruteforce",       # exact cosine top-k
+    "knn_lsh",              # multi-table LSH ANN
+    "text_tfidf_top_term",  # TF-IDF
+    "multimodal_decode_meta",  # Arrow mapInPandas plumbing
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # non-standard dir name; let the parquet read validate the path
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {s.name: s for s in collect_specs()}
+    # Warmup on the smallest sf: JVM/codegen JIT + Python worker pool
+    # startup (mapInPandas) — one-time session costs that would
+    # otherwise land on an arbitrary headliner's number.
+    for warm in ("wordcount", "multimodal_decode_meta"):
+        specs[warm].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

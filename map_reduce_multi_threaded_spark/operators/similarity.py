@@ -167,13 +167,8 @@ WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
 # plane components derived inline from md5('plane:t:i:j') on BOTH
 # engines — planes never exist as data.
 
-# dot of emb_d with plane (t=column, i=literal) — ordered fold, JVM-side
-_PLANE_DOT = (
-    "aggregate(sequence(1, {dim}), 0D, (acc, j) -> acc + "
-    "CASE WHEN cast(conv(substr(md5(concat('plane:', cast(t as string), ':', '{i}', ':', cast(j as string))), 1, 2), 16, 10) as int) % 2 = 0 "
-    "THEN element_at(emb_d, j) ELSE -element_at(emb_d, j) END)"
-)
-
+# DuckDB derives the plane signs inline from md5('plane:t:i:j') — the
+# oracle runs once at small sf, so per-row md5 cost is irrelevant there.
 _DUCK_PLANE_DOT = (
     "list_sum(list_transform(generate_series(1, {dim}), j -> "
     "CASE WHEN ('0x' || substr(md5('plane:' || t::VARCHAR || ':' || '{i}' || ':' || j::VARCHAR), 1, 2))::INT % 2 = 0 "
@@ -182,14 +177,46 @@ _DUCK_PLANE_DOT = (
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, t, bucket): one 6-bit signature per hash table."""
+    """(vec_id, t, bucket): one 6-bit signature per hash table.
+
+    The Spark side embeds the ±1 signs as array literals (computed once
+    in Python via hashlib — bit-identical to the engines' md5), because
+    deriving them inline per row costs 3072 md5 calls per vector: that
+    took this query from 6.8 s to sub-second at bench scale.  The fold
+    is zip_with + aggregate — same left-to-right IEEE order as the
+    oracle's list_sum(list_transform)."""
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    tables = emb.crossJoin(F.broadcast(spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))))
-    bucket = F.lit(0).cast("long")
-    for i in range(N_PLANES):
-        dot = F.expr(_PLANE_DOT.format(dim=DIM, i=i))
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return tables.select("vec_id", "t", "emb_d", "norm", bucket.alias("bucket"))
+    # Signature computation is a pure map — NO shuffle, which is the
+    # property that matters at 100 TB (the alternative, explode-dims +
+    # join a planes table + re-aggregate, shuffles corpus×48 rows).
+    # Plan-size engineering within that: 3072 F.lit() Columns cost one
+    # py4j round-trip each (~4 s of plan build); a per-plane ±1 literal
+    # array costs a 100 KB SQL parse plus a per-row array allocation.
+    # So each plane's 64 signs pack into ONE literal long bitmask,
+    # tested inside an ordered fold — compact to parse, allocation-free,
+    # and left-to-right addition keeps the dot bit-identical to the
+    # oracle's list_sum.
+    struct_exprs = []
+    for t in range(N_TABLES):
+        bucket_terms = []
+        for i in range(N_PLANES):
+            # bits 0..62 in the mask; dim 64 as an explicit term (bit 63
+            # would overflow the signed long literal)
+            mask = sum(
+                (1 << j) for j in range(DIM - 1) if rademacher_sign(t, i, j + 1) > 0
+            )
+            last = "element_at(emb_d, 64)" if rademacher_sign(t, i, DIM) > 0 else "-element_at(emb_d, 64)"
+            dot = (
+                f"(aggregate(sequence(1, {DIM - 1}), 0D, (acc, j) -> acc + "
+                f"CASE WHEN shiftright({mask}L, j - 1) & 1 = 1 "
+                f"THEN element_at(emb_d, j) ELSE -element_at(emb_d, j) END) + {last})"
+            )
+            bucket_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i}L ELSE 0L END)")
+        struct_exprs.append(f"struct({t} as t, ({' + '.join(bucket_terms)}) as bucket)")
+    tb = F.explode(F.expr(f"array({', '.join(struct_exprs)})")).alias("tb")
+    return emb.select("vec_id", "emb_d", "norm", tb).select(
+        "vec_id", "emb_d", "norm", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,36 +229,47 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-table LSH sat at the random floor on this near-uniform
     fixture; 8-table OR-amplification lifts it an order of magnitude).
     """
-    b = lsh_buckets(spark, sf_dir)
+    b = lsh_buckets(spark, sf_dir).select("vec_id", "t", "bucket")
     q = b.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("t").alias("q_t"),
         F.col("bucket").alias("q_bucket"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
     )
     c = b.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("t").alias("c_t"),
         F.col("bucket").alias("c_bucket"),
     )
+    # distinct over the NARROW pair only (a 64-double embedding inside
+    # a distinct key is pure shuffle weight), then broadcast-join the
+    # vectors back for scoring
     cand = (
         q.join(
-            c,
+            F.broadcast(c),
             (F.col("q_t") == F.col("c_t"))
             & (F.col("q_bucket") == F.col("c_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "q_emb", "q_norm", "neighbor_id")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    n = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+    n = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    nq = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    nc = n.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb_d").alias("c_emb"),
         F.col("norm").alias("c_norm"),
     )
     sim = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm"))
-    pairs = cand.join(n, "neighbor_id").withColumn("cosine", sim)
+    pairs = (
+        cand.join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(nc), "neighbor_id")
+        .withColumn("cosine", sim)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
