@@ -640,6 +640,40 @@ FROM orders
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: each order's trailing-30-day spend for the
+    same customer (rangeBetween over epoch days — value-based frames,
+    not row counts)."""
+    o = load_table(spark, sf_dir, "orders")
+    o = o.withColumn("day", F.datediff("o_orderdate", F.lit("1970-01-01")))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day").alias("order_day"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_30d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+_WINDOW_RANGE_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS order_day,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend,
+       count(*) OVER (PARTITION BY o_custkey
+                      ORDER BY datediff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS trailing_30d_orders
+FROM orders
+"""
+
+
 def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by price — TakeOrderedAndProject, not a full sort:
     each partition keeps 10 rows, the driver merges P×10."""
@@ -970,6 +1004,7 @@ SPECS = [
     QuerySpec("topk_per_group", topk_per_group, _TOPK_ORACLE, "window row_number top-k"),
     QuerySpec("window_running", window_running, _WINDOW_RUNNING_ORACLE, "running sum / lag / lead"),
     QuerySpec("window_share", window_share, _WINDOW_SHARE_ORACLE, "partition-total share"),
+    QuerySpec("window_range_frame", window_range_frame, _WINDOW_RANGE_ORACLE, "RANGE frame (trailing 30 days)"),
     QuerySpec("sort_limit", sort_limit, _SORT_LIMIT_ORACLE, "global top-N (TakeOrdered)"),
     QuerySpec("setop_union", setop_union, _SETOP_UNION_ORACLE, "UNION distinct"),
     QuerySpec("setop_intersect", setop_intersect, _SETOP_INTERSECT_ORACLE, "INTERSECT"),

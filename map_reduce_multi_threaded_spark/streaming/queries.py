@@ -63,9 +63,38 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
 """
 
 
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running counts.  The single-file replay drains in one micro-batch,
+    so the emitted running totals equal the batch ground truth — which
+    makes even custom state logic oracle-checkable."""
+    import pyspark.sql.functions as F
+
+    from .stateful import running_user_counts
+
+    ev = W.read_events_stream(spark, sf_dir)
+    out = W.run_to_memory(
+        running_user_counts(ev), "stream_stateful_sink", output_mode="update"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+    )
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_ORACLE,
               "streaming tumbling windows drained through a memory sink"),
+    QuerySpec("stream_stateful_counts", stream_stateful_counts, _STATEFUL_ORACLE,
+              "custom stateful operator via applyInPandasWithState"),
     QuerySpec("stream_session", stream_session, _SESSION_ORACLE,
               "streaming session windows (30-min gap) per user"),
     QuerySpec("stream_dedup", stream_dedup, _DEDUP_ORACLE,

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
 from map_reduce_multi_threaded_spark.session import get_spark
@@ -10,7 +12,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="tests")
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    spark = get_spark(
+        app_name="tests",
+        extra_confs={"spark.sql.warehouse.dir": warehouse},
+    )
     yield spark
     spark.stop()
 

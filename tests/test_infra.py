@@ -1,0 +1,119 @@
+"""Engine infrastructure: multi-format sources, bucketed zero-shuffle
+joins, metrics/observe, plan helpers, pandas_udf equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from map_reduce_multi_threaded_spark.operators.similarity import (
+    _DOT,
+    _to_double,
+    cosine_pandas_udf,
+)
+from map_reduce_multi_threaded_spark.plans.explain import (
+    count_exchanges,
+    executed_plan,
+    pushed_filters,
+)
+from map_reduce_multi_threaded_spark.plans.metrics import observe_rows, timed
+from map_reduce_multi_threaded_spark.sources.formats import read_csv, read_json, read_orc
+from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+
+def test_csv_json_orc_roundtrip(spark, sf_dir, tmp_path):
+    """customer survives a round-trip through every ingestion format."""
+    c = load_table(spark, sf_dir, "customer")
+    expected = sorted(tuple(r) for r in c.collect())
+    schema = c.schema
+
+    c.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "csv"))
+    c.write.mode("overwrite").json(str(tmp_path / "json"))
+    c.write.mode("overwrite").orc(str(tmp_path / "orc"))
+
+    got_csv = sorted(tuple(r) for r in read_csv(spark, str(tmp_path / "csv"), schema).collect())
+    got_json = sorted(
+        tuple(r) for r in read_json(spark, str(tmp_path / "json"), schema).select(*c.columns).collect()
+    )
+    got_orc = sorted(tuple(r) for r in read_orc(spark, str(tmp_path / "orc")).select(*c.columns).collect())
+    assert got_csv == expected
+    assert got_json == expected
+    assert got_orc == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key at write time removes the
+    exchange entirely — THE lever for repeated 100 TB fact-fact joins.
+    (Equivalent of the reference pre-partitioning its hashmap into
+    1024 bins so the shuffle could move whole buckets.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bkt")
+    )
+    # disable auto-broadcast so the plan must pick a shuffle-class join
+    # (at test scale everything fits a broadcast; at 100 TB it won't)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("lineitem_bkt")
+            .join(spark.table("orders_bkt"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "SelectedBucketsCount" in plan
+        # join itself must not shuffle; only the 3-group aggregate may
+        assert count_exchanges(joined) <= 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # correctness unchanged
+    direct = {
+        (r["o_orderstatus"], r["n"])
+        for r in lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {(r["o_orderstatus"], r["n"]) for r in joined.collect()} == direct
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """Dataset.observe: metrics ride along with the query (S15
+    equivalent) — no second action to count rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    observed, obs = observe_rows(li, F.sum("l_quantity").alias("qty"))
+    (result, secs) = timed(lambda: observed.write.format("noop").mode("overwrite").save())
+    assert obs.get["rows"] > 0
+    assert obs.get["qty"] > 0
+    assert secs < 60
+
+
+def test_pushed_filters_helper(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    assert "l_quantity" in pushed_filters(li)
+
+
+def test_pandas_udf_cosine_matches_jvm_fold(spark, sf_dir):
+    """The Arrow pandas_udf path and the JVM zip_with/aggregate fold
+    agree to float tolerance (different summation assoc is expected)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    a = emb.select(F.col("vec_id").alias("ia"), _to_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), _to_double("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    jvm = F.expr(_DOT.format(a="ea", b="eb")) / (
+        F.sqrt(F.expr(_DOT.format(a="ea", b="ea"))) * F.sqrt(F.expr(_DOT.format(a="eb", b="eb")))
+    )
+    cos = cosine_pandas_udf()
+    both = pairs.select("ia", "ib", jvm.alias("jvm"), cos("ea", "eb").alias("py")).collect()
+    assert len(both) > 0
+    for r in both:
+        assert abs(r["jvm"] - r["py"]) < 1e-9
