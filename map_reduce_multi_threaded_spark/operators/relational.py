@@ -335,6 +335,58 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median, p90).
+    At 100 TB you'd switch to approx_percentile (t-digest sketch,
+    mergeable); the exact form is the correctness baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, array(0.5D, 0.9D))").alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("p", 1), 6).alias("median_qty"),
+            F.round(F.element_at("p", 2), 6).alias("p90_qty"),
+        )
+    )
+
+
+_AGG_PERCENTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the manual skew breaker.
+
+    A hot grouping key (events has only 5 event_types over 100k+ rows)
+    funnels everything for that key through one reducer.  Salting
+    splits each key 16 ways for the first (heavy) aggregate, then a
+    cheap 16-rows-per-key second stage merges.  AQE's skew handling
+    covers joins; for aggregations this composition is still the tool.
+    Result is identical to the direct groupBy (the oracle proves it):
+    counts and decimal sums re-aggregate losslessly."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_part"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n_part").alias("n_events"),
+        F.sum("sum_part").cast("double").alias("sum_value"),
+    )
+
+
+_AGG_SKEW_ORACLE = f"""
+SELECT event_type, count(*) AS n_events, {osum('value', 'sum_value')}
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------
@@ -993,6 +1045,8 @@ SPECS = [
     QuerySpec("agg_cube", agg_cube, _AGG_CUBE_ORACLE, "CUBE all combinations"),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, _AGG_GROUPING_SETS_ORACLE, "GROUPING SETS via SQL surface"),
     QuerySpec("agg_pivot", agg_pivot, _AGG_PIVOT_ORACLE, "pivot with explicit values"),
+    QuerySpec("agg_percentiles", agg_percentiles, _AGG_PERCENTILES_ORACLE, "exact interpolated percentiles"),
+    QuerySpec("agg_skew_salted", agg_skew_salted, _AGG_SKEW_ORACLE, "two-stage salted aggregation (skew breaker)"),
     QuerySpec("join_dim_broadcast", join_dim_broadcast, _JOIN_DIM_ORACLE, "broadcast dim join chain"),
     QuerySpec("join_fact_fact", join_fact_fact, _JOIN_FACT_ORACLE, "big-big shuffle join"),
     QuerySpec("join_semi", join_semi, _JOIN_SEMI_ORACLE, "left semi (EXISTS)"),

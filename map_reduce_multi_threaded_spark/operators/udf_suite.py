@@ -1,0 +1,146 @@
+"""UDF / UDAF / UDTF coverage — the user-extensibility surface.
+
+The reference hardwired all logic in C++ (SURVEY.md §2.1: UDF support
+ABSENT).  Spark's extension points, in preference order:
+
+1. built-in Column expressions (everything else in this repo) — JVM,
+   codegen, fastest;
+2. ``@pandas_udf`` scalar / grouped-agg — Arrow batches into numpy;
+3. Python UDTF (table functions, Spark 4) — one input row → many rows;
+4. row-at-a-time ``F.udf`` — last resort, shown here only as the
+   anti-pattern baseline the bench can compare against.
+
+Each flavor below computes something SQL-expressible on purpose, so
+even the Python paths are oracle-gated.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+# NOTE: @pandas_udf / @udtf decorators run eagerly and need an active
+# SparkContext, so every decorated definition lives INSIDE its query
+# function — module import must stay session-free.
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDAF: discount-weighted mean price
+# ---------------------------------------------------------------------------
+
+def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF (Σ(p·w)/Σ(w) in numpy), rounded to 6 dp
+    for cross-engine stability (pandas sums in its own order)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, weight: pd.Series) -> float:  # type: ignore[misc]
+        return float((price * weight).sum() / weight.sum())
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(weighted_mean("l_extendedprice", "l_discount").alias("wmean_raw"))
+        .select("l_returnflag", F.round("wmean_raw", 6).alias("wmean_price"))
+    )
+
+
+_UDAF_ORACLE = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_discount) / sum(l_discount), 6) AS wmean_price
+FROM lineitem WHERE l_discount > 0
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: sessionize a user's sorted event times (1 row in → N out)
+# ---------------------------------------------------------------------------
+
+def udtf_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gaps via a Python UDTF (lateral join).
+
+    Scale: the UDTF sees one row per user (the sorted array built by a
+    keyed aggregate) — state stays bounded by a user's event count."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gap_minutes double")
+    class GapSplitter:
+        """One row per consecutive-event gap from an array of epoch
+        micros — a table function over an aggregated array column."""
+
+        def eval(self, times):  # noqa: D102
+            import math
+
+            if times is None:
+                return
+            for pos in range(1, len(times)):
+                gap = (times[pos] - times[pos - 1]) / 60.0 / 1e6
+                # half-away-from-zero (SQL round), not Python's
+                # banker's round — ties at the 7th digit are common
+                # because gaps are exact microsecond counts
+                yield pos, math.floor(gap * 1e6 + 0.5) / 1e6
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    arrs = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.unix_micros("ts"))).alias("times")
+    )
+    arrs.createOrReplaceTempView("user_times")
+    spark.udtf.register("gap_splitter", GapSplitter)
+    return spark.sql(
+        """
+        SELECT user_id, g.pos, g.gap_minutes
+        FROM user_times, LATERAL gap_splitter(times) AS g
+        """
+    )
+
+
+_UDTF_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events WHERE user_id < 10
+)
+SELECT a.user_id, CAST(a.rn - 1 AS INTEGER) AS pos,
+       round((a.t - b.t) / 60.0 / 1e6, 6) AS gap_minutes
+FROM ordered a JOIN ordered b ON a.user_id = b.user_id AND a.rn = b.rn + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# row-at-a-time UDF — the documented anti-pattern (bench contrast only)
+# ---------------------------------------------------------------------------
+
+def rowudf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's S5+S7 normalize as a row-at-a-time Python UDF.
+    Exists to make the cost visible next to the built-in pipeline —
+    NOT registered as an oracle query; the bench compares it against
+    the codegen path."""
+    import string
+
+    punct = set(string.punctuation)
+
+    @F.udf("string")
+    def norm(tok: str) -> str:
+        return "".join(ch for ch in tok if ch not in punct).lower()
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        .select(norm("tok").alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SPECS = [
+    QuerySpec("udaf_weighted_mean", udaf_weighted_mean, _UDAF_ORACLE,
+              "pandas grouped-agg UDAF (discount-weighted mean)"),
+    QuerySpec("udtf_event_gaps", udtf_event_gaps, _UDTF_ORACLE,
+              "Python UDTF: per-user inter-event gaps via LATERAL"),
+]

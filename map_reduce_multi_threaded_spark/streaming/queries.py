@@ -58,6 +58,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_to_memory(W.dedup_counts(doubled), "stream_dedup_sink")
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup state is EVICTED once the
+    watermark passes, so at 100 TB the dedup key store stays bounded —
+    plain dropDuplicates keeps every key forever.  With the whole
+    replay inside one micro-batch the result equals exact dedup, which
+    keeps it oracle-checkable (the state-eviction behavior itself is
+    what differs on long streams)."""
+    import pyspark.sql.functions as F
+
+    ev = W.read_events_stream(spark, sf_dir)
+    doubled = ev.unionByName(W.read_events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return W.run_to_memory(deduped, "stream_dedup_wm_sink")
+
+
 _DEDUP_ORACLE = """
 SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
 """
@@ -99,4 +119,6 @@ SPECS = [
               "streaming session windows (30-min gap) per user"),
     QuerySpec("stream_dedup", stream_dedup, _DEDUP_ORACLE,
               "streaming dropDuplicates over a doubled replay"),
+    QuerySpec("stream_dedup_within_watermark", stream_dedup_within_watermark, _DEDUP_ORACLE,
+              "dropDuplicatesWithinWatermark (bounded dedup state)"),
 ]
