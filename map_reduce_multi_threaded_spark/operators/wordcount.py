@@ -75,6 +75,24 @@ def word_counts_sorted(spark: SparkSession, sf_dir: str, passes: int = 1) -> Dat
     return word_counts(spark, sf_dir, passes).orderBy("word")
 
 
+def word_counts_from_text_dir(spark: SparkSession, path: str, passes: int = 1) -> DataFrame:
+    """The reference's ACTUAL input mode: a directory of raw text
+    files (``./RawText/``, map_reduce.cpp:477-495) rather than a
+    parquet column.  Same downstream pipeline; ``spark.read.text``
+    replaces opendir/readdir + the master's pull queue."""
+    from ..sources.text import read_text_dir
+
+    toks = (
+        read_text_dir(spark, path)
+        .select(F.explode(tokens_from_text(F.col("value"))).alias("tok"))
+        .select(normalize_token(F.col("tok")).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    if passes > 1:
+        toks = toks.crossJoin(F.broadcast(spark.range(passes))).drop("id")
+    return toks.groupBy("word").agg(F.count("*").alias("cnt")).orderBy("word")
+
+
 def word_counts_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """Top-k words — a capability one presses a word-counter into
     immediately; deterministic total order (cnt desc, word asc)."""

@@ -83,9 +83,65 @@ def test_repartition_invariance(spark, sf_dir):
     assert a == b
 
 
+def test_text_dir_source_matches_parquet_path(spark, sf_dir, tmp_path):
+    """Reference input fidelity: counting a DIRECTORY OF RAW TEXT
+    FILES (the reference's ./RawText/ mode) gives the same counts as
+    the parquet documents path."""
+    texts = _texts(sf_dir)
+    src = tmp_path / "RawText"
+    src.mkdir()
+    for i, t in enumerate(texts):
+        (src / f"doc_{i:04d}.txt").write_text(t + "\n")
+    from_files = {
+        r["word"]: r["cnt"]
+        for r in wordcount.word_counts_from_text_dir(spark, str(src)).collect()
+    }
+    from_parquet = {
+        r["word"]: r["cnt"] for r in wordcount.word_counts(spark, sf_dir).collect()
+    }
+    assert from_files == from_parquet
+
+
 def test_oracle_wordcount(spark, sf_oracle_dir):
     for spec in wordcount.SPECS:
         compare(spec.fn(spark, sf_oracle_dir), spec.oracle, sf_oracle_dir)
+
+
+def test_tokenize_fuzz_vs_python_reference(spark):
+    """Seeded fuzz over adversarial ASCII inputs (punct runs, mixed
+    whitespace, empty-after-strip tokens) — Spark's regex pipeline must
+    match the C-semantics reimplementation token for token.
+
+    Restricted to ASCII on purpose: the reference's ispunct/>> are
+    ASCII-only, and Java's \\s (no UNICODE_CHARACTER_CLASS) is too,
+    while Python's re \\s is unicode-aware — the engines only agree on
+    the reference's actual input domain."""
+    import random
+    import string as s
+
+    rng = random.Random(42)
+    alphabet = s.ascii_letters + s.digits + s.punctuation + " \t\n\r\x0b\x0c"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(300)
+    ] + ["", "   ", "---", "a--b", "don't stop", "\t\n", "!!!", "a" * 100]
+
+    expected = python_reference_counts(texts)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.functions.text import normalize_token
+
+    got = {
+        r["word"]: r["cnt"]
+        for r in df.select(F.explode(F.split("text", r"\s+")).alias("tok"))
+        .select(normalize_token(F.col("tok")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == dict(expected)
 
 
 def test_plan_shape(spark, sf_dir):
