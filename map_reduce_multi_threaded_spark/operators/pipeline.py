@@ -1,0 +1,163 @@
+"""Composed end-to-end training-data pipeline + BM25 ranking.
+
+``pipeline_end_to_end`` is the integration query: quality filter →
+exact dedup across two crawl batches → language keep-list → per-source
+stats.  It exists because operator-at-a-time correctness does not
+prove the operators COMPOSE (column contracts, null behavior,
+dedup-before vs after filtering); this query gates the composition
+against a single equivalent SQL statement.
+
+``bm25_rank`` adds the classic retrieval scorer on top of the TF-IDF
+machinery — the query-side counterpart to the dedup/similarity
+corpus-side operators.
+
+Scale: the pipeline is filter → hash-shuffle dedup → broadcast-ish
+aggregation; BM25 is two keyed aggregates + a broadcast of the query
+terms — both single-scan shapes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+KEEP_LANGS = ("en", "de", "fr")
+BM25_QUERY_TERMS = ("spark", "shuffle", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality filter → exact dedup (2 batches) → lang filter → stats.
+
+    Mirrors the real order of a crawl-ingest pipeline: cheap row-local
+    filters first (shrink before any shuffle), content-hash dedup on
+    the survivors, enrichment aggregation last."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    batch2 = d.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text", "lang", "source"
+    )
+    both = d.unionByName(batch2)
+
+    toks = F.split("text", r"\s+")
+    quality = both.where(
+        (F.size(toks) >= 5) & (F.col("lang").isin(*KEEP_LANGS))
+    )
+    deduped = (
+        quality.withColumn("h", F.sha2(F.lower(F.trim("text")), 256))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).alias("n_tokens"),
+        )
+    )
+
+
+_PIPELINE_ORACLE = f"""
+WITH two_batches AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM documents
+),
+quality AS (
+  SELECT * FROM two_batches
+  WHERE len(string_split_regex(text, '\\s+')) >= 5
+    AND lang IN {KEEP_LANGS!r}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+)
+SELECT source, lang, count(*) AS n_docs,
+       sum(len(string_split_regex(text, '\\s+'))) AS n_tokens
+FROM deduped GROUP BY source, lang
+"""
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed term set.
+
+    tf/df/avgdl from two keyed aggregates; idf uses the standard
+    ln((N-df+0.5)/(df+0.5)+1).  Scores rounded to 9 dp before ranking
+    (ln is libm-dependent), tie-broken by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score_term = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 9).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "doc_id", "bm25")
+    )
+
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE length(term) > 0),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks_f GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_f
+       WHERE term IN {BM25_QUERY_TERMS!r} GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / stats.avgdl)))
+         ), 9) AS bm25
+  FROM tf JOIN df USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT rank, doc_id, bm25 FROM (
+  SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM scored
+) WHERE rank <= 10
+"""
+
+
+SPECS = [
+    QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
+              "composed quality→dedup→lang→stats pipeline"),
+    QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
+              "BM25 top-10 for a fixed query term set"),
+]

@@ -38,11 +38,20 @@ class QuerySpec:
 
 def collect_specs() -> list[QuerySpec]:
     """Import every operator module and concatenate its SPECS."""
-    from .operators import dedup, multimodal, relational, similarity, textstats, udf_suite, wordcount
+    from .operators import (
+        dedup,
+        multimodal,
+        pipeline,
+        relational,
+        similarity,
+        textstats,
+        udf_suite,
+        wordcount,
+    )
     from .streaming import queries as streaming_queries
 
     specs: list[QuerySpec] = []
-    for mod in (wordcount, relational, dedup, similarity, textstats, multimodal, udf_suite, streaming_queries):
+    for mod in (wordcount, relational, dedup, similarity, textstats, multimodal, udf_suite, pipeline, streaming_queries):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     dupes = {n for n in names if names.count(n) > 1}
