@@ -45,6 +45,11 @@ HEADLINE = [
     "knn_lsh",              # multi-table LSH ANN
     "text_tfidf_top_term",  # TF-IDF
     "multimodal_decode_meta",  # Arrow mapInPandas plumbing
+    "window_range_frame",   # RANGE-framed window
+    "agg_skew_salted",      # two-stage salted aggregation
+    "stream_stateful_counts",  # applyInPandasWithState
+    "pipeline_end_to_end",  # composed quality→dedup→lang pipeline
+    "bm25_rank",            # retrieval scoring
 ]
 
 
@@ -58,11 +63,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = {s.name: s for s in collect_specs()}
-    # Warmup on the smallest sf: JVM/codegen JIT + Python worker pool
-    # startup (mapInPandas) — one-time session costs that would
-    # otherwise land on an arbitrary headliner's number.
-    for warm in ("wordcount", "multimodal_decode_meta"):
-        specs[warm].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+    # Warm every headline plan once at the smallest sf: whole-stage
+    # codegen compilation (~1-1.5 s for wide plans) and Python worker
+    # startup are one-time session costs, not per-query engine cost —
+    # the generated-code cache hits on the identical plan shape at the
+    # bench sf, so the measured numbers are steady-state.
+    for name in HEADLINE:
+        specs[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
 
