@@ -387,6 +387,23 @@ FROM events GROUP BY event_type
 """
 
 
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch, mergeable across
+    partitions) — the 100 TB quantile path.  Sketch internals are
+    engine-specific → rows-only check; tests gate relative error vs
+    the exact percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)").alias("p"))
+        .select(
+            "l_returnflag",
+            F.element_at("p", 1).alias("approx_median_price"),
+            F.element_at("p", 2).alias("approx_p99_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # joins
 # --------------------------------------------------------------------------
@@ -560,6 +577,44 @@ SELECT p_brand, count(*) AS n_in_range
 FROM lineitem JOIN part
   ON l_partkey = p_partkey AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
 GROUP BY p_brand
+"""
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for a skewed build key: events.event_type has only
+    5 distinct values over the whole fact table, so a plain shuffle
+    join funnels each type through one reducer.  Salting the fact side
+    (pmod of a unique id) and EXPLODING the small side once per salt
+    spreads every hot key over 8 reducers.  AQE's skew-join splitting
+    covers sort-merge joins; this manual composition is the portable
+    form (and the oracle proves it changes nothing)."""
+    ev = load_table(spark, sf_dir, "events")
+    # the "dimension": per-type weight derived on the fly (stand-in for
+    # a real lookup table keyed by a hot key)
+    weights = (
+        ev.groupBy("event_type").agg(F.min("event_id").alias("first_seen"))
+    )
+    n_salt = 8
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int"))
+    dim = weights.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        fact.join(dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("first_seen").alias("first_seen"),
+        )
+    )
+
+
+_JOIN_SKEW_ORACLE = """
+SELECT e.event_type, count(*) AS n_events, min(w.first_seen) AS first_seen
+FROM events e
+JOIN (SELECT event_type, min(event_id) AS first_seen FROM events GROUP BY 1) w
+  ON e.event_type = w.event_type
+GROUP BY e.event_type
 """
 
 
@@ -1047,6 +1102,8 @@ SPECS = [
     QuerySpec("agg_pivot", agg_pivot, _AGG_PIVOT_ORACLE, "pivot with explicit values"),
     QuerySpec("agg_percentiles", agg_percentiles, _AGG_PERCENTILES_ORACLE, "exact interpolated percentiles"),
     QuerySpec("agg_skew_salted", agg_skew_salted, _AGG_SKEW_ORACLE, "two-stage salted aggregation (skew breaker)"),
+    QuerySpec("agg_approx_quantile", agg_approx_quantile, None, "approx_percentile sketch (rows-only + test tolerance)"),
+    QuerySpec("join_skew_salted", join_skew_salted, _JOIN_SKEW_ORACLE, "salted join for hot keys (explode small side)"),
     QuerySpec("join_dim_broadcast", join_dim_broadcast, _JOIN_DIM_ORACLE, "broadcast dim join chain"),
     QuerySpec("join_fact_fact", join_fact_fact, _JOIN_FACT_ORACLE, "big-big shuffle join"),
     QuerySpec("join_semi", join_semi, _JOIN_SEMI_ORACLE, "left semi (EXISTS)"),

@@ -37,6 +37,28 @@ def test_minhash_recall_vs_exact(spark, sf_oracle_dir):
     assert lsh == exact
 
 
+def test_clusters_are_fixpoint_and_match_pairs(spark, sf_oracle_dir):
+    """Every near-dup pair must land in the same cluster, and every
+    cluster label must be the minimum member id (fixpoint reached)."""
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, sf_oracle_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_oracle_dir).collect()
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert labels[a] == labels[b], f"pair ({a},{b}) split across clusters"
+    # label is min of its component members
+    members: dict = {}
+    for doc, c in labels.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
+
+
 def test_simhash_pairs_overlap_jaccard_pairs(spark, sf_oracle_dir):
     """SimHash Hamming≤3 pairs should be near-dups by Jaccard too
     (different sketch, same planted duplicates)."""

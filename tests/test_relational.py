@@ -34,6 +34,22 @@ def test_approx_distinct_tolerance(spark, sf_oracle_dir):
         assert abs(est - exact[flag]) / exact[flag] < 0.05
 
 
+def test_approx_quantile_tolerance(spark, sf_oracle_dir):
+    """Sketch has no cross-engine oracle; gate relative error vs exact."""
+    con = duck_con(sf_oracle_dir)
+    exact = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5), "
+            "quantile_cont(l_extendedprice, 0.99) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    for r in relational.agg_approx_quantile(spark, sf_oracle_dir).collect():
+        med, p99 = exact[r["l_returnflag"]]
+        assert abs(r["approx_median_price"] - med) / med < 0.05
+        assert abs(r["approx_p99_price"] - p99) / p99 < 0.05
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
