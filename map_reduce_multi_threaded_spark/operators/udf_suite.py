@@ -112,6 +112,52 @@ FROM ordered a JOIN ordered b ON a.user_id = b.user_id AND a.rn = b.rn + 1
 
 
 # ---------------------------------------------------------------------------
+# grouped-map applyInPandas: per-user z-score normalization
+# ---------------------------------------------------------------------------
+
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: whole group in, whole group out —
+    the shape for per-entity model scoring / normalization.
+
+    z-scores are computed in numpy per user; the oracle reproduces
+    them with window functions (population stddev via exact moments).
+    Rounded to 6 dp: numpy's summation order differs from SQL's.
+
+    Scale: one shuffle on the group key; each group must fit in one
+    worker's memory — fine for per-user slices, wrong for whole-corpus
+    groups (use window functions then)."""
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        mean = v.mean()
+        std = v.std(ddof=0)
+        z = (v - mean) / std if std > 0 else v * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_raw": z}
+        )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    out = ev.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z_raw double"
+    )
+    return out.select("event_id", "user_id", F.round("z_raw", 6).alias("zscore"))
+
+
+_GROUPED_MAP_ORACLE = """
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(value * value) OVER (PARTITION BY user_id) AS sq,
+         sum(value) OVER (PARTITION BY user_id) AS s
+  FROM events WHERE user_id < 20
+)
+SELECT event_id, user_id,
+       round((value - mu) / sqrt(sq / n - (s / n) * (s / n)), 6) AS zscore
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # row-at-a-time UDF — the documented anti-pattern (bench contrast only)
 # ---------------------------------------------------------------------------
 
@@ -143,4 +189,6 @@ SPECS = [
               "pandas grouped-agg UDAF (discount-weighted mean)"),
     QuerySpec("udtf_event_gaps", udtf_event_gaps, _UDTF_ORACLE,
               "Python UDTF: per-user inter-event gaps via LATERAL"),
+    QuerySpec("grouped_map_zscore", grouped_map_zscore, _GROUPED_MAP_ORACLE,
+              "applyInPandas grouped-map per-user z-scores"),
 ]

@@ -110,6 +110,54 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's error events in the 10 minutes before it.
+
+    Both sides carry watermarks so the join state is bounded — the
+    engine can discard an error row once no future purchase could
+    reach back to it (ts + 10 min < watermark).  Single-batch drain
+    makes the result equal the batch interval join (the oracle)."""
+    import pyspark.sql.functions as F
+
+    ev1 = W.read_events_stream(spark, sf_dir)
+    purchases = (
+        ev1.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    ev2 = W.read_events_stream(spark, sf_dir)
+    errors = (
+        ev2.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "error_id", "p_user")
+    return W.run_to_memory(joined, "stream_stream_join_sink", output_mode="append")
+
+
+_STREAM_STREAM_ORACLE = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id AS p_user
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL '10 minutes' AND e.ts <= p.ts
+"""
+
+
 SPECS = [
     QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_ORACLE,
               "streaming tumbling windows drained through a memory sink"),
@@ -121,4 +169,6 @@ SPECS = [
               "streaming dropDuplicates over a doubled replay"),
     QuerySpec("stream_dedup_within_watermark", stream_dedup_within_watermark, _DEDUP_ORACLE,
               "dropDuplicatesWithinWatermark (bounded dedup state)"),
+    QuerySpec("stream_stream_join", stream_stream_join, _STREAM_STREAM_ORACLE,
+              "watermarked stream-stream interval join"),
 ]

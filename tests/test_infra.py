@@ -86,6 +86,19 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     assert {(r["o_orderstatus"], r["n"]) for r in joined.collect()} == direct
 
 
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet: a filter on the partition
+    column must prune directories at planning time (PartitionFilters),
+    reading only the matching partition — THE 100 TB scan reducer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    plan = executed_plan(back)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == li.where(F.col("l_returnflag") == "R").count()
+
+
 def test_observe_metrics_single_pass(spark, sf_dir):
     """Dataset.observe: metrics ride along with the query (S15
     equivalent) — no second action to count rows."""
