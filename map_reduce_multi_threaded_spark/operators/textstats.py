@@ -193,7 +193,54 @@ WHERE length(text) >= {SHINGLE_CHARS}
 
 
 # ---------------------------------------------------------------------------
-# 5. TF-IDF top term per document
+# 5. document chunking (token windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap
+
+
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training / RAG chunker (here 50 tokens, stride 40).
+
+    Pure array expressions: sequence of window starts → slice → join;
+    one explode, no shuffle, no Python.  At 100 TB this is a narrow
+    map whose output feeds tokenize/pack stages downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", F.split("text", r"\s+").alias("t")).where(F.size("t") > 0)
+    starts = F.expr(f"sequence(0, size(t) - 1, {CHUNK_STRIDE})")
+    return (
+        d.select("doc_id", "t", F.size("t").alias("n_tokens"), F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr(f"concat_ws(' ', slice(t, start + 1, {CHUNK_TOKENS}))").alias("chunk_text"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("start")).alias("chunk_len"),
+        )
+    )
+
+
+_CHUNKING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+  WHERE len(string_split_regex(text, '\\s+')) > 0
+),
+chunks AS (
+  SELECT doc_id, t, len(t) AS n_tokens,
+         unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS start,
+         generate_subscripts(generate_series(0, len(t) - 1, {CHUNK_STRIDE}), 1) - 1 AS chunk_idx
+  FROM toks
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(t[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       least({CHUNK_TOKENS}, n_tokens - start) AS chunk_len
+FROM chunks
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. TF-IDF top term per document
 # ---------------------------------------------------------------------------
 
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,4 +299,6 @@ SPECS = [
               "k-min char-shingle md5 fingerprint"),
     QuerySpec("text_tfidf_top_term", text_tfidf_top_term, _TFIDF_ORACLE,
               "top tf-idf term per document"),
+    QuerySpec("text_chunking", text_chunking, _CHUNKING_ORACLE,
+              "overlapping token-window chunking (50 tokens, stride 40)"),
 ]
