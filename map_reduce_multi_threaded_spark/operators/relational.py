@@ -781,6 +781,68 @@ FROM orders
 """
 
 
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window battery: first/last/nth value, ntile quartiles,
+    percent_rank, cume_dist — per customer over order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_WINDOW_ANALYTICS_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER full_w AS first_price,
+       last_value(o_totalprice) OVER full_w AS last_price,
+       nth_value(o_totalprice, 2) OVER full_w AS second_price,
+       ntile(4) OVER ord_w AS quartile,
+       percent_rank() OVER ord_w AS pct_rank,
+       cume_dist() OVER ord_w AS cume
+FROM orders
+WINDOW ord_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       full_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: build a per-user map of
+    event_type→count (map_from_entries over a keyed aggregate), then
+    extract keys.  Output is scalar columns so the value hash is
+    engine-portable (map column orderings are not)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("n_purchase"),
+        F.coalesce(F.element_at("m", "error"), F.lit(0)).alias("n_error"),
+        F.size("m").alias("n_types"),
+    )
+
+
+_SCALAR_MAP_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by price — TakeOrderedAndProject, not a full sort:
     each partition keeps 10 rows, the driver merges P×10."""
@@ -1116,6 +1178,8 @@ SPECS = [
     QuerySpec("window_running", window_running, _WINDOW_RUNNING_ORACLE, "running sum / lag / lead"),
     QuerySpec("window_share", window_share, _WINDOW_SHARE_ORACLE, "partition-total share"),
     QuerySpec("window_range_frame", window_range_frame, _WINDOW_RANGE_ORACLE, "RANGE frame (trailing 30 days)"),
+    QuerySpec("window_analytics", window_analytics, _WINDOW_ANALYTICS_ORACLE, "first/last/nth value, ntile, percent_rank, cume_dist"),
+    QuerySpec("scalar_map", scalar_map, _SCALAR_MAP_ORACLE, "map-typed column functions (map_from_entries/element_at)"),
     QuerySpec("sort_limit", sort_limit, _SORT_LIMIT_ORACLE, "global top-N (TakeOrdered)"),
     QuerySpec("setop_union", setop_union, _SETOP_UNION_ORACLE, "UNION distinct"),
     QuerySpec("setop_intersect", setop_intersect, _SETOP_INTERSECT_ORACLE, "INTERSECT"),
