@@ -33,13 +33,24 @@ from ..sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pandas grouped-agg UDAF (Σ(p·w)/Σ(w) in numpy), rounded to 6 dp
-    for cross-engine stability (pandas sums in its own order)."""
+    """Pandas grouped-agg UDAF: discount-weighted mean price.
+
+    Computed in exact scaled-integer arithmetic (prices/discounts are
+    2-decimal values → cents are exact int64), NOT float sums: pandas
+    uses pairwise summation while SQL sums sequentially, and at sf0.1
+    (~600k rows) the float difference landed exactly on a 6-dp
+    rounding boundary — caught by the sf0.1 oracle sweep, invisible at
+    sf0.01.  Integer sums are order-free; the final division sees
+    bit-identical operands on both engines."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, weight: pd.Series) -> float:  # type: ignore[misc]
-        return float((price * weight).sum() / weight.sum())
+        p_cents = (price * 100).round().astype("int64")
+        w_cents = (weight * 100).round().astype("int64")
+        num = int((p_cents * w_cents).sum())
+        den = int(w_cents.sum())
+        return float(num) / (float(den) * 100.0)
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_discount") > 0)
     return (
@@ -51,7 +62,11 @@ def udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UDAF_ORACLE = """
 SELECT l_returnflag,
-       round(sum(l_extendedprice * l_discount) / sum(l_discount), 6) AS wmean_price
+       round(
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / (CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) * 100.0),
+         6) AS wmean_price
 FROM lineitem WHERE l_discount > 0
 GROUP BY l_returnflag
 """
