@@ -99,6 +99,32 @@ def dedup_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def write_foreach_batch(df: DataFrame, path: str, checkpoint: str) -> None:
+    """Production streaming sink shape: ``foreachBatch`` with a
+    checkpoint location → exactly-once micro-batch writes (each batch
+    id is committed to the checkpoint after its write; a restarted
+    query skips committed batches instead of re-appending them).
+
+    Scale: the batch function receives an ordinary DataFrame — reuse
+    any batch writer (partitioned parquet, JDBC upsert, merge) without
+    a dedicated streaming connector."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    query = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table and return
     it as a batch DataFrame — the bridge that lets the driver's oracle

@@ -75,6 +75,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get("00:00") == 1, f"late event not dropped: {got}"
 
 
+def test_foreach_batch_exactly_once(spark, sf_oracle_dir, tmp_path):
+    """foreachBatch + checkpoint = exactly-once: re-running the same
+    query over the same source with the same checkpoint must NOT
+    append the data again."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = W.read_events_stream(spark, sf_oracle_dir).where(F.col("event_type") == "purchase")
+
+    W.write_foreach_batch(src, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    # restart with the SAME checkpoint: committed batches are skipped
+    src2 = W.read_events_stream(spark, sf_oracle_dir).where(F.col("event_type") == "purchase")
+    W.write_foreach_batch(src2, out, ckpt)
+    assert spark.read.parquet(out).count() == first, "restart re-appended committed batches"
+
+
 def test_streaming_batch_equivalence(spark, sf_oracle_dir):
     """The same tumbling_counts plan over batch input equals the
     drained streaming result (operator is mode-agnostic)."""
