@@ -50,6 +50,8 @@ HEADLINE = [
     "stream_stateful_counts",  # applyInPandasWithState
     "pipeline_end_to_end",  # composed quality→dedup→lang pipeline
     "bm25_rank",            # retrieval scoring
+    "text_chunking",        # token-window chunking (data-bound at sf0.1)
+    "dedup_clusters",       # iterative connected components
 ]
 
 

@@ -1042,6 +1042,33 @@ FROM embeddings
 """
 
 
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: filter / exists / forall /
+    ordered transform-fold — all lambda expressions evaluated JVM-side
+    (interpreted per element, but no Python round-trip)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0.2))").alias("n_large"),
+        F.expr("exists(embedding, x -> x > 0.45)").alias("has_spike"),
+        F.expr("forall(embedding, x -> abs(x) < 1.0)").alias("bounded"),
+        # ordered fold of |x| (same left-to-right order as list_sum)
+        F.expr(
+            "aggregate(embedding, 0D, (acc, x) -> acc + abs(CAST(x AS DOUBLE)))"
+        ).alias("l1_norm"),
+    )
+
+
+_SCALAR_ARRAY_HOF_ORACLE = """
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0.2)) AS n_large,
+       len(list_filter(embedding, x -> x > 0.45)) > 0 AS has_spike,
+       len(list_filter(embedding, x -> NOT (abs(x) < 1.0))) = 0 AS bounded,
+       list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1_norm
+FROM embeddings
+"""
+
+
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-based deterministic sampling — the scale-safe alternative
     to ``df.sample`` (whose output depends on partitioning/seed and can
@@ -1189,6 +1216,7 @@ SPECS = [
     QuerySpec("scalar_math", scalar_math, _SCALAR_MATH_ORACLE, "math function coverage"),
     QuerySpec("scalar_json", scalar_json, _SCALAR_JSON_ORACLE, "JSON extraction (events.props)"),
     QuerySpec("scalar_array", scalar_array, _SCALAR_ARRAY_ORACLE, "array functions (embeddings)"),
+    QuerySpec("scalar_array_hof", scalar_array_hof, _SCALAR_ARRAY_HOF_ORACLE, "array higher-order functions (filter/exists/forall/fold)"),
     QuerySpec("sample_deterministic", sample_deterministic, _SAMPLE_ORACLE, "hash-based deterministic sampling"),
     QuerySpec("events_tumbling", events_tumbling, _EVENTS_TUMBLING_ORACLE, "tumbling event-time windows (batch)"),
     QuerySpec("events_sliding", events_sliding, _EVENTS_SLIDING_ORACLE, "sliding event-time windows (batch)"),
