@@ -144,8 +144,8 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_SAMPLE_ORACLE = f"""
 SELECT doc_id,
        len(list_transform(generate_series(1, length(text), {FRAME_STRIDE}), i -> i)) AS n_frames,
-       list_sum(list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
-                               i -> ascii(substr(text, i, 1)))) % 256 AS frame_checksum
+       CAST(list_sum(list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
+                               i -> ascii(substr(text, i, 1)))) % 256 AS BIGINT) AS frame_checksum
 FROM documents
 """
 

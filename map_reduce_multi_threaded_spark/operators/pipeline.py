@@ -81,7 +81,7 @@ deduped AS (
   ) WHERE rn = 1
 )
 SELECT source, lang, count(*) AS n_docs,
-       sum(len(string_split_regex(text, '\\s+'))) AS n_tokens
+       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
 FROM deduped GROUP BY source, lang
 """
 
@@ -121,10 +121,14 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(score_term), 9).alias("bm25"))
     )
+    # Top-k via orderBy+limit → TakeOrderedAndProject (per-partition heap
+    # + tiny driver merge), NOT a global no-partition window (which would
+    # funnel every scored doc through one reducer at corpus scale).  The
+    # rank window then runs over only the 10 surviving rows.
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "bm25")
     )
 

@@ -1011,7 +1011,7 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCALAR_JSON_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type

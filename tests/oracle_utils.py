@@ -36,6 +36,54 @@ def _canon(v) -> str:
     return f"{type(v).__name__}:{v}"
 
 
+# Spark simpleString dtype -> DuckDB type strings that hash identically in
+# the driver's Arrow-level comparison.  Anything outside this map (notably
+# HUGEINT from DuckDB's integer-sum widening, or an unexpected DECIMAL) is a
+# driver hash-fail even when Python-level values match, because duckdb's
+# fetchall() collapses HUGEINT to int.  See ADVICE r1.
+_SPARK_TO_DUCK = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER", "BIGINT"},
+    "smallint": {"SMALLINT"},
+    "tinyint": {"TINYINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "binary": {"BLOB"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def check_types(spark_df, duck_rel) -> None:
+    """Fail when a DuckDB oracle column's type would hash differently from
+    the Spark column's (e.g. HUGEINT vs int64, DECIMAL(38,0) vs bigint)."""
+    spark_types = {f.name.lower(): f.dataType.simpleString() for f in spark_df.schema.fields}
+    duck_types = {c.lower(): str(t).upper() for c, t in zip(duck_rel.columns, duck_rel.types)}
+    bad = []
+    for col, dt in duck_types.items():
+        st = spark_types.get(col)
+        if st is None:
+            continue
+        if st.startswith("decimal"):
+            want = st.replace("decimal", "DECIMAL").replace(" ", "")
+            if dt.replace(" ", "") != want:
+                bad.append(f"{col}: spark={st} duck={dt}")
+        elif st.startswith(("array", "map", "struct")):
+            if "HUGEINT" in dt or "INT128" in dt:
+                bad.append(f"{col}: spark={st} duck={dt} (HUGEINT element)")
+        elif st in _SPARK_TO_DUCK:
+            if dt not in _SPARK_TO_DUCK[st]:
+                bad.append(f"{col}: spark={st} duck={dt}")
+        elif "HUGEINT" in dt or "INT128" in dt:
+            bad.append(f"{col}: spark={st} duck={dt}")
+    assert not bad, (
+        "oracle column type mismatch (driver hash would fail): " + "; ".join(bad)
+    )
+
+
 def rows_multiset(cols: list[str], rows: list[tuple]) -> list[tuple]:
     """Sort columns by name (driver behavior), canonicalize values,
     sort rows — an order-insensitive fingerprint."""
@@ -46,6 +94,7 @@ def rows_multiset(cols: list[str], rows: list[tuple]) -> list[tuple]:
 def compare(spark_df, sql: str, sf_dir: str) -> None:
     con = duck_con(sf_dir)
     duck = con.sql(sql)
+    check_types(spark_df, duck)
     duck_cols = [d.lower() for d in duck.columns]
     duck_rows = duck.fetchall()
     spark_cols = [c.lower() for c in spark_df.columns]

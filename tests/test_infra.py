@@ -130,3 +130,26 @@ def test_pandas_udf_cosine_matches_jvm_fold(spark, sf_dir):
     assert len(both) > 0
     for r in both:
         assert abs(r["jvm"] - r["py"]) < 1e-9
+
+
+def test_oracle_harness_rejects_hugeint(spark, sf_dir):
+    """The driver's value hash is Arrow-type-sensitive: DuckDB widens
+    integer sum() to HUGEINT (decimal128) while Spark emits int64, and
+    the hashes diverge even though Python-level values match.  compare()
+    must catch this locally (ADVICE r1)."""
+    import pytest
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+    from tests.oracle_utils import compare
+
+    df = load_table(spark, sf_dir, "nation").groupBy("n_regionkey").agg(
+        F.sum("n_nationkey").alias("s")
+    )
+    uncast = "SELECT n_regionkey, sum(n_nationkey) AS s FROM nation GROUP BY n_regionkey"
+    with pytest.raises(AssertionError, match="type mismatch"):
+        compare(df, uncast, sf_dir)
+    cast = (
+        "SELECT n_regionkey, CAST(sum(n_nationkey) AS BIGINT) AS s "
+        "FROM nation GROUP BY n_regionkey"
+    )
+    compare(df, cast, sf_dir)
