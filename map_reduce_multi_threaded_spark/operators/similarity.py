@@ -168,55 +168,57 @@ WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
 # plane components derived inline from md5('plane:t:i:j') on BOTH
 # engines — planes never exist as data.
 
-# DuckDB derives the plane signs inline from md5('plane:t:i:j') — the
-# oracle runs once at small sf, so per-row md5 cost is irrelevant there.
-_DUCK_PLANE_DOT = (
-    "list_sum(list_transform(generate_series(1, {dim}), j -> "
-    "CASE WHEN ('0x' || substr(md5('plane:' || t::VARCHAR || ':' || '{i}' || ':' || j::VARCHAR), 1, 2))::INT % 2 = 0 "
-    "THEN CAST(embedding[j] AS DOUBLE) ELSE -CAST(embedding[j] AS DOUBLE) END))"
-)
+def _plane_signs():
+    """(N_TABLES·N_PLANES, DIM) ±1.0 matrix from md5('plane:t:i:j') —
+    the same digests the DuckDB oracle's literal masks are built from,
+    so the planes exist nowhere as data files."""
+    import numpy as np
+
+    s = np.empty((N_TABLES * N_PLANES, DIM))
+    for t in range(N_TABLES):
+        for i in range(N_PLANES):
+            for j in range(DIM):
+                s[t * N_PLANES + i, j] = rademacher_sign(t, i, j + 1)
+    return s
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, t, bucket): one 6-bit signature per hash table.
 
-    The Spark side embeds the ±1 signs as array literals (computed once
-    in Python via hashlib — bit-identical to the engines' md5), because
-    deriving them inline per row costs 3072 md5 calls per vector: that
-    took this query from 6.8 s to sub-second at bench scale.  The fold
-    is zip_with + aggregate — same left-to-right IEEE order as the
-    oracle's list_sum(list_transform)."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    # Signature computation is a pure map — NO shuffle, which is the
-    # property that matters at 100 TB (the alternative, explode-dims +
-    # join a planes table + re-aggregate, shuffles corpus×48 rows).
-    # Plan-size engineering within that: 3072 F.lit() Columns cost one
-    # py4j round-trip each (~4 s of plan build); a per-plane ±1 literal
-    # array costs a 100 KB SQL parse plus a per-row array allocation.
-    # So each plane's 64 signs pack into ONE literal long bitmask,
-    # tested inside an ordered fold — compact to parse, allocation-free,
-    # and left-to-right addition keeps the dot bit-identical to the
-    # oracle's list_sum.
-    struct_exprs = []
-    for t in range(N_TABLES):
-        bucket_terms = []
-        for i in range(N_PLANES):
-            # bits 0..62 in the mask; dim 64 as an explicit term (bit 63
-            # would overflow the signed long literal)
-            mask = sum(
-                (1 << j) for j in range(DIM - 1) if rademacher_sign(t, i, j + 1) > 0
-            )
-            last = "element_at(emb_d, 64)" if rademacher_sign(t, i, DIM) > 0 else "-element_at(emb_d, 64)"
-            dot = (
-                f"(aggregate(sequence(1, {DIM - 1}), 0D, (acc, j) -> acc + "
-                f"CASE WHEN shiftright({mask}L, j - 1) & 1 = 1 "
-                f"THEN element_at(emb_d, j) ELSE -element_at(emb_d, j) END) + {last})"
-            )
-            bucket_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i}L ELSE 0L END)")
-        struct_exprs.append(f"struct({t} as t, ({' + '.join(bucket_terms)}) as bucket)")
-    tb = F.explode(F.expr(f"array({', '.join(struct_exprs)})")).alias("tb")
-    return emb.select("vec_id", "emb_d", "norm", tb).select(
-        "vec_id", "emb_d", "norm", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    Signature computation is a pure map — NO shuffle, which is the
+    property that matters at 100 TB (the alternative, explode-dims +
+    join a planes table + re-aggregate, shuffles corpus×48 rows).
+    All 48 projections happen in ONE Arrow-batched numpy pandas_udf
+    (the 48 interpreted JVM `aggregate` folds this replaces were the
+    whole cost of the query: 12.9 s → ~1 s at sf0.1).
+
+    Determinism: the accumulation loops over dimensions SEQUENTIALLY
+    (one vectorized add per dim), so each (row, plane) scalar sees the
+    exact left-to-right IEEE addition order of the oracle's
+    ``list_sum(list_transform(...))`` — numpy's pairwise-summing
+    ``sum()``/``matmul`` would round differently and could flip a
+    near-zero projection's sign."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    signs = _plane_signs()
+    weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        e = np.stack(emb.to_numpy()).astype(np.float64)  # float32→float64 exact
+        acc = np.zeros((e.shape[0], N_TABLES * N_PLANES))
+        for j in range(DIM):
+            acc += e[:, j : j + 1] * signs[:, j]
+        bits = (acc > 0).reshape(-1, N_TABLES, N_PLANES)
+        b = (bits * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.posexplode(buckets("embedding")).alias("t", "bucket")
     )
 
 
@@ -230,32 +232,30 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-table LSH sat at the random floor on this near-uniform
     fixture; 8-table OR-amplification lifts it an order of magnitude).
     """
-    b = lsh_buckets(spark, sf_dir).select("vec_id", "t", "bucket")
+    # ONLY the query side is ever broadcast (10 vectors × 8 bands; at
+    # any corpus scale this stays tiny).  The corpus band table streams
+    # through the broadcast join, and corpus embeddings come back via a
+    # keyed shuffle on neighbor_id — never a corpus-side broadcast.
+    b = lsh_buckets(spark, sf_dir)
     q = b.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("t").alias("q_t"),
         F.col("bucket").alias("q_bucket"),
     )
-    c = b.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("t").alias("c_t"),
-        F.col("bucket").alias("c_bucket"),
-    )
-    # distinct over the NARROW pair only (a 64-double embedding inside
-    # a distinct key is pure shuffle weight), then broadcast-join the
-    # vectors back for scoring
     cand = (
-        q.join(
-            F.broadcast(c),
-            (F.col("q_t") == F.col("c_t"))
-            & (F.col("q_bucket") == F.col("c_bucket"))
-            & (F.col("query_id") != F.col("neighbor_id")),
+        b.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("q_t"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "neighbor_id")
+        # distinct over the NARROW pair only (a 64-double embedding in
+        # a distinct key is pure shuffle weight)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
     n = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    nq = n.select(
+    nq = n.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb_d").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -268,7 +268,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     pairs = (
         cand.join(F.broadcast(nq), "query_id")
-        .join(F.broadcast(nc), "neighbor_id")
+        .join(nc, "neighbor_id")
         .withColumn("cosine", sim)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -279,15 +279,35 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_lsh_oracle() -> str:
-    bucket_terms = " + ".join(
-        f"(CASE WHEN ({_DUCK_PLANE_DOT.format(dim=DIM, i=i)}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(N_PLANES)
+def _duck_proj(t: int, i: int) -> str:
+    """One plane projection as SQL: the plane's first 63 ±1 signs pack
+    into a literal bitmask (bit 63 won't fit a signed BIGINT, so dim 64
+    is an explicit last term), and the fold order — dims 1..63 via
+    list_sum, then dim 64 — is exactly the pandas_udf's sequential
+    accumulation, so the sign decisions agree bit-for-bit."""
+    mask = sum((1 << j) for j in range(DIM - 1) if rademacher_sign(t, i, j + 1) > 0)
+    last = "+" if rademacher_sign(t, i, DIM) > 0 else "-"
+    return (
+        f"(list_sum(list_transform(generate_series(1, {DIM - 1}), j -> "
+        f"CASE WHEN ({mask} >> (j - 1)) & 1 = 1 THEN CAST(embedding[j] AS DOUBLE) "
+        f"ELSE -CAST(embedding[j] AS DOUBLE) END)) {last} CAST(embedding[{DIM}] AS DOUBLE))"
     )
+
+
+def _knn_lsh_oracle() -> str:
+    per_table = []
+    for t in range(N_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN {_duck_proj(t, i)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(N_PLANES)
+        )
+        per_table.append(f"SELECT vec_id, {t} AS t, ({terms}) AS bucket FROM embeddings")
+    buckets_sql = "\n  UNION ALL\n  ".join(per_table)
     return f"""
 WITH {_DUCK_NORMS},
-tabs AS (SELECT vec_id, embedding, unnest(generate_series(0, {N_TABLES - 1})) AS t FROM embeddings),
-buckets AS (SELECT vec_id, t, ({bucket_terms}) AS bucket FROM tabs),
+buckets AS (
+  {buckets_sql}
+),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM buckets q JOIN buckets c

@@ -41,3 +41,46 @@ def test_lsh_recall_measured(spark, sf_oracle_dir):
     }
     recall = len(brute & lsh) / len(brute)
     assert recall > 0.05, f"LSH recall {recall:.2%} not above random floor"
+
+
+def test_knn_lsh_no_corpus_broadcast(spark, sf_oracle_dir):
+    """Scale contract: only the query side (vec_id<10 bands + vectors)
+    is broadcast; the corpus streams through the band join and reaches
+    scoring via a keyed shuffle on neighbor_id.  AQE/auto-broadcast are
+    disabled so only explicit hints can produce a BroadcastExchange."""
+    from map_reduce_multi_threaded_spark.plans.explain import executed_plan
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(similarity.knn_lsh(spark, sf_oracle_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "SortMergeJoin" in plan and "neighbor_id" in plan.split("SortMergeJoin")[1][:200], plan
+
+
+def test_lsh_buckets_match_python_reference(spark, sf_oracle_dir):
+    """The pandas_udf's per-dim sequential accumulation must equal a
+    plain-Python left-to-right fold (the oracle's list_sum order) —
+    numpy pairwise summation here would silently flip near-zero signs."""
+    rows = similarity.lsh_buckets(spark, sf_oracle_dir).collect()
+    got = {(r["vec_id"], r["t"]): r["bucket"] for r in rows}
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_oracle_dir}/embeddings.parquet").collect()
+    }
+    for vec_id, e in emb.items():
+        for t in range(similarity.N_TABLES):
+            bucket = 0
+            for i in range(similarity.N_PLANES):
+                acc = 0.0
+                for j in range(similarity.DIM):
+                    x = float(e[j])
+                    acc = acc + (x if similarity.rademacher_sign(t, i, j + 1) > 0 else -x)
+                if acc > 0:
+                    bucket += 1 << i
+            assert got[(vec_id, t)] == bucket, (vec_id, t)
