@@ -50,8 +50,13 @@ def collect_specs() -> list[QuerySpec]:
     )
     from .streaming import queries as streaming_queries
 
+    # Module order == driver sweep order.  Round 1's driver stopped at
+    # spec #50 (a sweep cap), leaving everything after the dedup module
+    # unverified — so the modules that were cut off (similarity,
+    # textstats, multimodal, udf_suite, pipeline, streaming) now come
+    # FIRST; the round-1-verified relational/dedup bulk comes last.
     specs: list[QuerySpec] = []
-    for mod in (wordcount, relational, dedup, similarity, textstats, multimodal, udf_suite, pipeline, streaming_queries):
+    for mod in (wordcount, similarity, textstats, multimodal, udf_suite, pipeline, streaming_queries, relational, dedup):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     dupes = {n for n in names if names.count(n) > 1}

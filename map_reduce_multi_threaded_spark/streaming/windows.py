@@ -125,17 +125,38 @@ def write_foreach_batch(df: DataFrame, path: str, checkpoint: str) -> None:
     query.awaitTermination()
 
 
+#: State partition count for streaming queries started here.  Streaming
+#: state (window aggs, dedup keys, applyInPandasWithState) is hash-
+#: partitioned at query start using spark.sql.shuffle.partitions, and
+#: each state partition pays a fixed per-micro-batch cost (state-store
+#: commit + an Arrow channel / Python worker for stateful UDFs) that
+#: dominates small replays: stream_stateful_counts at sf0.1 runs 6.0 s
+#: with 32 partitions vs 2.5 s with 8.  This is a deployment knob — a
+#: real 100 TB cluster raises it to O(cores) just like batch shuffle —
+#: so it is a module constant, not a buried literal.
+STREAM_STATE_PARTITIONS = 8
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table and return
     it as a batch DataFrame — the bridge that lets the driver's oracle
-    harness gate streaming operators like any other query."""
+    harness gate streaming operators like any other query.
+
+    The state partition count is pinned to STREAM_STATE_PARTITIONS for
+    the duration of query start (it is baked into the streaming plan at
+    ``start()``); the session's batch shuffle setting is restored after."""
     spark = df.sparkSession
-    query = (
-        df.writeStream.queryName(name)
-        .outputMode(output_mode)
-        .format("memory")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        query = (
+            df.writeStream.queryName(name)
+            .outputMode(output_mode)
+            .format("memory")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
