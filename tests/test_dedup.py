@@ -73,3 +73,23 @@ def test_simhash_pairs_overlap_jaccard_pairs(spark, sf_oracle_dir):
     assert sim, "simhash should find the planted near-dups"
     # allow sketch disagreement at the margin, but require real overlap
     assert len(sim & jac) >= len(sim) * 0.5
+
+
+def test_large_small_star_chain_graph(spark):
+    """Adversarial shape for label propagation: one long chain (diameter
+    9).  Large-star/small-star must collapse it to a star on the min
+    node within O(log^2 n) double-rounds, independent of diameter."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.operators.dedup import _large_star, _small_star
+
+    chain = [(i, i + 1) for i in range(10, 19)]  # component {10..19}
+    extra = [(30, 31)]  # second component
+    edges = spark.createDataFrame(chain + extra, ["u", "v"])
+    for rounds in range(1, 8):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rows = {(r["u"], r["v"]) for r in edges.collect()}
+        if rows == {(i, 10) for i in range(11, 20)} | {(31, 30)}:
+            break
+    assert rows == {(i, 10) for i in range(11, 20)} | {(31, 30)}, rows
+    assert rounds <= 4, f"took {rounds} double-rounds for a 10-chain"
