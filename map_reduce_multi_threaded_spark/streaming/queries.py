@@ -158,9 +158,82 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def stream_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling counts in APPEND mode over a 6-micro-batch replay (4
+    time-ordered event files + 2 watermark sentinels): a window row is
+    emitted exactly once, in the batch after the watermark passes its
+    end — so watermark progression and state eviction run under the
+    oracle gate, not just in tests.  Files are time-ordered, nothing is
+    late, hence the batch oracle is exact."""
+    import pyspark.sql.functions as F
+
+    staged, cutoff = W.stage_events_multibatch(sf_dir)
+    ev = W.read_staged_stream(spark, staged)
+    # NO pre-aggregation sentinel filter: any row-level filter here gets
+    # pushed below the watermark as a parquet scan predicate and the
+    # sentinel-only files would be stats-skipped, stalling the watermark.
+    # Sentinels aggregate into their own far-future windows instead and
+    # are dropped by the window cutoff on the drained result.
+    out = W.run_to_memory(
+        W.tumbling_counts(ev.withWatermark("ts", "10 minutes")),
+        "stream_tumbling_mb_sink",
+        output_mode="append",
+    )
+    return out.where(F.col("window_start") <= cutoff)
+
+
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: purchases
+    with no error in the trailing 10 minutes emit a null-extended row —
+    but only once the watermark proves no future error can match, which
+    the sentinel batches force for every real purchase.  The batch left
+    join is therefore the exact oracle."""
+    import pyspark.sql.functions as F
+
+    staged, _ = W.stage_events_multibatch(sf_dir)
+    # the sentinel files carry far-future 'purchase' and 'error' rows
+    # (user_id -1/-2) precisely so they SURVIVE these pushed-down type
+    # filters and advance both streams' watermarks; their null-extended
+    # join outputs are dropped by the p_user >= 0 filter at the end
+    ev1 = W.read_staged_stream(spark, staged).withWatermark("ts", "1 second")
+    purchases = ev1.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    ev2 = W.read_staged_stream(spark, staged).withWatermark("ts", "1 second")
+    errors = ev2.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "error_id", "p_user")
+    out = W.run_to_memory(joined, "stream_join_lo_sink", output_mode="append")
+    return out.where(F.col("p_user") >= 0)
+
+
+_STREAM_LEFT_OUTER_ORACLE = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id AS p_user
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL '10 minutes' AND e.ts <= p.ts
+"""
+
+
 SPECS = [
     QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_ORACLE,
               "streaming tumbling windows drained through a memory sink"),
+    QuerySpec("stream_tumbling_multibatch", stream_tumbling_multibatch, _TUMBLING_ORACLE,
+              "append-mode tumbling windows over a 6-micro-batch replay (watermark-driven emission)"),
+    QuerySpec("stream_join_left_outer", stream_join_left_outer, _STREAM_LEFT_OUTER_ORACLE,
+              "stream-stream LEFT OUTER interval join with watermark-forced null emission"),
     QuerySpec("stream_stateful_counts", stream_stateful_counts, _STATEFUL_ORACLE,
               "custom stateful operator via applyInPandasWithState"),
     QuerySpec("stream_session", stream_session, _SESSION_ORACLE,

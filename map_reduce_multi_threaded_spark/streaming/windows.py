@@ -58,6 +58,96 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+#: sentinel rows use event_ids at/above this and negative user_ids, so
+#: query results can drop them after the stateful operator emits.
+SENTINEL_EVENT_ID = 10_000_000
+
+
+def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
+    """Split events.parquet into ``n_files`` time-ordered parquet files
+    plus TWO far-future sentinel files in a scratch dir, so a file
+    stream with ``maxFilesPerTrigger=1`` replays it as n+2 micro-batches
+    with monotonically advancing event time.  Returns (dir, cutoff)
+    where cutoff is the max REAL event time as 'yyyy-MM-dd HH:mm:ss' —
+    results are filtered back to windows at or before it.
+
+    Why two sentinels: the watermark computed from a batch's data takes
+    effect in the NEXT batch — sentinel #1 advances it past every real
+    event, sentinel #2's batch is where closed windows / expired outer-
+    join state actually emit.  Files are time-ordered so nothing is ever
+    late; the oracle is therefore the plain batch answer while watermark
+    progression and state eviction are genuinely exercised.
+
+    Each sentinel file carries one 'purchase' and one 'error' row
+    (user_id -1/-2, matching no real user) besides a neutral marker row:
+    downstream type filters get pushed below the watermark operator as
+    parquet scan predicates, so a sentinel-only file whose rows all fail
+    the filter would be SKIPPED via row-group stats and the watermark
+    would never advance — sentinels must pass the stream's own filters.
+
+    The staged copy is cached per sf dir (content is a deterministic
+    function of events.parquet)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}/events_multibatch{n_files}"
+    marker = os.path.join(out_dir, "_STAGED")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return out_dir, f.read().strip()
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    n = t.num_rows
+    max_scalar = t.column("ts")[n - 1]
+    max_ts = max_scalar.value  # nanoseconds since epoch
+    cutoff = max_scalar.as_py().strftime("%Y-%m-%d %H:%M:%S")
+    day_ns = 86_400_000_000_000
+    chunks = [
+        t.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
+        for i in range(n_files)
+    ]
+    for s in range(2):
+        base = SENTINEL_EVENT_ID + 10 * s
+        sts = max_ts + (s + 1) * day_ns
+        chunks.append(
+            pa.table(
+                {
+                    "event_id": pa.array([base, base + 1, base + 2], pa.int64()),
+                    "ts": pa.array([sts, sts, sts], t.schema.field("ts").type),
+                    "user_id": pa.array([0, -1, -2], pa.int64()),
+                    "event_type": pa.array(["sentinel", "purchase", "error"], pa.string()),
+                    "value": pa.array([0.0, 0.0, 0.0], pa.float64()),
+                    "props": pa.array(["{}", "{}", "{}"], pa.string()),
+                }
+            ).cast(t.schema)
+        )
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(out_dir, f"f{i:03d}.parquet")
+        pq.write_table(chunk, path, store_schema=True)
+        # the file source orders batches by (modification time, path) —
+        # pin mtimes so replay order is the time order
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    with open(marker, "w") as f:
+        f.write(cutoff)
+    return out_dir, cutoff
+
+
+def read_staged_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """Stream the staged multi-file replay, one file per micro-batch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def tumbling_counts(events: DataFrame) -> DataFrame:
     """10-minute tumbling windows per event type (works on batch or
     streaming input — same plan, same oracle)."""
@@ -145,18 +235,31 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
     The state partition count is pinned to STREAM_STATE_PARTITIONS for
     the duration of query start (it is baked into the streaming plan at
     ``start()``); the session's batch shuffle setting is restored after."""
+    import os
+    import shutil
+    import tempfile
+
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    # checkpoint on tmpfs: state-store + offset-log commits are many
+    # small file ops per micro-batch; on this host's disk-backed /tmp
+    # they cost ~1.5 s/batch vs ~0.4 s on /dev/shm.  (On a real cluster
+    # the checkpoint must be durable shared storage — this tmpfs path is
+    # for the drain-and-discard oracle replay only.)
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_", dir=ckpt_root)
     try:
         query = (
             df.writeStream.queryName(name)
             .outputMode(output_mode)
             .format("memory")
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

@@ -104,3 +104,35 @@ def test_streaming_batch_equivalence(spark, sf_oracle_dir):
     }
     streamed = {tuple(r) for r in SQ.stream_tumbling(spark, sf_oracle_dir).collect()}
     assert batch == streamed
+
+
+def test_multibatch_replay_progresses_watermark(spark, sf_oracle_dir):
+    """The staged replay must actually run one micro-batch per file with
+    a monotonically advancing watermark — the property the multibatch
+    queries exist to exercise (a single-batch drain would trivially
+    equal the batch answer without testing eviction)."""
+    staged, _ = W.stage_events_multibatch(sf_oracle_dir)
+    ev = W.read_staged_stream(spark, staged).withWatermark("ts", "10 minutes")
+    agg = W.tumbling_counts(ev)
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_test_")
+    try:
+        q = (
+            agg.writeStream.queryName("mb_progress_sink")
+            .outputMode("append")
+            .format("memory")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    file_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(file_batches) >= 6, f"expected >=6 file micro-batches, got {len(file_batches)}"
+    wms = [p["eventTime"].get("watermark", "") for p in progress]
+    assert wms == sorted(wms), f"watermark not monotone: {wms}"
+    assert len(set(wms)) >= 4, f"watermark barely advanced: {wms}"
