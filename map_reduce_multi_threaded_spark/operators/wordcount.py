@@ -75,11 +75,16 @@ def word_counts_sorted(spark: SparkSession, sf_dir: str, passes: int = 1) -> Dat
     return word_counts(spark, sf_dir, passes).orderBy("word")
 
 
-def word_counts_from_text_dir(spark: SparkSession, path: str, passes: int = 1) -> DataFrame:
+def word_counts_from_text_dir(
+    spark: SparkSession, path: str, passes: int = 1, sort: bool = True
+) -> DataFrame:
     """The reference's ACTUAL input mode: a directory of raw text
     files (``./RawText/``, map_reduce.cpp:477-495) rather than a
     parquet column.  Same downstream pipeline; ``spark.read.text``
-    replaces opendir/readdir + the master's pull queue."""
+    replaces opendir/readdir + the master's pull queue.
+
+    ``sort=False`` skips the global sort for sinks that re-partition
+    and sort within partitions anyway (the CLI path)."""
     from ..sources.text import read_text_dir
 
     toks = (
@@ -90,7 +95,8 @@ def word_counts_from_text_dir(spark: SparkSession, path: str, passes: int = 1) -
     )
     if passes > 1:
         toks = toks.crossJoin(F.broadcast(spark.range(passes))).drop("id")
-    return toks.groupBy("word").agg(F.count("*").alias("cnt")).orderBy("word")
+    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    return counts.orderBy("word") if sort else counts
 
 
 def word_counts_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:

@@ -15,15 +15,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def write_reference_format(df: DataFrame, path: str, word_col: str = "word", count_col: str = "cnt") -> None:
+def write_reference_format(
+    df: DataFrame,
+    path: str,
+    word_col: str = "word",
+    count_col: str = "cnt",
+    num_files: int | None = None,
+) -> None:
     """Write the reference's exact output contract: text files, one
     ``<word, count> `` line per row (trailing space included —
     ``map_reduce.cpp:448``: ``"<" << word << ", " << count << "> "``),
     sorted by word within each partition, partitioned by
     ``hash(word) % numPartitions`` exactly like the reference's cyclic
-    bin→process ownership (``map_reduce.cpp:306,400``)."""
+    bin→process ownership (``map_reduce.cpp:306,400``).  ``num_files``
+    maps the reference's MPI world size (one output file per rank)."""
+    parts = [F.col(word_col)] if num_files is None else [num_files, F.col(word_col)]
     (
-        df.repartition(F.col(word_col))  # hash-partition by key = bin ownership
+        df.repartition(*parts)  # hash-partition by key = bin ownership
         .sortWithinPartitions(word_col)
         .select(
             F.concat(

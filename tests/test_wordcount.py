@@ -151,3 +151,36 @@ def test_plan_shape(spark, sf_dir):
     plan = wordcount.word_counts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "hashpartitioning" in plan or "Exchange" in plan
+
+
+def test_cli_end_to_end(spark, sf_dir, tmp_path):
+    """python -m map_reduce_multi_threaded_spark <dir> --out <dir>:
+    the full mpiexec-equivalent contract — raw text dir in, exactly
+    --processes text files of sorted '<word, count> ' lines out,
+    byte-identical in aggregate to the golden Python reimplementation
+    (incl. the reference's trailing space, map_reduce.cpp:448)."""
+    import os
+
+    from map_reduce_multi_threaded_spark.__main__ import main
+
+    src = tmp_path / "RawText"
+    os.makedirs(src)
+    for i, text in enumerate(_texts(sf_dir)[:50]):
+        (src / f"doc_{i:03d}.txt").write_text(text)
+    out = tmp_path / "counts"
+    rc = main([str(src), "--out", str(out), "--passes", "8", "--processes", "2"])
+    assert rc == 0
+
+    part_files = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert len(part_files) == 2
+    lines = []
+    for p in part_files:
+        content = (out / p).read_text()
+        plines = content.splitlines()
+        words = [ln.split(", ")[0][1:] for ln in plines]
+        assert words == sorted(words), f"{p} not sorted by word"
+        lines.extend(plines)
+
+    expected = python_reference_counts([ (src / f).read_text() for f in os.listdir(src) ], passes=8)
+    expected_lines = sorted(f"<{w}, {c}> " for w, c in expected.items())
+    assert sorted(lines) == expected_lines
