@@ -51,8 +51,39 @@ HEADLINE = [
     "pipeline_end_to_end",  # composed quality→dedup→lang pipeline
     "bm25_rank",            # retrieval scoring
     "text_chunking",        # token-window chunking (data-bound at sf0.1)
-    "dedup_clusters",       # iterative connected components
+    "dedup_clusters",       # connected components (large-star/small-star)
+    "stream_tumbling_multibatch",  # 6-micro-batch watermarked replay
+    "stream_join_left_outer",      # stream-stream left outer interval join
 ]
+
+#: Regression gate: warn (stderr + "regressions" key) when a query is
+#: this much slower than the previous round's recorded bench.
+REGRESSION_FACTOR = 1.5
+
+
+def _previous_bench() -> dict[str, float]:
+    """Per-query seconds from the newest BENCH_r*.json next to this
+    script, {} if none."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    newest, newest_round = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > newest_round:
+            newest, newest_round = p, int(m.group(1))
+    if newest is None:
+        return {}
+    try:
+        with open(newest) as f:
+            d = json.load(f)
+        # the round driver wraps bench.py's JSON line under "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return d.get("queries", {}) or {}
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def main() -> None:
@@ -83,17 +114,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    prev = _previous_bench()
+    regressions = {
+        name: {"prev": prev[name], "now": t}
+        for name, t in timings.items()
+        if name in prev and prev[name] > 0 and t > REGRESSION_FACTOR * prev[name]
+    }
+    for name, r in regressions.items():
+        print(
+            f"REGRESSION {name}: {r['prev']}s -> {r['now']}s "
+            f"(>{REGRESSION_FACTOR}x)",
+            file=sys.stderr,
         )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if regressions:
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -92,6 +92,17 @@ def test_foreach_batch_exactly_once(spark, sf_oracle_dir, tmp_path):
     W.write_foreach_batch(src2, out, ckpt)
     assert spark.read.parquet(out).count() == first, "restart re-appended committed batches"
 
+    # foreachBatch is only at-least-once: simulate a replay of already-
+    # written batches (lost checkpoint -> every batch re-runs with the
+    # same batch ids).  The idempotent per-batch_id dynamic partition
+    # overwrite must leave the row count unchanged.
+    import shutil
+
+    shutil.rmtree(ckpt)
+    src3 = W.read_events_stream(spark, sf_oracle_dir).where(F.col("event_type") == "purchase")
+    W.write_foreach_batch(src3, out, ckpt)
+    assert spark.read.parquet(out).count() == first, "replayed batch appended duplicates"
+
 
 def test_streaming_batch_equivalence(spark, sf_oracle_dir):
     """The same tumbling_counts plan over batch input equals the
