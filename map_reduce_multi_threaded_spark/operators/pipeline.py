@@ -159,9 +159,89 @@ SELECT rank, doc_id, bm25 FROM (
 """
 
 
+MAX_PACK_TOKENS = 512
+
+#: per-mille keep rates per language (en half, de quarter, fr eighth) —
+#: the downsampling step that rebalances a crawl before training.
+STRATA_RATES = {"en": 500, "de": 250, "fr": 125}
+
+
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    training context window (pack) its tokens start in, packing
+    greedily in doc_id order WITHIN each source shard.
+
+    Scale: the window is partitioned by source — a keyed shuffle, never
+    a global sort; packing is shard-local exactly like a real tokenizer
+    fleet (each worker packs its own shard; pack ids are (source,
+    pack_id) pairs)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.withColumn("cum_before", cum_before).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"cum_before div {MAX_PACK_TOKENS}").alias("pack_id"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sized
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum_before // {MAX_PACK_TOKENS} AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates via an
+    md5 per-mille bucket of doc_id (the engine-portable coin flip — the
+    same digest on Spark, DuckDB and Python, so the sample is exactly
+    reproducible anywhere).  A pure map: no shuffle at any scale."""
+    from ..functions.text import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.lit(0)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return d.where(md5_bucket(F.col("doc_id"), 1000, salt="strat") < rate)
+
+
+def _stratified_oracle() -> str:
+    cases = " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in STRATA_RATES.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id || 'strat'), 1, 15))::BIGINT % 1000
+      < CASE lang {cases} ELSE 0 END
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
     QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
               "BM25 top-10 for a fixed query term set"),
+    QuerySpec("pipeline_pack_sequences", pipeline_pack_sequences, _PACK_ORACLE,
+              "concat-and-chunk sequence packing into 512-token context windows per source shard"),
+    QuerySpec("sample_stratified", sample_stratified, _stratified_oracle(),
+              "deterministic md5-bucket stratified sampling with per-language rates"),
 ]

@@ -288,9 +288,54 @@ SELECT doc_id, term AS top_term, tfidf FROM (
 """
 
 
+def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the cleanest half of each language by punctuation ratio —
+    quantile-based quality filtering, the relative counterpart of
+    :func:`text_quality`'s absolute thresholds (real pipelines cut at a
+    per-language percentile because absolute cutoffs don't transfer
+    across languages).
+
+    Determinism: the score is one double division (bit-identical on
+    both engines) and percent_rank is (rank-1)/(N-1) with a doc_id tie
+    break.  Scale: one keyed shuffle on lang for the window; with a
+    skewed language distribution you would pre-aggregate an approximate
+    per-lang threshold instead (see agg_approx_quantile)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    punct_ratio = (
+        (F.length("text") - F.length(F.regexp_replace("text", r"\p{Punct}", "")))
+        / F.length("text")
+    )
+    w = Window.partitionBy("lang").orderBy("punct_ratio", "doc_id")
+    return (
+        d.withColumn("punct_ratio", punct_ratio)
+        .withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.5)
+        .select("doc_id", "lang", F.round("punct_ratio", 9).alias("punct_ratio"))
+    )
+
+
+_QUANTILE_FILTER_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+           / length(text) AS punct_ratio
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, punct_ratio,
+         percent_rank() OVER (PARTITION BY lang ORDER BY punct_ratio, doc_id) AS pr
+  FROM scored
+)
+SELECT doc_id, lang, round(punct_ratio, 9) AS punct_ratio
+FROM ranked WHERE pr <= 0.5
+"""
+
+
 SPECS = [
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_quality_quantile_filter", text_quality_quantile_filter, _QUANTILE_FILTER_ORACLE,
+              "per-language median punct-ratio quality filter (relative cutoff)"),
     QuerySpec("text_quality", text_quality, _QUALITY_ORACLE,
               "length/punct/stopword quality features + keep flag"),
     QuerySpec("text_token_count", text_token_count, _TOKEN_COUNT_ORACLE,
