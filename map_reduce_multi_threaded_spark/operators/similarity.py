@@ -326,6 +326,147 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 
 
 # ---------------------------------------------------------------------------
+# 4. IVF ANN (coarse cells + nprobe search — the other scale path)
+# ---------------------------------------------------------------------------
+
+N_CELLS = 8  # coarse centroids
+N_PROBE = 2  # cells searched per query
+_CENTROID_BASE = 10  # corpus vectors 10..17 serve as coarse centroids
+
+
+def _cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, emb_d, norm): nearest coarse centroid by cosine.
+
+    Centroids are DATA (sampled corpus vectors — the degenerate first
+    k-means iteration; a trained quantizer would loop this assignment a
+    few times, one keyed shuffle per iteration).  Assignment is a
+    broadcast join of the 8-row centroid table against the corpus, then
+    an argmax window per vector — the exact shape of IVF list-building
+    on a cluster."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = F.broadcast(
+        emb.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + N_CELLS)
+        ).select(
+            (F.col("vec_id") - _CENTROID_BASE).alias("cell"),
+            F.col("emb_d").alias("cent_emb"),
+            F.col("norm").alias("cent_norm"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="emb_d", b="cent_emb")) / (F.col("norm") * F.col("cent_norm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
+    return (
+        emb.join(cents)
+        .withColumn("cent_cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 1)
+        .select("vec_id", "cell", "emb_d", "norm")
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF: each query probes its N_PROBE nearest coarse
+    cells and searches exactly within them.
+
+    Scale: cost per query is (corpus / N_CELLS) × N_PROBE candidate
+    comparisons — tunable recall/cost, independent of LSH's banding
+    math.  Candidates come from a broadcast of the tiny probe table
+    against the cell-keyed corpus; the corpus is never broadcast.
+
+    Recall honesty: the test fixture's embeddings are near-uniform
+    (within-label avg cosine ≈ 0.005 vs cross ≈ -0.001), so coarse
+    quantization cannot beat the probed-fraction floor here — measured
+    recall ≈ nprobe/cells ≈ 25% (tests/test_similarity pins this).  On
+    real clustered embeddings IVF recall is far above that floor; on
+    unstructured data multi-table LSH (knn_lsh) or brute force is the
+    better tool.  That trade-off is exactly why both paths exist."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    assigned = _cell_assignments(spark, sf_dir)
+    # per-query probe list: N_PROBE nearest centroids
+    cents = F.broadcast(
+        emb.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + N_CELLS)
+        ).select(
+            (F.col("vec_id") - _CENTROID_BASE).alias("cell"),
+            F.col("emb_d").alias("cent_emb"),
+            F.col("norm").alias("cent_norm"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb_d").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    qcos = F.expr(_DOT.format(a="q_emb", b="cent_emb")) / (F.col("q_norm") * F.col("cent_norm"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
+    probes = (
+        q.join(cents)
+        .withColumn("cent_cos", qcos)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "q_norm", "cell")
+    )
+    sim = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    pairs = (
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell"),
+            F.col("emb_d").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_NEIGHBORS)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+_KNN_IVF_ORACLE = f"""
+WITH {_DUCK_NORMS},
+cents AS (
+  SELECT vec_id - {_CENTROID_BASE} AS cell, embedding, nrm
+  FROM n WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + N_CELLS}
+),
+cellcos AS (
+  SELECT v.vec_id, c.cell,
+         {_DUCK_DOT.format(a='v', b='c')} / (v.nrm * c.nrm) AS cent_cos
+  FROM n v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cell ASC) AS rn
+    FROM cellcos
+  ) WHERE rn <= 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cell ASC) AS rn
+    FROM cellcos WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN n q ON q.vec_id = p.query_id
+  JOIN n c ON c.vec_id = a.vec_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {K_NEIGHBORS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # pandas_udf alternative (Arrow-vectorized Python path)
 # ---------------------------------------------------------------------------
 
@@ -359,4 +500,6 @@ SPECS = [
               "cosine≥τ near-dup pairs (brute baseline)"),
     QuerySpec("knn_lsh", knn_lsh, _knn_lsh_oracle(),
               "ANN top-5 within random-hyperplane LSH bucket (scale path)"),
+    QuerySpec("knn_ivf", knn_ivf, _KNN_IVF_ORACLE,
+              "ANN top-5 via IVF coarse cells with nprobe=2 (cell-partitioned scale path)"),
 ]

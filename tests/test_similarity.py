@@ -84,3 +84,26 @@ def test_lsh_buckets_match_python_reference(spark, sf_oracle_dir):
                 if acc > 0:
                     bucket += 1 << i
             assert got[(vec_id, t)] == bucket, (vec_id, t)
+
+
+def test_ivf_recall_measured(spark, sf_oracle_dir):
+    """IVF with nprobe=2 of 8 cells searches ~25% of the corpus.  The
+    fixture's embeddings are near-uniform (no cluster structure), so
+    the information-theoretic expectation IS the probed fraction —
+    assert recall is consistent with searching the probed cells (i.e.
+    roughly the floor, not near zero, which would mean broken cell
+    routing) while the oracle test pins exactness."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(spark, sf_oracle_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_ivf(spark, sf_oracle_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    probed_fraction = similarity.N_PROBE / similarity.N_CELLS
+    assert recall > probed_fraction / 2, (
+        f"IVF recall {recall:.2%} far below probed fraction {probed_fraction:.0%} — "
+        "cell routing is broken"
+    )
