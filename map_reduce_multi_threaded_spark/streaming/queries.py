@@ -83,6 +83,57 @@ SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
 """
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min, slide 5) — each event lands in two
+    windows; window() generates both without a self-join."""
+    import pyspark.sql.functions as F
+
+    ev = W.read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+    return W.run_to_memory(agg, "stream_sliding_sink")
+
+
+_SLIDING_ORACLE = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws
+  FROM events
+) GROUP BY 1
+"""
+
+
+def stream_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization on raw GroupState with EVENT-TIME TIMEOUTS
+    over the multi-batch replay: a session row emits either when a
+    later event exposes a >30-min gap, or when the watermark passes
+    last_ts+gap and the timeout fires for the idle key (the sentinel
+    batches force this for every user's final session).  The batch
+    gaps-and-islands oracle is exact because arrival is time-ordered."""
+    import pyspark.sql.functions as F
+
+    from .stateful import session_windows_custom
+
+    staged, _ = W.stage_events_multibatch(sf_dir)
+    ev = W.read_staged_stream(spark, staged).withWatermark("ts", "1 second")
+    out = W.run_to_memory(
+        session_windows_custom(ev), "stream_custom_sessions_sink", output_mode="append"
+    )
+    # sentinel keys (negative user_ids) carry state too — drop them here
+    return out.where(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        "n_events",
+    )
+
+
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running counts.  The single-file replay drains in one micro-batch,
@@ -238,6 +289,10 @@ SPECS = [
               "custom stateful operator via applyInPandasWithState"),
     QuerySpec("stream_session", stream_session, _SESSION_ORACLE,
               "streaming session windows (30-min gap) per user"),
+    QuerySpec("stream_sliding", stream_sliding, _SLIDING_ORACLE,
+              "streaming sliding windows (10 min / slide 5)"),
+    QuerySpec("stream_custom_sessions", stream_custom_sessions, _SESSION_ORACLE,
+              "custom GroupState sessionization with event-time timeouts (multi-batch replay)"),
     QuerySpec("stream_dedup", stream_dedup, _DEDUP_ORACLE,
               "streaming dropDuplicates over a doubled replay"),
     QuerySpec("stream_dedup_within_watermark", stream_dedup_within_watermark, _DEDUP_ORACLE,

@@ -93,7 +93,7 @@ def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}/events_multibatch{n_files}"
+    out_dir = f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}/events_multibatch{n_files}v2"
     marker = os.path.join(out_dir, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -118,7 +118,7 @@ def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
                 {
                     "event_id": pa.array([base, base + 1, base + 2], pa.int64()),
                     "ts": pa.array([sts, sts, sts], t.schema.field("ts").type),
-                    "user_id": pa.array([0, -1, -2], pa.int64()),
+                    "user_id": pa.array([-3, -1, -2], pa.int64()),
                     "event_type": pa.array(["sentinel", "purchase", "error"], pa.string()),
                     "value": pa.array([0.0, 0.0, 0.0], pa.float64()),
                     "props": pa.array(["{}", "{}", "{}"], pa.string()),
