@@ -1179,6 +1179,72 @@ FROM sessions GROUP BY user_id, session_id
 # registry
 # --------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Pure-SQL API: spark.sql() over registered views, where ONE ANSI string
+# is simultaneously the Spark query and the DuckDB oracle — the
+# strongest possible statement of engine compatibility (the reference
+# had no SQL surface at all; this is the generalized replacement).
+# Dialect care: decimal-first money math (exact on both engines), DATE
+# casts for output, deterministic tie-breaks, no engine-specific fns.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+_SCALAR_SUBQ_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+"""
+
+
+def _sql_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources.tables import register_temp_views
+
+        register_temp_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+#: TPC-H Q3 (shipping priority, o_orderpriority standing in for the
+#: fixture's missing o_shippriority): 3-way join + decimal revenue +
+#: top-10.  Catalyst broadcast-joins the filtered customer side and
+#: TakeOrdereds the limit.
+sql_q3_shipping_priority = _sql_query(_Q3_SQL)
+
+#: EXISTS correlated subquery — Catalyst rewrites to a left-semi join
+#: (the SQL spelling of join_semi).
+sql_exists_subquery = _sql_query(_EXISTS_SQL)
+
+#: scalar subquery threshold — a 1-row subquery broadcast into the
+#: filter; max() (not avg) keeps the threshold order-insensitive and
+#: therefore bit-deterministic on doubles.
+sql_scalar_subquery = _sql_query(_SCALAR_SUBQ_SQL)
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -1221,4 +1287,10 @@ SPECS = [
     QuerySpec("events_tumbling", events_tumbling, _EVENTS_TUMBLING_ORACLE, "tumbling event-time windows (batch)"),
     QuerySpec("events_sliding", events_sliding, _EVENTS_SLIDING_ORACLE, "sliding event-time windows (batch)"),
     QuerySpec("events_session", events_session, _EVENTS_SESSION_ORACLE, "session windows (batch)"),
+    QuerySpec("sql_q3_shipping_priority", sql_q3_shipping_priority, _Q3_SQL,
+              "TPC-H Q3 via spark.sql — the identical ANSI string is the oracle"),
+    QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,
+              "EXISTS correlated subquery (Catalyst left-semi rewrite), shared SQL string"),
+    QuerySpec("sql_scalar_subquery", sql_scalar_subquery, _SCALAR_SUBQ_SQL,
+              "scalar-subquery threshold filter, shared SQL string"),
 ]
