@@ -171,9 +171,101 @@ FROM documents
 """
 
 
+EMBED_DIM = 8
+EMBED_QUERIES = 10
+EMBED_K = 3
+
+_EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+    ]
+    + [StructField(f"f{k}", LongType()) for k in range(EMBED_DIM)]
+)
+
+
+def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multimodal pipeline: binary payload → feature
+    extraction (mapInPandas, the stand-in for a real image/audio
+    encoder) → cosine top-3 neighbors for the first 10 docs.
+
+    The fake encoder's 8 features are strided byte sums — exact
+    integers, so every cosine numerator/denominator is bit-identical on
+    both engines (the only float ops are one sqrt and one division).
+    Scale: extraction is a narrow Arrow map; the query side (10 docs)
+    is broadcast; the corpus is scanned once — the same shape as
+    knn_bruteforce over real embeddings."""
+    df = with_payload(spark, sf_dir).where(F.length("payload") >= EMBED_DIM)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"]}
+            for k in range(EMBED_DIM):
+                out[f"f{k}"] = pdf["payload"].map(
+                    lambda b, k=k: sum(b[k::EMBED_DIM])
+                ).astype("int64")
+            yield pd.DataFrame(out)
+
+    feats = df.mapInPandas(extract, _EMBED_SCHEMA)
+    fcols = [f"f{k}" for k in range(EMBED_DIM)]
+    norm = F.sqrt(sum((F.col(c) * F.col(c)).cast("double") for c in fcols))
+    n = feats.withColumn("nrm", norm)
+    q = n.where(F.col("doc_id") < EMBED_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        *[F.col(c).alias(f"q{k}") for k, c in enumerate(fcols)],
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = n.select(
+        F.col("doc_id").alias("neighbor_id"),
+        *[F.col(col).alias(f"c{k}") for k, col in enumerate(fcols)],
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = sum((F.col(f"q{k}") * F.col(f"c{k}")).cast("double") for k in range(EMBED_DIM))
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.col("q_nrm") * F.col("c_nrm")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= EMBED_K)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def _embed_knn_oracle() -> str:
+    fexprs = ",\n       ".join(
+        f"list_sum(list_transform(generate_series({k + 1}, length(text), {EMBED_DIM}), "
+        f"i -> ascii(substr(text, i, 1)))) AS f{k}"
+        for k in range(EMBED_DIM)
+    )
+    sq = " + ".join(f"CAST(f{k} * f{k} AS DOUBLE)" for k in range(EMBED_DIM))
+    dot = " + ".join(f"CAST(q.f{k} * c.f{k} AS DOUBLE)" for k in range(EMBED_DIM))
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+       {fexprs}
+  FROM documents WHERE length(text) >= {EMBED_DIM}
+),
+n AS (SELECT *, sqrt({sq}) AS nrm FROM f),
+pairs AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         ({dot}) / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.doc_id < {EMBED_QUERIES} AND q.doc_id <> c.doc_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {EMBED_K}
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_decode_meta", decode_metadata, _DECODE_META_ORACLE,
               "mapInPandas binary decode plumbing (deterministic fake codec)"),
+    QuerySpec("multimodal_embed_knn", embed_knn, _embed_knn_oracle(),
+              "composed binary → feature-extract → cosine top-3 pipeline"),
     QuerySpec("multimodal_frame_sample", frame_sample, _FRAME_SAMPLE_ORACLE,
               "strided frame sampling over binary payloads"),
     QuerySpec("multimodal_binary_stats", binary_stats, _BINARY_STATS_ORACLE,
