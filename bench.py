@@ -54,6 +54,8 @@ HEADLINE = [
     "dedup_clusters",       # connected components (large-star/small-star)
     "stream_tumbling_multibatch",  # 6-micro-batch watermarked replay
     "stream_join_left_outer",      # stream-stream left outer interval join
+    "sql_q3_shipping_priority",    # TPC-H Q3 via spark.sql (3-way join + top-k)
+    "multimodal_embed_knn",        # binary -> featurize -> cosine top-3
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

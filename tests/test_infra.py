@@ -153,3 +153,15 @@ def test_oracle_harness_rejects_hugeint(spark, sf_dir):
         "FROM nation GROUP BY n_regionkey"
     )
     compare(df, cast, sf_dir)
+
+
+def test_missing_sf_dir_raises(spark):
+    """A nonexistent sf_dir must fail fast with Spark's PATH_NOT_FOUND
+    analysis error, not hang or return an empty frame."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from map_reduce_multi_threaded_spark.operators.wordcount import word_counts
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        word_counts(spark, "/root/testdata/sf_does_not_exist").collect()
