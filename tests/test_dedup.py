@@ -93,3 +93,64 @@ def test_large_small_star_chain_graph(spark):
             break
     assert rows == {(i, 10) for i in range(11, 20)} | {(31, 30)}, rows
     assert rounds <= 4, f"took {rounds} double-rounds for a 10-chain"
+
+
+def test_large_small_star_random_graphs_vs_union_find(spark):
+    """Property test: large-star/small-star labels equal a Python
+    union-find reference on random graphs (seeded, incl. self-loops,
+    parallel edges, chains, and isolated-free dense blobs)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.operators.dedup import _large_star, _small_star
+
+    def union_find_labels(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # fully compress, then label every node with its component min
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        labels = {}
+        for members in comp.values():
+            m = min(members)
+            for n in members:
+                labels[n] = m
+        return labels
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(1, 60)
+        edges = [
+            (rng.randint(0, n_nodes - 1), rng.randint(0, n_nodes - 1))
+            for _ in range(n_edges)
+        ]
+        nodes = sorted({x for e in edges for x in e})
+        e = spark.createDataFrame(
+            [(u, v) for u, v in edges if u != v] or [(0, 0)], ["u", "v"]
+        ).where(F.col("u") != F.col("v"))
+        if e.count() == 0:
+            continue
+        prev = None
+        for _ in range(12):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            sig = tuple(e.agg(F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))).first())
+            if sig == prev:
+                break
+            prev = sig
+        got = {r["u"]: r["v"] for r in e.collect()}
+        expected = union_find_labels([e2 for e2 in edges if e2[0] != e2[1]], nodes)
+        for n in nodes:
+            assert got.get(n, n) == expected[n], (trial, n, got.get(n, n), expected[n])
