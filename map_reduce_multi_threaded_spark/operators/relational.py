@@ -1245,6 +1245,54 @@ sql_exists_subquery = _sql_query(_EXISTS_SQL)
 sql_scalar_subquery = _sql_query(_SCALAR_SUBQ_SQL)
 
 
+def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ingestion format must preserve the data: write customer
+    out as csv, json and orc (cached per sf in scratch), read each back
+    through sources.formats, and report per-format row count + an exact
+    money checksum.  The oracle reads only the original parquet — the
+    row passes only if the round-trip is lossless.
+
+    Scale: format edges parallelize like parquet; the checksum is a
+    decimal sum so executor/partition order cannot move a bit."""
+    import os
+
+    from ..sources.formats import read_csv, read_json, read_orc
+
+    c = load_table(spark, sf_dir, "customer")
+    base = f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}/formats"
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        c.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
+        c.write.mode("overwrite").json(f"{base}/json")
+        c.write.mode("overwrite").orc(f"{base}/orc")
+        with open(marker, "w") as f:
+            f.write("ok")
+    schema = c.schema
+    frames = {
+        "csv": read_csv(spark, f"{base}/csv", schema=schema),
+        "json": read_json(spark, f"{base}/json", schema=schema),
+        "orc": read_orc(spark, f"{base}/orc"),
+    }
+    out = None
+    for fmt, df in frames.items():
+        agg = df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double").alias("sum_acctbal"),
+        ).select("fmt", "n_rows", "sum_acctbal")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+_FORMATS_ORACLE = """
+SELECT fmt, n_rows, sum_acctbal FROM (
+  SELECT count(*) AS n_rows,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
+  FROM customer
+) CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -1293,4 +1341,6 @@ SPECS = [
               "EXISTS correlated subquery (Catalyst left-semi rewrite), shared SQL string"),
     QuerySpec("sql_scalar_subquery", sql_scalar_subquery, _SCALAR_SUBQ_SQL,
               "scalar-subquery threshold filter, shared SQL string"),
+    QuerySpec("source_formats_roundtrip", source_formats_roundtrip, _FORMATS_ORACLE,
+              "csv/json/orc ingestion round-trip with exact decimal checksum"),
 ]
