@@ -1,0 +1,115 @@
+"""Iterative graph analytics: PageRank over the part↔supplier graph.
+
+The reference is a MapReduce engine (SURVEY.md §0); PageRank is THE
+canonical iterative-MapReduce workload, so the engine should express it
+natively: each iteration is one join (distribute rank along edges) +
+one keyed aggregation (gather contributions) — exactly the reference's
+partial-agg → shuffle → merge shape (map_reduce.cpp:191-438), looped.
+
+Determinism: classic PageRank sums doubles whose addition order varies
+with partitioning, so it can never hash-match an oracle bit-for-bit.
+Here ranks are SCALED INTEGERS (1e6 = rank 1.0) and every step is
+integer arithmetic — `rank div out_degree` to distribute, exact BIGINT
+sums to gather (addition of integers is order-free), and
+`150_000 + (85 × gathered) div 100` for the damping update.  The tiny
+mass lost to integer floor division is identical on every engine and
+partitioning, which is the whole point.
+
+Scale: edges come straight off lineitem (one fact-table scan); each
+iteration shuffles (node, contribution) pairs — the standard Pregel
+partitioning.  The edge list is localCheckpointed once; three fixed
+iterations keep the oracle SQL-expressible (unrolled CTEs) — a
+convergence-driven variant would add the dedup_clusters-style
+checksum loop.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+N_ITER = 3
+RANK_SCALE = 1_000_000  # rank 1.0 == 1e6
+DAMPING_NUM, DAMPING_DEN = 85, 100
+BASE = RANK_SCALE * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN  # 0.15 × 1e6
+TOP_K = 20
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part↔supplier edges as two directed arcs; node ids
+    are disjoint via even/odd encoding (part→2k, supplier→2k+1)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+    return li.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionByName(
+        li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by 3-iteration integer PageRank (see module doc)."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = deg.select("src", F.lit(RANK_SCALE).cast("long").alias("rank"))
+    for _ in range(N_ITER):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div out_deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("gathered"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("src"),
+            (F.lit(BASE) + F.expr(f"(gathered * {DAMPING_NUM}) div {DAMPING_DEN}")).alias("rank"),
+        )
+    node = F.when(F.col("src") % 2 == 0, F.lit("part")).otherwise(F.lit("supplier"))
+    key = F.expr("src div 2")
+    return (
+        ranks.select(node.alias("node_type"), key.alias("node_key"), "rank")
+        .orderBy(F.desc("rank"), F.asc("node_type"), F.asc("node_key"))
+        .limit(TOP_K)
+    )
+
+
+def _pagerank_oracle() -> str:
+    it = """
+r{n} AS (
+  SELECT e.dst AS src,
+         {base} + (sum(r{p}.rank // d.out_deg) * {dn}) // {dd} AS rank
+  FROM edges e JOIN r{p} ON e.src = r{p}.src JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+    iters = ",".join(
+        it.format(n=i + 1, p=i, base=BASE, dn=DAMPING_NUM, dd=DAMPING_DEN)
+        for i in range(N_ITER)
+    )
+    return f"""
+WITH arcs AS (
+  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem
+),
+edges AS (
+  SELECT p AS src, s AS dst FROM arcs
+  UNION ALL
+  SELECT s AS src, p AS dst FROM arcs
+),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT src, CAST({RANK_SCALE} AS BIGINT) AS rank FROM deg),
+{iters}
+SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       src // 2 AS node_key,
+       CAST(rank AS BIGINT) AS rank
+FROM r{N_ITER}
+ORDER BY rank DESC, node_type ASC, node_key ASC
+LIMIT {TOP_K}
+"""
+
+
+SPECS = [
+    QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(),
+              "3-iteration integer PageRank over the part↔supplier graph (join+agg per iteration)"),
+]

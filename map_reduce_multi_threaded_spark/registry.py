@@ -40,6 +40,7 @@ def collect_specs() -> list[QuerySpec]:
     """Import every operator module and concatenate its SPECS."""
     from .operators import (
         dedup,
+        graph,
         multimodal,
         pipeline,
         relational,
@@ -56,7 +57,7 @@ def collect_specs() -> list[QuerySpec]:
     # textstats, multimodal, udf_suite, pipeline, streaming) now come
     # FIRST; the round-1-verified relational/dedup bulk comes last.
     specs: list[QuerySpec] = []
-    for mod in (wordcount, similarity, textstats, multimodal, udf_suite, pipeline, streaming_queries, relational, dedup):
+    for mod in (wordcount, similarity, textstats, multimodal, udf_suite, pipeline, graph, streaming_queries, relational, dedup):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     dupes = {n for n in names if names.count(n) > 1}
