@@ -109,7 +109,48 @@ LIMIT {TOP_K}
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the near-dup document graph — the
+    other canonical MapReduce graph workload (two self-joins on the
+    canonically-oriented edge list a<b, so each triangle is counted
+    exactly once).
+
+    Scale: the classic shape — join cost is Σ deg(v)², tamed in
+    practice because near-dup components are tiny; on power-law graphs
+    you'd pre-filter by degree (count only on the low-degree
+    orientation), which the a<b orientation already approximates."""
+    from .dedup import dedup_ngram_jaccard
+
+    e = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def _triangle_oracle() -> str:
+    from .dedup import _NGRAM_JACCARD_ORACLE
+
+    return f"""
+WITH pairs AS ({_NGRAM_JACCARD_ORACLE}),
+e AS (SELECT doc_a, doc_b FROM pairs)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a JOIN e e3
+  ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(),
               "3-iteration integer PageRank over the part↔supplier graph (join+agg per iteration)"),
+    QuerySpec("graph_triangle_count", graph_triangle_count, _triangle_oracle(),
+              "triangle count over the near-dup graph (two joins on the a<b orientation)"),
 ]

@@ -1245,6 +1245,52 @@ sql_exists_subquery = _sql_query(_EXISTS_SQL)
 sql_scalar_subquery = _sql_query(_SCALAR_SUBQ_SQL)
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: per stage,
+    how many users reached it with STRICTLY later event times than the
+    previous stage (min-timestamp semantics, so the result is
+    deterministic).  Three keyed aggregations, each joined against the
+    previous stage's survivors — the standard product-analytics shape,
+    and every stage shuffles on user_id so the funnel co-partitions."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_view_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+v AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM v) AS n_view_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+"""
+
+
 def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every ingestion format must preserve the data: write customer
     out as csv, json and orc (cached per sf in scratch), read each back
@@ -1343,4 +1389,6 @@ SPECS = [
               "scalar-subquery threshold filter, shared SQL string"),
     QuerySpec("source_formats_roundtrip", source_formats_roundtrip, _FORMATS_ORACLE,
               "csv/json/orc ingestion round-trip with exact decimal checksum"),
+    QuerySpec("events_funnel", events_funnel, _FUNNEL_ORACLE,
+              "ordered signup→view→purchase conversion funnel (min-timestamp semantics)"),
 ]
