@@ -1291,6 +1291,69 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, with
+    the count still active 1 and 2 weeks later.  Two aggregations plus
+    a semi-join per horizon, all shuffled on user_id then re-keyed to
+    the cohort week — the canonical growth-analytics rollup.
+
+    Weeks are epoch-day div 7 (no calendar/locale dependence — Spark's
+    weekofyear and DuckDB's ISO weeks disagree on year boundaries)."""
+    # unix_micros, not to_unix_timestamp: the latter routes through the
+    # timezone-aware formatter machinery (measured ~10 s of plan build +
+    # per-row cost on this 4-scan plan); integer microseconds are exact
+    # and cheap on both engines
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("(unix_micros(ts) div 1000000) div 604800").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.select("user_id", "week").distinct()
+    base = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    out = base
+    for h in (1, 2):
+        ret = (
+            first.join(
+                active,
+                (first.user_id == active.user_id)
+                & (active.week == first.cohort_week + h),
+                "left_semi",
+            )
+            .groupBy("cohort_week")
+            .agg(F.count(F.lit(1)).alias(f"retained_w{h}"))
+        )
+        out = out.join(ret, "cohort_week", "left")
+    return out.select(
+        "cohort_week",
+        "n_users",
+        F.coalesce("retained_w1", F.lit(0)).alias("retained_w1"),
+        F.coalesce("retained_w2", F.lit(0)).alias("retained_w2"),
+    )
+
+
+_RETENTION_ORACLE = """
+WITH weeks AS (
+  -- integer microseconds (epoch_us // 1e6), mirroring Spark's
+  -- unix_micros: no fractional-second rounding ambiguity
+  SELECT user_id, (epoch_us(ts) // 1000000) // 604800 AS week FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM weeks),
+base AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users FROM first GROUP BY cohort_week),
+r1 AS (SELECT f.cohort_week, CAST(count(*) AS BIGINT) AS retained_w1
+       FROM first f WHERE EXISTS (SELECT 1 FROM active a
+             WHERE a.user_id = f.user_id AND a.week = f.cohort_week + 1)
+       GROUP BY f.cohort_week),
+r2 AS (SELECT f.cohort_week, CAST(count(*) AS BIGINT) AS retained_w2
+       FROM first f WHERE EXISTS (SELECT 1 FROM active a
+             WHERE a.user_id = f.user_id AND a.week = f.cohort_week + 2)
+       GROUP BY f.cohort_week)
+SELECT base.cohort_week, base.n_users,
+       coalesce(r1.retained_w1, 0) AS retained_w1,
+       coalesce(r2.retained_w2, 0) AS retained_w2
+FROM base LEFT JOIN r1 USING (cohort_week) LEFT JOIN r2 USING (cohort_week)
+"""
+
+
 def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every ingestion format must preserve the data: write customer
     out as csv, json and orc (cached per sf in scratch), read each back
@@ -1391,4 +1454,6 @@ SPECS = [
               "csv/json/orc ingestion round-trip with exact decimal checksum"),
     QuerySpec("events_funnel", events_funnel, _FUNNEL_ORACLE,
               "ordered signup→view→purchase conversion funnel (min-timestamp semantics)"),
+    QuerySpec("events_retention", events_retention, _RETENTION_ORACLE,
+              "weekly cohort retention (epoch-week cohorts, 1- and 2-week horizons)"),
 ]
