@@ -331,9 +331,47 @@ FROM ranked WHERE pr <= 0.5
 """
 
 
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Rabin-Karp-style) rolling-hash fingerprint over the
+    token stream: h = fold((acc·31 + v) mod 1e9+7) where v is each
+    token's md5-derived byte.  Order-SENSITIVE by construction — unlike
+    the k-min shingle fingerprint (:func:`text_fingerprint`), permuted
+    documents get different fingerprints, which is what you want for
+    exact-order dedup keys.  A pure map (one fold per doc), no shuffle;
+    all integer math, so bit-identical on every engine."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_vals = (
+        "transform(filter(split(text, '\\\\s+'), x -> length(x) > 0), "
+        "t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 256)"
+    )
+    fp = F.expr(
+        f"aggregate({tok_vals}, 0L, (acc, v) -> (acc * {ROLL_BASE} + v) % {ROLL_MOD})"
+    )
+    n_tok = F.expr("size(filter(split(text, '\\\\s+'), x -> length(x) > 0))").cast("long")
+    return d.select("doc_id", n_tok.alias("n_tokens"), fp.alias("fingerprint"))
+
+
+_ROLLING_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+       list_reduce(
+         list_prepend(0, list_transform(
+           list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 256)),
+         (acc, v) -> (acc * {ROLL_BASE} + v) % {ROLL_MOD}) AS fingerprint
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_rolling_fingerprint", text_rolling_fingerprint, _ROLLING_ORACLE,
+              "order-sensitive Rabin-Karp rolling-hash fingerprint over the token stream"),
     QuerySpec("text_quality_quantile_filter", text_quality_quantile_filter, _QUANTILE_FILTER_ORACLE,
               "per-language median punct-ratio quality filter (relative cutoff)"),
     QuerySpec("text_quality", text_quality, _QUALITY_ORACLE,
