@@ -467,6 +467,117 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 
 
 # ---------------------------------------------------------------------------
+# 5. k-means (3 unrolled Lloyd iterations) — the trained coarse
+#    quantizer knn_ivf's sampled centroids stand in for
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+KMEANS_Q = 1_000_000  # quantization scale: 1e-6 embedding units
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings quantized to integer millionths.
+
+    Quantization is what makes distributed k-means oracle-exact: the
+    centroid update sums MEMBER VECTORS elementwise, and float sums
+    depend on partition/visit order while integer sums do not.  Scoring
+    then uses ordered double folds (fixed per-row order — the proven
+    cross-engine-identical shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))"
+    )
+    return emb.select("vec_id", qv.alias("qv"))
+
+
+_COSINE_TO_CENT = (
+    "aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+    " / sqrt(aggregate(transform(cv, b -> CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster) after 3 Lloyd iterations of cosine k-means.
+
+    Seeds are corpus vectors 10..13 (same family as knn_ivf's coarse
+    cells — this IS the training loop that would turn them into a real
+    IVF quantizer).  Per iteration: broadcast the K centroids, score
+    every vector (argmax cosine, lowest-k tie break), then rebuild
+    centroids as exact integer member-sums (cosine only cares about
+    direction, so the un-normalized sum IS the mean centroid).  Each
+    iteration = one broadcast join + one 64-column keyed aggregation —
+    the canonical distributed-k-means shuffle shape."""
+    v = _quantized(spark, sf_dir).localCheckpoint(eager=False)
+    cents = v.where(
+        (F.col("vec_id") >= _CENTROID_BASE)
+        & (F.col("vec_id") < _CENTROID_BASE + KMEANS_K)
+    ).select((F.col("vec_id") - _CENTROID_BASE).alias("k"), F.col("qv").alias("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("k"))
+    assign = None
+    for it in range(KMEANS_ITERS):
+        assign = (
+            v.join(F.broadcast(cents))
+            .withColumn("score", F.expr(_COSINE_TO_CENT))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "k", "qv")
+        )
+        if it < KMEANS_ITERS - 1:
+            sums = assign.groupBy("k").agg(
+                *[F.sum(F.element_at("qv", i + 1)).alias(f"c{i}") for i in range(DIM)]
+            )
+            cents = sums.select(
+                "k", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cv")
+            ).localCheckpoint(eager=True)  # K rows; cuts the growing lineage
+    return assign.select("vec_id", F.col("k").alias("cluster"))
+
+
+def _kmeans_oracle() -> str:
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64), i -> "
+        "CAST(v.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))"
+    )
+    cnorm = (
+        "sqrt(list_sum(list_transform(generate_series(1, 64), i -> "
+        "CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))"
+    )
+    parts = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id - {_CENTROID_BASE} AS k, qv AS cv FROM q
+       WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + KMEANS_K})"""
+    ]
+    for it in range(KMEANS_ITERS):
+        parts.append(f"""s{it + 1} AS (
+  SELECT v.vec_id, c.k, {dot} / {cnorm} AS score
+  FROM q v CROSS JOIN c{it} c
+),
+a{it + 1} AS (
+  SELECT vec_id, k FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, k ASC) AS rn
+    FROM s{it + 1}
+  ) WHERE rn = 1
+)""")
+        if it < KMEANS_ITERS - 1:
+            parts.append(f"""c{it + 1} AS (
+  SELECT k, list(s ORDER BY i) AS cv FROM (
+    SELECT a.k, d.i, CAST(sum(v.qv[d.i]) AS BIGINT) AS s
+    FROM a{it + 1} a JOIN q v USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+    GROUP BY a.k, d.i
+  ) GROUP BY k
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT vec_id, k AS cluster FROM a{KMEANS_ITERS}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # pandas_udf alternative (Arrow-vectorized Python path)
 # ---------------------------------------------------------------------------
 
@@ -502,4 +613,6 @@ SPECS = [
               "ANN top-5 within random-hyperplane LSH bucket (scale path)"),
     QuerySpec("knn_ivf", knn_ivf, _KNN_IVF_ORACLE,
               "ANN top-5 via IVF coarse cells with nprobe=2 (cell-partitioned scale path)"),
+    QuerySpec("kmeans_assign", kmeans_assign, _kmeans_oracle(),
+              "3-iteration cosine k-means over quantized embeddings (broadcast centroids + 64-col keyed agg per iteration)"),
 ]
