@@ -159,6 +159,100 @@ SELECT rank, doc_id, bm25 FROM (
 """
 
 
+TFIDF_SCALE = 1000  # tf-idf weights quantized to 1e-3
+
+
+def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by FULL-VECTOR tf-idf cosine against the fixed
+    query terms — the vector-space retrieval model next to
+    :func:`bm25_rank`'s probabilistic one.
+
+    Weights are quantized to integer thousandths the moment ln() has
+    been applied: document norms then become integer sums (order-free
+    across any partitioning — a float norm over hundreds of terms WILL
+    flip last-ulp bits between engines), and every later product stays
+    exact.  Shapes: two keyed aggs (tf, df) + broadcast idf + one
+    keyed norm agg + a 3-term broadcast join for the numerator —
+    single-scan, all shuffles on doc_id/term."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(f"CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE}) AS BIGINT)").alias("w"),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    qv = (
+        df_.crossJoin(F.broadcast(n))
+        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .select(
+            "term",
+            F.expr(f"CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE}) AS BIGINT)").alias("q"),
+        )
+    )
+    qn = qv.agg(F.sum(F.col("q") * F.col("q")).alias("qn2"))
+    num = (
+        w.join(F.broadcast(qv), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("q")).alias("num"))
+    )
+    cosine = F.col("num") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))
+    )
+    scored = (
+        num.join(norm, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select("doc_id", cosine.alias("cosine"))
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(10)
+    rank_w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rank_w)).select(
+        "rank", "doc_id", "cosine"
+    )
+
+
+_TFIDF_COSINE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks_f),
+w AS (
+  SELECT doc_id, term,
+         CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * {TFIDF_SCALE}) AS BIGINT) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+qv AS (
+  SELECT term, CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df.df) * {TFIDF_SCALE}) AS BIGINT) AS q
+  FROM df CROSS JOIN n WHERE term IN {BM25_QUERY_TERMS!r}
+),
+qn AS (SELECT CAST(sum(q * q) AS BIGINT) AS qn2 FROM qv),
+num AS (SELECT w.doc_id, CAST(sum(w.w * qv.q) AS BIGINT) AS num
+        FROM w JOIN qv USING (term) GROUP BY w.doc_id),
+scored AS (
+  SELECT num.doc_id,
+         num.num / (sqrt(CAST(norm.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))) AS cosine
+  FROM num JOIN norm USING (doc_id) CROSS JOIN qn
+)
+SELECT rank, doc_id, cosine FROM (
+  SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank FROM scored
+) WHERE rank <= 10
+"""
+
+
 MAX_PACK_TOKENS = 512
 
 #: per-mille keep rates per language (en half, de quarter, fr eighth) —
@@ -240,6 +334,8 @@ SPECS = [
               "composed quality→dedup→lang→stats pipeline"),
     QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
               "BM25 top-10 for a fixed query term set"),
+    QuerySpec("tfidf_cosine_rank", tfidf_cosine_rank, _TFIDF_COSINE_ORACLE,
+              "full-vector tf-idf cosine top-10 (integer-quantized weights, order-free norms)"),
     QuerySpec("pipeline_pack_sequences", pipeline_pack_sequences, _PACK_ORACLE,
               "concat-and-chunk sequence packing into 512-token context windows per source shard"),
     QuerySpec("sample_stratified", sample_stratified, _stratified_oracle(),
