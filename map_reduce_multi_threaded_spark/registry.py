@@ -51,11 +51,6 @@ def collect_specs() -> list[QuerySpec]:
     )
     from .streaming import queries as streaming_queries
 
-    # Module order == driver sweep order.  Round 1's driver stopped at
-    # spec #50 (a sweep cap), leaving everything after the dedup module
-    # unverified — so the modules that were cut off (similarity,
-    # textstats, multimodal, udf_suite, pipeline, streaming) now come
-    # FIRST; the round-1-verified relational/dedup bulk comes last.
     specs: list[QuerySpec] = []
     for mod in (wordcount, similarity, textstats, multimodal, udf_suite, pipeline, graph, streaming_queries, relational, dedup):
         specs.extend(mod.SPECS)
@@ -63,4 +58,41 @@ def collect_specs() -> list[QuerySpec]:
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(f"duplicate query names in registry: {dupes}")
-    return specs
+    # Sweep order: round 1's driver stopped at spec #50 (a sweep cap),
+    # leaving everything after it unverified.  Order specs so queries
+    # WITHOUT a prior-round green CORRECTNESS record come first — new
+    # queries and previously-failing ones get driver coverage before
+    # the already-proven bulk, and the union across rounds converges
+    # to full coverage even under a per-round cap.  Stable within each
+    # group, falls back to module order when no records exist.
+    proven = _previously_green()
+    return sorted(
+        specs, key=lambda s: (s.name in proven, names.index(s.name))
+    )
+
+
+def _previously_green() -> frozenset[str]:
+    """Names with a passing record in any prior CORRECTNESS_r*.json
+    (hash match, or a rows-only check for oracle-less specs)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                records = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            ):
+                green.add(name)
+    return frozenset(green)
