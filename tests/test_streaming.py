@@ -147,3 +147,33 @@ def test_multibatch_replay_progresses_watermark(spark, sf_oracle_dir):
     wms = [p["eventTime"].get("watermark", "") for p in progress]
     assert wms == sorted(wms), f"watermark not monotone: {wms}"
     assert len(set(wms)) >= 4, f"watermark barely advanced: {wms}"
+
+
+def test_transform_with_state_gated(spark, sf_oracle_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4's arbitrary-state API) — its
+    state-protocol worker needs google.protobuf, absent in this
+    container, so the full drain only runs where protobuf is available;
+    everywhere else we still pin that the plan BUILDS (API wired
+    correctly) and skip execution."""
+    import pytest
+
+    from map_reduce_multi_threaded_spark.streaming.stateful import (
+        running_user_counts_tws,
+    )
+
+    ev = W.read_events_stream(spark, sf_oracle_dir)
+    out = running_user_counts_tws(ev)  # plan construction must succeed
+    assert set(out.schema.fieldNames()) == {"user_id", "n_events", "last_ts_us"}
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available; cannot run the state worker")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = W.run_to_memory(out, "tws_gated_sink", output_mode="update")
+        assert got.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
