@@ -1354,6 +1354,82 @@ FROM base LEFT JOIN r1 USING (cohort_week) LEFT JOIN r2 USING (cohort_week)
 """
 
 
+RESAMPLE_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: per user, a REGULAR
+    6-hour grid from their first to last event, each point carrying the
+    value of the last event at or before it — the gap-filling step
+    before any rolling-feature computation.
+
+    Determinism: buckets are integer epoch divisions; 'last event in
+    bucket' is a row_number with (ts, event_id) tie-break; the filled
+    value is PICKED (last non-null over the bucket order), never
+    arithmetic — so doubles pass through untouched.  Scale: one window
+    per (user, bucket), one per user — both keyed shuffles; the grid
+    explodes from per-user bounds, no driver loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("unix_micros(ts)").alias("tu"),
+        F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("bucket"),
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("tu"), F.desc("event_id")
+    )
+    last_in = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("bucket").alias("mb"), F.max("bucket").alias("xb"))
+        .select("user_id", F.explode(F.expr("sequence(mb, xb)")).alias("bucket"))
+    )
+    w_ff = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(last_in, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.last("value", ignorenulls=True).over(w_ff).alias("value_ff"),
+        )
+    )
+
+
+_RESAMPLE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) AS tu,
+         epoch_us(ts) // {RESAMPLE_BUCKET_US} AS bucket
+  FROM events
+),
+last_in AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                 ORDER BY tu DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mb, xb)) AS bucket
+  FROM (SELECT user_id, min(bucket) AS mb, max(bucket) AS xb FROM ev GROUP BY user_id)
+)
+SELECT g.user_id, g.bucket,
+       last_value(l.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+FROM grid g LEFT JOIN last_in l ON g.user_id = l.user_id AND g.bucket = l.bucket
+"""
+
+
 def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every ingestion format must preserve the data: write customer
     out as csv, json and orc (cached per sf in scratch), read each back
@@ -1456,4 +1532,6 @@ SPECS = [
               "ordered signup→view→purchase conversion funnel (min-timestamp semantics)"),
     QuerySpec("events_retention", events_retention, _RETENTION_ORACLE,
               "weekly cohort retention (epoch-week cohorts, 1- and 2-week horizons)"),
+    QuerySpec("events_resample_ffill", events_resample_ffill, _RESAMPLE_ORACLE,
+              "6-hour grid resampling with forward fill (gap-filling time series)"),
 ]
