@@ -58,29 +58,43 @@ def collect_specs() -> list[QuerySpec]:
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(f"duplicate query names in registry: {dupes}")
-    # Sweep order: round 1's driver stopped at spec #50 (a sweep cap),
-    # leaving everything after it unverified.  Order specs so queries
-    # WITHOUT a prior-round green CORRECTNESS record come first — new
-    # queries and previously-failing ones get driver coverage before
-    # the already-proven bulk, and the union across rounds converges
-    # to full coverage even under a per-round cap.  Stable within each
-    # group, falls back to module order when no records exist.
-    proven = _previously_green()
-    return sorted(
-        specs, key=lambda s: (s.name in proven, names.index(s.name))
-    )
+    # Sweep order (the driver checks the first ~50 specs per round, so
+    # ordering decides what gets verified).  Change-aware since round 3:
+    # a green record only counts as "proven" if it is the query's MOST
+    # RECENT record (a later hash-fail demotes it) AND the module
+    # defining the query has not been committed/edited since that
+    # record landed (a rewrite invalidates the old green — round 2
+    # shipped two rewritten dedup queries whose r1 records were stale).
+    # Groups, in sweep order:
+    #   0. never driver-checked (new queries need a first record),
+    #   1. regressed or changed-since-last-green, oldest green first,
+    #   2. validly proven, oldest green record first.
+    # Stable module order within ties.
+    rank = _sweep_rank()
+    return sorted(specs, key=lambda s: (*rank(s), names.index(s.name)))
 
 
-def _previously_green() -> frozenset[str]:
-    """Names with a passing record in any prior CORRECTNESS_r*.json
-    (hash match, or a rows-only check for oracle-less specs)."""
+def _sweep_rank():
+    """Build the (group, newest_green_round) key function described in
+    :func:`collect_specs`, from CORRECTNESS_r*.json history + git."""
     import glob
     import json
     import os
+    import re
+    import sys
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    # newest record per query wins: {name: (round, green)}
+    latest: dict[str, tuple[int, bool]] = {}
+    # newest GREEN record per query: {name: round}
+    latest_green: dict[str, int] = {}
+    round_files: dict[int, str] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        round_files[rnd] = path
         try:
             with open(path) as f:
                 records = json.load(f)
@@ -91,8 +105,64 @@ def _previously_green() -> frozenset[str]:
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            ):
-                green.add(name)
-    return frozenset(green)
+            green = bool(
+                rec.get("hash_match")
+                or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
+            )
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, green)
+            if green and latest_green.get(name, -1) < rnd:
+                latest_green[name] = rnd
+
+    commit_ct_cache: dict[str, int | None] = {}
+
+    def _commit_ct(path: str) -> int | None:
+        """Unix time of the last commit touching ``path``; the file
+        mtime when git is unavailable or the file has uncommitted
+        edits (mtime of a dirty file >= any record commit, so dirty
+        counts as changed)."""
+        if path in commit_ct_cache:
+            return commit_ct_cache[path]
+        ct: int | None = None
+        try:
+            import subprocess
+
+            dirty = subprocess.run(
+                ["git", "-C", here, "status", "--porcelain", "--", path],
+                capture_output=True, text=True, timeout=10,
+            )
+            if dirty.returncode == 0 and not dirty.stdout.strip():
+                out = subprocess.run(
+                    ["git", "-C", here, "log", "-1", "--format=%ct", "--", path],
+                    capture_output=True, text=True, timeout=10,
+                )
+                if out.returncode == 0 and out.stdout.strip():
+                    ct = int(out.stdout.strip())
+        except Exception:
+            ct = None
+        if ct is None:
+            try:
+                ct = int(os.path.getmtime(path))
+            except OSError:
+                ct = None
+        commit_ct_cache[path] = ct
+        return ct
+
+    def rank(spec: QuerySpec) -> tuple[int, int]:
+        rec = latest.get(spec.name)
+        if rec is None:
+            return (0, 0)  # never checked
+        green_round = latest_green.get(spec.name, 0)
+        if not rec[1]:
+            return (1, green_round)  # newest record is a fail
+        mod = sys.modules.get(spec.fn.__module__)
+        mod_file = getattr(mod, "__file__", None)
+        rec_file = round_files.get(green_round)
+        if mod_file and rec_file:
+            mod_ct = _commit_ct(mod_file)
+            rec_ct = _commit_ct(rec_file)
+            if mod_ct is not None and rec_ct is not None and mod_ct > rec_ct:
+                return (1, green_round)  # rewritten since its green record
+        return (2, green_round)
+
+    return rank
