@@ -63,9 +63,11 @@ HEADLINE = [
 REGRESSION_FACTOR = 1.5
 
 
-def _previous_bench() -> dict[str, float]:
+def _previous_bench(current_sf: float) -> dict[str, float]:
     """Per-query seconds from the newest BENCH_r*.json next to this
-    script, {} if none."""
+    script, {} if none.  A recorded run at a DIFFERENT scale factor is
+    not comparable (larger sf would emit spurious regressions, smaller
+    would mask real ones) — the gate skips with a stderr note."""
     import glob
     import re
 
@@ -83,6 +85,14 @@ def _previous_bench() -> dict[str, float]:
         # the round driver wraps bench.py's JSON line under "parsed"
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
+        recorded_sf = d.get("sf")
+        if recorded_sf is not None and recorded_sf != current_sf:
+            print(
+                f"regression gate skipped: recorded bench is sf={recorded_sf}, "
+                f"this run is sf={current_sf}",
+                file=sys.stderr,
+            )
+            return {}
         return d.get("queries", {}) or {}
     except (OSError, json.JSONDecodeError):
         return {}
@@ -116,7 +126,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    prev = _previous_bench()
+    prev = _previous_bench(sf)
     regressions = {
         name: {"prev": prev[name], "now": t}
         for name, t in timings.items()

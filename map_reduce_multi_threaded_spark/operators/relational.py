@@ -1442,9 +1442,10 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.formats import read_csv, read_json, read_orc
+    from ..sources.tables import stage_scratch_dir
 
     c = load_table(spark, sf_dir, "customer")
-    base = f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}/formats"
+    base = stage_scratch_dir(sf_dir, "formats", "customer")
     marker = os.path.join(base, "_WRITTEN")
     if not os.path.exists(marker):
         c.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
@@ -1475,6 +1476,93 @@ SELECT fmt, n_rows, sum_acctbal FROM (
          CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
   FROM customer
 ) CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+"""
+
+
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hot-key join as :func:`join_skew_salted` but UNSALTED:
+    events.event_type has 5 values over the whole fact table, so the
+    shuffle join funnels each type through one reducer — and the fix
+    is left to ADAPTIVE QUERY EXECUTION.  The ``merge`` hint keeps the
+    tiny build side out of a broadcast so the plan stays a sort-merge
+    join, the shape AQE's skew-join rule rewrites: at runtime it
+    splits any partition larger than ``skewedPartitionFactor`` ×
+    median (duplicating the matching build rows), which is the 100 TB
+    answer for skew you did not predict — salting is the portable
+    manual form when you did.  At test scale the partitions are below
+    the default 256 MB threshold so no split fires (the plan-shape
+    test lowers the thresholds and asserts the split); the result is
+    identical either way, which is exactly the point of AQE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weights = ev.groupBy("event_type").agg(F.min("event_id").alias("first_seen"))
+    return (
+        ev.join(weights.hint("merge"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("first_seen").alias("first_seen"),
+        )
+    )
+
+
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): per-returnflag decimal sums of
+    three measures, then ``DataFrame.unpivot`` turns the 3 measure
+    columns into (measure, value) rows — the inverse of
+    :func:`agg_pivot`.  Unpivot is a zero-shuffle projection (each row
+    expands to 3 in place), so the only exchange is the aggregation's.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(16,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(12,4)")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+_AGG_UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(16,2))) AS DOUBLE) AS sum_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+"""
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width_bucket analogue): bin event values
+    into width-50 buckets per event type, with count and exact decimal
+    mass per bin.  One map-side bucket computation + one keyed
+    aggregation — the canonical distribution-profiling scan, linear at
+    any scale.  ``floor(value/50.0)`` is pure IEEE double math, bit-
+    identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(50.0)).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HISTOGRAM_ORACLE = """
+SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
 

@@ -64,3 +64,25 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:
+    """Scratch directory for staged derivatives of ``sf_dir`` tables,
+    keyed by a CONTENT fingerprint of the source parquet files
+    (absolute path + mtime + size), not just the sf dir basename — two
+    sf dirs with the same basename, or a regenerated fixture, must not
+    serve stale staged data (ADVICE r2)."""
+    import hashlib
+    import os
+
+    parts = []
+    for t in source_tables:
+        p = os.path.abspath(f"{sf_dir}/{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{p}:missing")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/spark_graft_stage/{base}-{fp}/{kind}"

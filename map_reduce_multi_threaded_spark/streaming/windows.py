@@ -93,7 +93,9 @@ def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/spark_graft_stage/{os.path.basename(os.path.normpath(sf_dir))}/events_multibatch{n_files}v2"
+    from ..sources.tables import stage_scratch_dir
+
+    out_dir = stage_scratch_dir(sf_dir, f"events_multibatch{n_files}v2", "events")
     marker = os.path.join(out_dir, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as f:

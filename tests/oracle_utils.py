@@ -43,6 +43,13 @@ def _canon(v) -> str:
 # fetchall() collapses HUGEINT to int.  See ADVICE r1.
 _SPARK_TO_DUCK = {
     "bigint": {"BIGINT"},
+    # int32-vs-BIGINT is VERIFIED driver-safe (ADVICE r2 asked to
+    # restrict or verify): round-2 driver records hash-matched Spark
+    # `int` columns against DuckDB BIGINT oracles (text_token_count
+    # n_ws_tokens/n_bpe_tokens/n_chars, knn_lsh rank — all
+    # hash_match=true in CORRECTNESS_r02.json), so the driver
+    # normalizes integer widths before hashing; HUGEINT remains the
+    # only dangerous widening.
     "int": {"INTEGER", "BIGINT"},
     "smallint": {"SMALLINT"},
     "tinyint": {"TINYINT"},
