@@ -1480,30 +1480,51 @@ SELECT fmt, n_rows, sum_acctbal FROM (
 
 
 def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same hot-key join as :func:`join_skew_salted` but UNSALTED:
-    events.event_type has 5 values over the whole fact table, so the
-    shuffle join funnels each type through one reducer — and the fix
-    is left to ADAPTIVE QUERY EXECUTION.  The ``merge`` hint keeps the
-    tiny build side out of a broadcast so the plan stays a sort-merge
-    join, the shape AQE's skew-join rule rewrites: at runtime it
-    splits any partition larger than ``skewedPartitionFactor`` ×
-    median (duplicating the matching build rows), which is the 100 TB
-    answer for skew you did not predict — salting is the portable
-    manual form when you did.  At test scale the partitions are below
-    the default 256 MB threshold so no split fires (the plan-shape
-    test lowers the thresholds and asserts the split); the result is
-    identical either way, which is exactly the point of AQE.
+    """Hot-key join left UNSALTED, with skew handling delegated to
+    ADAPTIVE QUERY EXECUTION: events.event_type has 5 values over the
+    whole fact table, so the shuffle join funnels each type through
+    one reducer — at 100 TB that reducer is the job.  AQE's skew rule
+    (``OptimizeSkewedJoin``) splits any reduce partition larger than
+    max(``skewedPartitionFactor`` × median, threshold) into groups of
+    map outputs, duplicating the matching rows of the other side —
+    the answer for skew you did not predict; :func:`join_skew_salted`
+    is the portable manual form for skew you did.
+
+    Two shape constraints make this the canonical AQE-skew demo:
+    the ``merge`` hint keeps the small seed side out of a broadcast
+    (broadcast joins have no skew problem), and BOTH join inputs are
+    plain filtered scans — the rule's pattern only matches a
+    sort-merge join whose children are Sort directly over a shuffle
+    stage, so an aggregate between shuffle and join would disable the
+    rewrite entirely.  At test scale partitions sit far below the
+    default 256 MB threshold so no split fires in the normal run; the
+    plan-shape test (tests/test_relational.py::test_aqe_skew_join_split)
+    stages events as a multi-file parquet (multiple map outputs are
+    the split unit), lowers the thresholds to byte scale, and asserts
+    ``skew=true`` in the final adaptive plan.  The result is identical
+    either way — which is exactly the point of AQE.
     """
     ev = load_table(spark, sf_dir, "events")
-    weights = ev.groupBy("event_type").agg(F.min("event_id").alias("first_seen"))
+    seeds = ev.where(F.col("event_id") < 100).select(
+        "event_type", F.col("event_id").alias("seed_id")
+    )
     return (
-        ev.join(weights.hint("merge"), "event_type")
+        ev.join(seeds.hint("merge"), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("first_seen").alias("first_seen"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("seed_id").alias("first_seed"),
         )
     )
+
+
+_JOIN_SKEW_AQE_ORACLE = """
+SELECT e.event_type, count(*) AS n_pairs, min(s.seed_id) AS first_seed
+FROM events e
+JOIN (SELECT event_type, event_id AS seed_id FROM events WHERE event_id < 100) s
+  ON e.event_type = s.event_type
+GROUP BY e.event_type
+"""
 
 
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,4 +1643,10 @@ SPECS = [
               "weekly cohort retention (epoch-week cohorts, 1- and 2-week horizons)"),
     QuerySpec("events_resample_ffill", events_resample_ffill, _RESAMPLE_ORACLE,
               "6-hour grid resampling with forward fill (gap-filling time series)"),
+    QuerySpec("join_skew_aqe", join_skew_aqe, _JOIN_SKEW_AQE_ORACLE,
+              "unsalted hot-key join left to AQE runtime skew-split"),
+    QuerySpec("agg_unpivot", agg_unpivot, _AGG_UNPIVOT_ORACLE,
+              "wide-to-long unpivot/melt (inverse of agg_pivot)"),
+    QuerySpec("events_histogram", events_histogram, _EVENTS_HISTOGRAM_ORACLE,
+              "fixed-width value histogram per event type"),
 ]

@@ -71,9 +71,17 @@ def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:
     keyed by a CONTENT fingerprint of the source parquet files
     (absolute path + mtime + size), not just the sf dir basename — two
     sf dirs with the same basename, or a regenerated fixture, must not
-    serve stale staged data (ADVICE r2)."""
+    serve stale staged data (ADVICE r2).
+
+    Layout is ``<root>/<base>/<kind>-<fp>`` so that when a fixture is
+    regenerated the stale same-kind sibling (old fingerprint) can be
+    pruned without touching other kinds' staging keyed on different
+    source tables (ADVICE r3: fingerprinted dirs were never cleaned
+    up).  Legacy flat ``<base>-<fp>`` dirs from the old layout are
+    removed too — nothing reads them anymore."""
     import hashlib
     import os
+    import shutil
 
     parts = []
     for t in source_tables:
@@ -85,4 +93,16 @@ def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:
             parts.append(f"{p}:missing")
     fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
     base = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/spark_graft_stage/{base}-{fp}/{kind}"
+    root = "/tmp/spark_graft_stage"
+    try:
+        for d in os.listdir(root):
+            full = os.path.join(root, d)
+            if d.startswith(f"{base}-"):  # legacy flat layout
+                shutil.rmtree(full, ignore_errors=True)
+            elif d == base and os.path.isdir(full):
+                for sub in os.listdir(full):
+                    if sub.startswith(f"{kind}-") and sub != f"{kind}-{fp}":
+                        shutil.rmtree(os.path.join(full, sub), ignore_errors=True)
+    except OSError:
+        pass
+    return f"{root}/{base}/{kind}-{fp}"

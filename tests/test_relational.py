@@ -75,3 +75,52 @@ def test_column_pruning_plan(spark, sf_dir):
 def test_sort_limit_is_take_ordered(spark, sf_dir):
     """Global top-N must be TakeOrderedAndProject, not a full sort."""
     assert "TakeOrderedAndProject" in _plan(relational.sort_limit(spark, sf_dir))
+
+
+def test_aqe_skew_join_split(spark, sf_dir):
+    """join_skew_aqe delegates skew to AQE; prove the rewrite fires.
+
+    At test scale every table is one parquet row group = one map task,
+    and OptimizeSkewedJoin splits a reduce partition into groups of
+    MAP outputs — one mapper means nothing to split.  So the test
+    stages the same events rows as an 8-file parquet directory (the
+    multi-mapper layout any real cluster input has), lowers the skew
+    thresholds to byte scale (the lz4-compressed hot partitions are
+    tiny here), and asserts the final adaptive plan marks the join
+    skew=true.  forceOptimizeSkewedJoin is required because the
+    downstream groupBy reuses the join's hash partitioning, so the
+    split introduces an extra shuffle — the local-vs-global tradeoff
+    AQE weighs at real scale."""
+    import os
+
+    from map_reduce_multi_threaded_spark.sources.tables import stage_scratch_dir
+
+    base = stage_scratch_dir(sf_dir, "aqe_skew", "events")
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(8, "event_id").write.mode("overwrite").parquet(
+            os.path.join(base, "events.parquet")
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50b",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = relational.join_skew_aqe(spark, base)
+        rows = df.collect()  # execute THIS plan: AQE finalizes lazily
+        plan = _plan(df)
+        assert len(rows) == 5
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
