@@ -74,9 +74,88 @@ def collect_specs() -> list[QuerySpec]:
     return sorted(specs, key=lambda s: (*rank(s), names.index(s.name)))
 
 
-def _sweep_rank():
+def _module_graph() -> tuple[dict[str, str], dict[str, set[str]]]:
+    """Static intra-package import graph: ``{module: file}`` and
+    ``{module: set(imported package modules)}``, from ``ast`` over
+    every ``.py`` file in the package.  Used by the sweep ordering —
+    a query is only "validly proven" if NOTHING in its import closure
+    changed since its green record, not just its defining module
+    (round 3 edited ``streaming/windows.py`` without demoting the
+    ``streaming/queries.py`` queries that depend on it)."""
+    import ast
+    import os
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_root)
+    parent = os.path.dirname(pkg_root)
+    files: dict[str, str] = {}
+    for dirpath, _, fnames in os.walk(pkg_root):
+        for fn in fnames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            mod = os.path.relpath(path, parent)[: -len(".py")].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            files[mod] = path
+    edges: dict[str, set[str]] = {m: set() for m in files}
+    for mod, path in files.items():
+        try:
+            with open(path) as f:
+                tree = ast.parse(f.read())
+        except (OSError, SyntaxError):
+            continue
+        parts = mod.split(".")
+        # package context for relative-import resolution
+        base_parts = parts if path.endswith("__init__.py") else parts[:-1]
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    name = a.name
+                    while name and name not in files:
+                        name = name.rpartition(".")[0]
+                    if name:
+                        edges[mod].add(name)
+            elif isinstance(node, ast.ImportFrom):
+                if node.level == 0:
+                    base = node.module or ""
+                    if base != pkg_name and not base.startswith(pkg_name + "."):
+                        continue
+                else:
+                    anchor = base_parts[: len(base_parts) - (node.level - 1)]
+                    base = ".".join(anchor + ([node.module] if node.module else []))
+                for cand in [base] + [f"{base}.{a.name}" for a in node.names]:
+                    if cand in files:
+                        edges[mod].add(cand)
+    # This module aggregates EVERY operator module in collect_specs(),
+    # so leaving its outgoing edges in place would make every query's
+    # closure the whole package (operator -> registry -> all operators)
+    # and mass-demote on any edit.  The registry contains sweep
+    # ordering only — no query semantics — so it contributes no edges.
+    edges[f"{pkg_name}.registry"] = set()
+    return files, edges
+
+
+def _import_closure(mod: str, edges: dict[str, set[str]]) -> set[str]:
+    """Transitive closure of ``mod`` over the static import graph
+    (including ``mod`` itself)."""
+    seen: set[str] = set()
+    stack = [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(edges.get(m, ()))
+    return seen
+
+
+def _sweep_rank(commit_ct_fn=None):
     """Build the (group, newest_green_round) key function described in
-    :func:`collect_specs`, from CORRECTNESS_r*.json history + git."""
+    :func:`collect_specs`, from CORRECTNESS_r*.json history + git.
+
+    ``commit_ct_fn`` overrides the git/mtime change-time lookup (tests
+    inject a fake clock to prove the demotion logic)."""
     import glob
     import json
     import os
@@ -114,6 +193,7 @@ def _sweep_rank():
             if green and latest_green.get(name, -1) < rnd:
                 latest_green[name] = rnd
 
+    mod_files, mod_edges = _module_graph()
     commit_ct_cache: dict[str, int | None] = {}
 
     def _commit_ct(path: str) -> int | None:
@@ -148,6 +228,20 @@ def _sweep_rank():
         commit_ct_cache[path] = ct
         return ct
 
+    ct_fn = commit_ct_fn or _commit_ct
+
+    def _closure_ct(mod_name: str) -> int | None:
+        """Newest change time over the module's transitive
+        intra-package import closure (None if nothing resolvable —
+        then the check abstains rather than demoting everything)."""
+        paths = [mod_files[m] for m in _import_closure(mod_name, mod_edges) if m in mod_files]
+        if not paths:
+            mod = sys.modules.get(mod_name)
+            mod_file = getattr(mod, "__file__", None)
+            paths = [mod_file] if mod_file else []
+        cts = [c for c in (ct_fn(p) for p in paths) if c is not None]
+        return max(cts) if cts else None
+
     def rank(spec: QuerySpec) -> tuple[int, int]:
         rec = latest.get(spec.name)
         if rec is None:
@@ -155,14 +249,14 @@ def _sweep_rank():
         green_round = latest_green.get(spec.name, 0)
         if not rec[1]:
             return (1, green_round)  # newest record is a fail
-        mod = sys.modules.get(spec.fn.__module__)
-        mod_file = getattr(mod, "__file__", None)
         rec_file = round_files.get(green_round)
-        if mod_file and rec_file:
-            mod_ct = _commit_ct(mod_file)
-            rec_ct = _commit_ct(rec_file)
+        if rec_file:
+            mod_ct = _closure_ct(spec.fn.__module__)
+            rec_ct = ct_fn(rec_file)
             if mod_ct is not None and rec_ct is not None and mod_ct > rec_ct:
-                return (1, green_round)  # rewritten since its green record
+                # the query or anything it imports was rewritten since
+                # its green record — the old green no longer proves it
+                return (1, green_round)
         return (2, green_round)
 
     return rank

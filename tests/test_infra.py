@@ -165,3 +165,48 @@ def test_missing_sf_dir_raises(spark):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         word_counts(spark, "/root/testdata/sf_does_not_exist").collect()
+
+
+def test_sweep_demotes_on_helper_module_edit():
+    """The change-aware sweep must key on a query's whole import
+    closure, not just its defining module: an edit to
+    streaming/windows.py (a helper) invalidates the green records of
+    streaming/queries.py queries that import it (VERDICT r3 blind
+    spot).  A fake clock makes windows.py newer than every
+    CORRECTNESS record while all other files stay older."""
+    import os
+
+    from map_reduce_multi_threaded_spark import registry
+    from map_reduce_multi_threaded_spark.registry import (
+        _import_closure,
+        _module_graph,
+        _sweep_rank,
+    )
+
+    files, edges = _module_graph()
+    pkg = "map_reduce_multi_threaded_spark"
+    closure = _import_closure(f"{pkg}.streaming.queries", edges)
+    assert f"{pkg}.streaming.windows" in closure
+    assert f"{pkg}.sources.tables" in closure  # transitive, via windows
+
+    def fake_ct(path: str) -> int:
+        name = os.path.basename(path)
+        if name == "windows.py" and f"{os.sep}streaming{os.sep}" in path:
+            return 2_000  # edited after every green record
+        return 1_000  # records and all other modules: older
+
+    rank = _sweep_rank(commit_ct_fn=fake_ct)
+    from map_reduce_multi_threaded_spark.streaming import queries as sq
+
+    by_name = {s.name: s for s in sq.SPECS}
+    spec = by_name["stream_tumbling_multibatch"]
+    group, _ = rank(spec)
+    assert group == 1, "helper edit must demote the importing query"
+
+    # control: a relational query whose closure excludes windows.py
+    # keeps its proven status under the same fake clock
+    from map_reduce_multi_threaded_spark.operators import relational
+
+    rel_spec = {s.name: s for s in relational.SPECS}["q6_revenue"]
+    rel_group, _ = rank(rel_spec)
+    assert rel_group == 2, "unrelated query must stay proven"
