@@ -56,6 +56,13 @@ HEADLINE = [
     "stream_join_left_outer",      # stream-stream left outer interval join
     "sql_q3_shipping_priority",    # TPC-H Q3 via spark.sql (3-way join + top-k)
     "multimodal_embed_knn",        # binary -> featurize -> cosine top-3
+    "knn_ivf",              # IVF ANN (broadcast centroids + nprobe cells)
+    "kmeans_assign",        # k-means trainer (integer-quantized sums)
+    "graph_pagerank",       # Pregel-shaped iteration, checkpointed edges
+    "events_resample_ffill",  # regular-grid gap fill (sequence + last ignorenulls)
+    "join_skew_aqe",        # unsalted hot-key join under AQE skew rule
+    "agg_unpivot",          # wide-to-long melt after keyed agg
+    "events_histogram",     # fixed-width histogram scan
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
@@ -63,7 +70,7 @@ HEADLINE = [
 REGRESSION_FACTOR = 1.5
 
 
-def _previous_bench(current_sf: float) -> dict[str, float]:
+def _previous_bench(current_sf: float, current_sf_dir: str) -> dict[str, float]:
     """Per-query seconds from the newest BENCH_r*.json next to this
     script, {} if none.  A recorded run at a DIFFERENT scale factor is
     not comparable (larger sf would emit spurious regressions, smaller
@@ -85,8 +92,27 @@ def _previous_bench(current_sf: float) -> dict[str, float]:
         # the round driver wraps bench.py's JSON line under "parsed"
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
+        recorded_dir = d.get("sf_dir")
+        if recorded_dir is not None and recorded_dir != current_sf_dir:
+            # two custom dirs can parse to the same sf float; the dir
+            # path is the authoritative scale identity (ADVICE r3)
+            print(
+                f"regression gate skipped: recorded bench dir {recorded_dir!r} "
+                f"!= {current_sf_dir!r}",
+                file=sys.stderr,
+            )
+            return {}
         recorded_sf = d.get("sf")
-        if recorded_sf is not None and recorded_sf != current_sf:
+        if recorded_sf is None:
+            # pre-r3 bench files carry no sf; a cross-scale comparison
+            # would emit spurious regressions (or mask real ones), so
+            # abstain rather than guess (ADVICE r3)
+            print(
+                "regression gate skipped: recorded bench has no 'sf' key",
+                file=sys.stderr,
+            )
+            return {}
+        if recorded_sf != current_sf:
             print(
                 f"regression gate skipped: recorded bench is sf={recorded_sf}, "
                 f"this run is sf={current_sf}",
@@ -126,7 +152,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    prev = _previous_bench(sf)
+    prev = _previous_bench(sf, sf_dir)
     regressions = {
         name: {"prev": prev[name], "now": t}
         for name, t in timings.items()
@@ -144,6 +170,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sf_dir": sf_dir,
     }
     if regressions:
         out["regressions"] = regressions
