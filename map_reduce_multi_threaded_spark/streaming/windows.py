@@ -63,20 +63,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 SENTINEL_EVENT_ID = 10_000_000
 
 
-def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
+def stage_events_multibatch(
+    sf_dir: str, n_files: int = 4, n_sentinels: int = 2
+) -> tuple[str, str]:
     """Split events.parquet into ``n_files`` time-ordered parquet files
-    plus TWO far-future sentinel files in a scratch dir, so a file
-    stream with ``maxFilesPerTrigger=1`` replays it as n+2 micro-batches
-    with monotonically advancing event time.  Returns (dir, cutoff)
-    where cutoff is the max REAL event time as 'yyyy-MM-dd HH:mm:ss' —
-    results are filtered back to windows at or before it.
+    plus ``n_sentinels`` far-future sentinel files in a scratch dir, so
+    a file stream with ``maxFilesPerTrigger=1`` replays it as
+    n+n_sentinels micro-batches with monotonically advancing event
+    time.  Returns (dir, cutoff) where cutoff is the max REAL event
+    time as 'yyyy-MM-dd HH:mm:ss' — results are filtered back to
+    windows at or before it.
 
-    Why two sentinels: the watermark computed from a batch's data takes
-    effect in the NEXT batch — sentinel #1 advances it past every real
-    event, sentinel #2's batch is where closed windows / expired outer-
-    join state actually emit.  Files are time-ordered so nothing is ever
-    late; the oracle is therefore the plain batch answer while watermark
-    progression and state eviction are genuinely exercised.
+    Why sentinels at all: the watermark computed from a batch's data
+    takes effect in the NEXT batch — sentinel #1 advances it past every
+    real event.  With ``noDataMicroBatches`` (on by default) the engine
+    then runs one final empty batch where the advanced watermark
+    closes windows / expires outer-join state, so ONE sentinel
+    suffices; a second sentinel forces the emission through a real
+    data batch instead (``stream_tumbling_multibatch`` keeps 2 to
+    exercise that path — ``stream_join_left_outer`` uses 1).  Files
+    are time-ordered so nothing is ever late; the oracle is therefore
+    the plain batch answer while watermark progression and state
+    eviction are genuinely exercised.
 
     Each sentinel file carries one 'purchase' and one 'error' row
     (user_id -1/-2, matching no real user) besides a neutral marker row:
@@ -95,7 +103,9 @@ def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
 
     from ..sources.tables import stage_scratch_dir
 
-    out_dir = stage_scratch_dir(sf_dir, f"events_multibatch{n_files}v2", "events")
+    out_dir = stage_scratch_dir(
+        sf_dir, f"events_multibatch{n_files}s{n_sentinels}", "events"
+    )
     marker = os.path.join(out_dir, "_STAGED")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -112,7 +122,7 @@ def stage_events_multibatch(sf_dir: str, n_files: int = 4) -> tuple[str, str]:
         t.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
         for i in range(n_files)
     ]
-    for s in range(2):
+    for s in range(n_sentinels):
         base = SENTINEL_EVENT_ID + 10 * s
         sts = max_ts + (s + 1) * day_ns
         chunks.append(
