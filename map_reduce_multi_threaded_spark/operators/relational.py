@@ -1587,6 +1587,212 @@ FROM events GROUP BY 1, 2
 """
 
 
+def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keep-latest merge (upsert): a snapshot (version 1) is
+    merged with a change batch (version 2: every 7th order re-priced
+    and re-statused, plus net-new rows under shifted keys); the winner
+    per key is the highest version.  This is ``MERGE INTO`` expressed
+    as union + one keyed window — the shape that works on any Spark
+    sink, not just ACID table formats: at 100 TB the union streams,
+    the window is one hash shuffle on the merge key, and nothing is
+    rewritten except the merged output itself.
+
+    The result is the per-status profile of the merged table (counts
+    + exact decimal price checksum), so the oracle pins both which
+    rows won and that losers' values leaked nowhere."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DECM).alias("price"),
+        F.lit(1).alias("version"),
+    )
+    upd = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice").cast(DECM) + F.lit(100).cast(DECM)).alias("price"),
+            F.lit(2).alias("version"),
+        )
+    )
+    ins = (
+        o.where(F.col("o_orderkey") % 11 == 0)
+        .select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            F.lit("I").alias("o_orderstatus"),
+            F.col("o_totalprice").cast(DECM).alias("price"),
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = snap.unionByName(upd).unionByName(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = merged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+_UPSERT_ORACLE = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(14,2)) AS price, 1 AS version
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, 'U', CAST(o_totalprice AS DECIMAL(14,2)) + CAST(100 AS DECIMAL(14,2)), 2
+  FROM orders WHERE o_orderkey % 7 = 0
+), ins AS (
+  SELECT o_orderkey + 100000000, 'I', CAST(o_totalprice AS DECIMAL(14,2)), 2
+  FROM orders WHERE o_orderkey % 11 = 0
+), merged AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM merged
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS sum_price
+FROM latest GROUP BY o_orderstatus
+"""
+
+
+ZSCORE_LOOKBACK = 20
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against
+    the trailing 20 events of its type (frame excludes the current
+    row); emit events beyond 3 sigma.  The canonical streaming-ish
+    outlier scan done as one keyed window — no self-join, no state.
+
+    Determinism: the rolling mean/variance come from exact decimal
+    sums over the frame (sum, sum-of-squares), with one final double
+    expression per row — the same discipline as agg_stats, so sliding
+    accumulation order can never flip a bit.  Scale: one hash shuffle
+    on event_type; the frame is O(1) per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    vd = F.col("value").cast(DEC)
+    s1 = F.sum(vd).over(w).cast("double")
+    s2 = F.sum(vd * vd).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "value",
+            n.alias("n_window"),
+            F.when((n == ZSCORE_LOOKBACK) & (var > 0), z).alias("zscore"),
+        )
+        .where(F.col("zscore").isNotNull() & (F.abs("zscore") > 3))
+        .select("event_id", "event_type", "value", "zscore")
+    )
+
+
+_ANOMALY_ORACLE = f"""
+WITH stats AS (
+  SELECT event_id, event_type, value,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value,
+       (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+FROM stats
+WHERE n = {ZSCORE_LOOKBACK}
+  AND (s2 - s1 * s1 / n) / (n - 1) > 0
+  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3
+"""
+
+
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense reporting matrix: CROSS JOIN of two small dimensions
+    (region × order priority) left-joined to the observed counts, so
+    empty cells appear as zero instead of vanishing — the standard
+    fix for sparse group-by output feeding dashboards/exports.
+
+    Scale: the cross product of two bounded dims is tiny and both
+    sides of the final join broadcast; the only real work is the
+    fact-side aggregation, which shuffles once on the pair key."""
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    prios = orders.select("o_orderpriority").distinct()
+    cells = region.crossJoin(prios)
+    counts = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cells.join(
+            counts,
+            (cells.r_regionkey == counts.n_regionkey)
+            & (cells.o_orderpriority == counts.o_orderpriority),
+            "left",
+        )
+        .select(
+            "r_name",
+            cells.o_orderpriority.alias("priority"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+_CROSS_DIMS_ORACLE = """
+WITH cells AS (
+  SELECT r.r_regionkey, r.r_name, p.o_orderpriority
+  FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+), counts AS (
+  SELECT n.n_regionkey, o.o_orderpriority, count(*) AS n
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT cells.r_name, cells.o_orderpriority AS priority,
+       coalesce(counts.n, 0) AS n_orders
+FROM cells LEFT JOIN counts
+  ON cells.r_regionkey = counts.n_regionkey
+ AND cells.o_orderpriority = counts.o_orderpriority
+"""
+
+
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection preserving duplicate
+    counts: nation keys that appear in both the customer and supplier
+    populations, kept min(count_c, count_s) times.  Completes the set-
+    op family (union/intersect/except are already distinct-flavored).
+    Scale: one shuffle per side on the full row as key, like any
+    set op."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_common"))
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT nationkey, count(*) AS n_common FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -1649,4 +1855,12 @@ SPECS = [
               "wide-to-long unpivot/melt (inverse of agg_pivot)"),
     QuerySpec("events_histogram", events_histogram, _EVENTS_HISTOGRAM_ORACLE,
               "fixed-width value histogram per event type"),
+    QuerySpec("table_upsert_latest", table_upsert_latest, _UPSERT_ORACLE,
+              "CDC keep-latest merge (union + keyed window) with per-status checksum"),
+    QuerySpec("events_anomaly_zscore", events_anomaly_zscore, _ANOMALY_ORACLE,
+              "rolling 3-sigma outlier scan from exact decimal window moments"),
+    QuerySpec("join_cross_dims", join_cross_dims, _CROSS_DIMS_ORACLE,
+              "dense dim-matrix: cross join + left join with zero fill"),
+    QuerySpec("setop_intersect_all", setop_intersect_all, _INTERSECT_ALL_ORACLE,
+              "INTERSECT ALL multiset semantics, profiled per key"),
 ]

@@ -367,9 +367,82 @@ FROM documents
 """
 
 
+#: PII patterns shared verbatim between Spark (java.util.regex) and
+#: DuckDB (RE2) — restricted to the dialect intersection: character
+#: classes, bounded quantifiers, alternation; no lookaround, no
+#: backreferences.
+PII_URL = r"https?://[A-Za-z0-9./_-]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before anything else: URLs, emails, and phone numbers are
+    replaced with typed placeholder tokens via ``regexp_replace``.
+
+    The fixture corpus is synthetic and contains no PII, so the query
+    first APPENDS deterministic per-doc PII (an email, a URL and a
+    phone number derived from doc_id) — the scrub is then genuinely
+    exercised and the oracle checks both the redacted text (md5) and
+    the per-type match counts.  Order matters: URLs are scrubbed
+    before emails so an address inside a URL path is not half-eaten.
+
+    Scale: a pure narrow map — no shuffle, no UDF; regexp_replace is
+    JVM codegen, linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii_text, PII_URL, "<URL>"),
+            PII_EMAIL,
+            "<EMAIL>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrub_md5"),
+        F.regexp_count(pii_text, F.lit(PII_URL)).alias("n_urls"),
+        F.regexp_count(pii_text, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(PII_PHONE)).alias("n_phones"),
+    )
+
+
+_PII_SCRUB_ORACLE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com via https://ex.com/u/'
+              || doc_id::VARCHAR || ' or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{PII_URL}', '<URL>', 'g'),
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '\\+1-555-[0-9]{{4}}', '<PHONE>', 'g')) AS scrub_md5,
+       CAST(len(regexp_extract_all(t, '{PII_URL}')) AS INTEGER) AS n_urls,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+1-555-[0-9]{{4}}')) AS INTEGER) AS n_phones
+FROM pii
+"""
+
+
 SPECS = [
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SCRUB_ORACLE,
+              "regex PII redaction (URL/email/phone) with count + md5 oracle"),
     QuerySpec("text_rolling_fingerprint", text_rolling_fingerprint, _ROLLING_ORACLE,
               "order-sensitive Rabin-Karp rolling-hash fingerprint over the token stream"),
     QuerySpec("text_quality_quantile_filter", text_quality_quantile_filter, _QUANTILE_FILTER_ORACLE,
