@@ -156,6 +156,60 @@ WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
 """
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH-bucketed candidates +
+    exact cosine verification — the production path whose correctness
+    baseline is the brute all-pairs :func:`embedding_neardup`.
+
+    Scale: candidate generation is a self-join keyed on (table,
+    bucket), so cost follows bucket occupancy (~corpus²/2^planes per
+    table), never the corpus-squared product; verification touches
+    candidates only.  Recall is the multi-table OR over 8 tables —
+    a pair at cosine θ shares a table's bucket with probability
+    (1 - angle/π)^6 per table; the recall property test measures the
+    realized fraction against the brute baseline.  The oracle mirrors
+    the banding (same md5-derived planes), so the driver check gates
+    the algorithm, not just its lucky outputs."""
+    b = lsh_buckets(spark, sf_dir)
+    a_side = b.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b_side = b.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (
+        a_side.join(b_side, ["t", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    n = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    na = n.select(F.col("vec_id").alias("vec_a"), F.col("emb_d").alias("ea"), F.col("norm").alias("na"))
+    nb = n.select(F.col("vec_id").alias("vec_b"), F.col("emb_d").alias("eb"), F.col("norm").alias("nb"))
+    sim = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _neardup_lsh_oracle() -> str:
+    return f"""
+WITH {_DUCK_NORMS},
+buckets AS (
+  {_duck_buckets_sql()}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT cand.vec_a, cand.vec_b,
+       {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) AS cosine
+FROM cand JOIN n a ON a.vec_id = cand.vec_a JOIN n b ON b.vec_id = cand.vec_b
+WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. LSH-bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------
@@ -294,7 +348,9 @@ def _duck_proj(t: int, i: int) -> str:
     )
 
 
-def _knn_lsh_oracle() -> str:
+def _duck_buckets_sql() -> str:
+    """The multi-table bucket assignment as one UNION ALL SQL block —
+    shared by every oracle that consumes LSH candidates."""
     per_table = []
     for t in range(N_TABLES):
         terms = " + ".join(
@@ -302,11 +358,14 @@ def _knn_lsh_oracle() -> str:
             for i in range(N_PLANES)
         )
         per_table.append(f"SELECT vec_id, {t} AS t, ({terms}) AS bucket FROM embeddings")
-    buckets_sql = "\n  UNION ALL\n  ".join(per_table)
+    return "\n  UNION ALL\n  ".join(per_table)
+
+
+def _knn_lsh_oracle() -> str:
     return f"""
 WITH {_DUCK_NORMS},
 buckets AS (
-  {buckets_sql}
+  {_duck_buckets_sql()}
 ),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -609,6 +668,8 @@ SPECS = [
               "exact cosine top-5 per query vector (broadcast queries)"),
     QuerySpec("embedding_neardup", embedding_neardup, _NEARDUP_ORACLE,
               "cosine≥τ near-dup pairs (brute baseline)"),
+    QuerySpec("embedding_neardup_lsh", embedding_neardup_lsh, _neardup_lsh_oracle(),
+              "LSH-bucketed cosine≥τ near-dup pairs (scale path for embedding_neardup)"),
     QuerySpec("knn_lsh", knn_lsh, _knn_lsh_oracle(),
               "ANN top-5 within random-hyperplane LSH bucket (scale path)"),
     QuerySpec("knn_ivf", knn_ivf, _KNN_IVF_ORACLE,

@@ -107,3 +107,22 @@ def test_ivf_recall_measured(spark, sf_oracle_dir):
         f"IVF recall {recall:.2%} far below probed fraction {probed_fraction:.0%} — "
         "cell routing is broken"
     )
+
+
+def test_neardup_lsh_recall_and_precision(spark, sf_oracle_dir):
+    """The LSH near-dup path must be a SUBSET of the brute baseline
+    (exact verification ⇒ perfect precision), and near-dup pairs sit
+    at high cosine where hyperplane collision probability is high —
+    require most of the brute pairs are recovered."""
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_neardup(spark, sf_oracle_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_neardup_lsh(spark, sf_oracle_dir).collect()
+    }
+    assert lsh <= brute, "verified LSH pairs must never exceed the exact set"
+    assert brute, "fixture must contain planted near-dup pairs"
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.5, f"near-dup LSH recall {recall:.2%} below 50%"
