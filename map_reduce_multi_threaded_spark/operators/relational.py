@@ -1793,6 +1793,107 @@ SELECT nationkey, count(*) AS n_common FROM (
 """
 
 
+#: (column, string-conversion SQL fragment) pairs for the DQ profile —
+#: conversions chosen so both engines render the identical string
+#: (decimals print canonically on both; raw doubles would not).
+_DQ_COLUMNS = (
+    ("o_orderkey", "CAST({c} AS VARCHAR)", "CAST({c} AS BIGINT)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)", "CAST({c} AS BIGINT)"),
+    ("o_orderstatus", "{c}", "{c}"),
+    ("o_totalprice", "CAST(CAST({c} AS DECIMAL(14,2)) AS VARCHAR)", "CAST({c} AS DECIMAL(14,2))"),
+)
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile — the audit gate in front of every
+    ingestion job: per-column null count, exact distinct count, and
+    min/max, in ONE aggregation pass over the table (Catalyst expands
+    the multi-distinct into one Expand + aggregate, not N scans),
+    emitted long-form as (column_name, metric, value) strings.
+
+    Scale: a single scan + one aggregation; exact count_distinct is
+    the expensive honest choice (the sketch variant is
+    agg_approx_distinct) — at 100 TB you run this per ingest batch,
+    not per query."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs, fields = [], []
+    for col, _, minmax in _DQ_COLUMNS:
+        mm = minmax.format(c=col)
+        aggs += [
+            F.sum(F.isnull(col).cast("long")).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(F.expr(mm)).cast("string").alias(f"{col}__min"),
+            F.max(F.expr(mm)).cast("string").alias(f"{col}__max"),
+        ]
+        for metric in ("nulls", "distinct", "min", "max"):
+            fields.append(
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.lit(metric).alias("metric"),
+                    F.col(f"{col}__{metric}").cast("string").alias("value"),
+                )
+            )
+    wide = o.agg(*aggs)
+    return wide.select(F.explode(F.array(*fields)).alias("r")).select(
+        "r.column_name", "r.metric", "r.value"
+    )
+
+
+def _dq_oracle() -> str:
+    aggs, rows = [], []
+    for col, to_str, minmax in _DQ_COLUMNS:
+        mm = minmax.format(c=col)
+        aggs += [
+            f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS {col}__nulls",
+            f"count(DISTINCT {col}) AS {col}__distinct",
+            f"min({mm}) AS {col}__min",
+            f"max({mm}) AS {col}__max",
+        ]
+        for metric in ("nulls", "distinct", "min", "max"):
+            rows.append(
+                f"SELECT '{col}' AS column_name, '{metric}' AS metric, "
+                f"CAST({col}__{metric} AS VARCHAR) AS value FROM a"
+            )
+    return "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n" + "\nUNION ALL ".join(rows)
+
+
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rollup maintenance: two disjoint pre-aggregated
+    partials (old data / new batch, split here by orderkey parity) are
+    MERGED by re-summing — never by touching raw rows again.  Passing
+    against the direct-aggregation oracle proves the aggregate state
+    is algebraic (decimal sums and counts merge exactly), which is the
+    property incremental pipelines and materialized-view maintenance
+    rely on at 100 TB: the daily job aggregates only the new
+    partition, then merges partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast(DEC)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.sum(qd).alias("p_sum"), F.count(F.lit(1)).alias("p_n")
+        )
+
+    old = partial(li.where(F.col("l_orderkey") % 2 == 0))
+    new = partial(li.where(F.col("l_orderkey") % 2 == 1))
+    return (
+        old.unionByName(new)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p_sum").cast("double").alias("sum_qty"),
+            F.sum("p_n").alias("n_rows"),
+        )
+    )
+
+
+_INCREMENTAL_MERGE_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -1863,4 +1964,8 @@ SPECS = [
               "dense dim-matrix: cross join + left join with zero fill"),
     QuerySpec("setop_intersect_all", setop_intersect_all, _INTERSECT_ALL_ORACLE,
               "INTERSECT ALL multiset semantics, profiled per key"),
+    QuerySpec("dq_profile", dq_profile, _dq_oracle(),
+              "one-pass per-column data-quality audit (nulls/distinct/min/max)"),
+    QuerySpec("agg_incremental_merge", agg_incremental_merge, _INCREMENTAL_MERGE_ORACLE,
+              "merge of disjoint pre-aggregated partials equals direct aggregation"),
 ]
