@@ -63,6 +63,11 @@ HEADLINE = [
     "join_skew_aqe",        # unsalted hot-key join under AQE skew rule
     "agg_unpivot",          # wide-to-long melt after keyed agg
     "events_histogram",     # fixed-width histogram scan
+    "table_upsert_latest",  # CDC keep-latest merge (union + keyed window)
+    "events_anomaly_zscore",  # rolling 3-sigma outlier scan
+    "text_pii_scrub",       # regex PII redaction map
+    "embedding_neardup_lsh",  # bucketed near-dup scale path
+    "dq_profile",           # one-pass column audit (multi-distinct Expand)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
