@@ -1894,6 +1894,207 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+#: OHLC bar width: 1 hour of event time, in microseconds.
+OHLC_BUCKET_US = 3_600_000_000
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per (event_type, 1-hour bucket) the
+    first/max/min/last ``value`` plus the trade count — the classic
+    market-data downsample (and the time-series twin of
+    :func:`events_histogram`).
+
+    Determinism: open/close are PICKED values — min/max of a
+    (ts-micros, event_id, value) struct whose lexicographic order is
+    total (event_id is unique) — never arithmetic, so doubles pass
+    through bit-identical.  Scale: min/max-of-struct are ordinary
+    aggregates with map-side partials, so the whole bar computation is
+    ONE keyed exchange (struct-typed min/max plans as SortAggregate —
+    in-partition sorts by group key, no extra shuffle) — strictly
+    cheaper than the window formulation (sort + full-frame window +
+    distinct = three exchanges; plan-asserted in tests); the struct
+    trick is how first/last-by should be spelled when the engine lacks
+    arg_min over compound keys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(f"unix_micros(ts) div {OHLC_BUCKET_US}").alias("bucket"),
+        F.expr("struct(unix_micros(ts) AS tu, event_id AS eid, value AS v)").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type", "bucket")
+        .agg(
+            F.min("k").getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("k").getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+_OHLC_ORACLE = f"""
+SELECT event_type,
+       epoch_us(ts) // {OHLC_BUCKET_US} AS bucket,
+       struct_extract(min({{'tu': epoch_us(ts), 'eid': event_id, 'v': value}}), 'v') AS open,
+       max(value) AS high,
+       min(value) AS low,
+       struct_extract(max({{'tu': epoch_us(ts), 'eid': event_id, 'v': value}}), 'v') AS close,
+       count(*) AS n_trades
+FROM events
+GROUP BY event_type, epoch_us(ts) // {OHLC_BUCKET_US}
+"""
+
+
+#: EWMA lookback (rows) and the integer weight base: weight of the i-th
+#: most recent row is 2^(EWMA_K-1-i), i.e. alpha = 1/2 truncated at K
+#: rows.  Integer weights keep the whole numerator/denominator exact.
+EWMA_K = 10
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of ``value`` per
+    event_type, truncated at the last {K} rows — the smoothing pass a
+    feature pipeline runs after :func:`events_resample_ffill`.
+
+    Determinism: ``value`` is an exact 2-decimal double, so it converts
+    losslessly to integer cents; weights are powers of two, so the
+    weighted numerator and the denominator are exact BIGINT sums over a
+    lag chain with a (ts, event_id) total order.  The ONLY IEEE
+    operation is the final single division — bit-identical on both
+    engines.  Scale: lag is one keyed window sort (one shuffle on
+    event_type); the K-term chain is pure codegen, no extra pass per
+    term."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.expr("unix_micros(ts)").alias("tu"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tu", "event_id")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for i in range(EWMA_K):
+        weight = 1 << (EWMA_K - 1 - i)
+        lagged = F.lag("cents", i).over(w)
+        num = num + F.coalesce(lagged, F.lit(0)) * F.lit(weight)
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            (num.cast("double") / (den * 100).cast("double")).alias("ewma"),
+        )
+    )
+
+
+def _ewma_oracle() -> str:
+    num_terms = " + ".join(
+        f"coalesce(lag(cents, {i}) OVER w, 0) * {1 << (EWMA_K - 1 - i)}"
+        for i in range(EWMA_K)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN lag(cents, {i}) OVER w IS NOT NULL THEN {1 << (EWMA_K - 1 - i)} ELSE 0 END"
+        for i in range(EWMA_K)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS tu
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST({num_terms} AS DOUBLE) / CAST(({den_terms}) * 100 AS DOUBLE) AS ewma
+FROM ev
+WINDOW w AS (PARTITION BY event_type ORDER BY tu, event_id)
+"""
+
+
+def join_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join over part names: all DISTINCT
+    name pairs within Levenshtein distance 1, found by
+    deletion-neighborhood blocking (FastSS, Bocek et al. 2007): two
+    strings within distance 1 share at least one member of
+    {{s}} ∪ {{s minus one char}}, so generating |s|+1 variant keys per
+    name and hash-joining on the key yields a complete candidate set —
+    no quadratic all-pairs scan, unlike a naive theta-join.
+
+    Scale: candidate generation is a narrow map (|s|+1 rows per
+    distinct name), the variant join is one hash shuffle on short
+    string keys, and the exact ``levenshtein`` verify runs only on the
+    bounded candidate pairs — the same candidates-then-verify shape as
+    the MinHash and SimHash paths in ``dedup.py``."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name").distinct()
+    )
+    vars_ = names.select(
+        F.col("p_name"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(p_name)), "
+                "i -> concat(substr(p_name, 1, i), substr(p_name, i + 2)))"
+            )
+        ).alias("v"),
+    )
+    a = vars_.alias("a")
+    b = vars_.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .select(F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b"))
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).where(F.col("dist") <= 1)
+
+
+_EDIT_DISTANCE_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+vars AS (
+  SELECT p_name, unnest(list_transform(generate_series(0, length(p_name)),
+         i -> substr(p_name, 1, i) || substr(p_name, i + 2))) AS v
+  FROM names
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM vars a JOIN vars b ON a.v = b.v AND a.p_name < b.p_name
+)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped set-collection: per user, the SORTED array of distinct
+    event types plus its size — ``collect_set`` + ``array_sort``, the
+    building block for per-entity feature vectors and audience lists.
+
+    Determinism: collect_set order is engine- and shuffle-dependent, so
+    the contract REQUIRES the explicit sort — the test strategy itself
+    encodes the rule that unsorted collected arrays are not
+    reproducible.  Scale: one keyed shuffle with partial (map-side) set
+    merging; per-group arrays are bounded by the event-type vocabulary,
+    not the event count."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select("user_id", "types", F.size("types").cast("int").alias("n_types"))
+    )
+
+
+_ARRAY_COLLECT_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -1968,4 +2169,12 @@ SPECS = [
               "one-pass per-column data-quality audit (nulls/distinct/min/max)"),
     QuerySpec("agg_incremental_merge", agg_incremental_merge, _INCREMENTAL_MERGE_ORACLE,
               "merge of disjoint pre-aggregated partials equals direct aggregation"),
+    QuerySpec("events_ohlc_bars", events_ohlc_bars, _OHLC_ORACLE,
+              "OHLC candlestick downsample per (type, hour) from one window pass"),
+    QuerySpec("events_ewma", events_ewma, _ewma_oracle(),
+              "integer-exact truncated EWMA over a keyed lag chain"),
+    QuerySpec("join_edit_distance", join_edit_distance, _EDIT_DISTANCE_ORACLE,
+              "Levenshtein<=1 similarity join via deletion-neighborhood blocking"),
+    QuerySpec("agg_array_collect", agg_array_collect, _ARRAY_COLLECT_ORACLE,
+              "sorted collect_set arrays per key (deterministic-by-sort contract)"),
 ]

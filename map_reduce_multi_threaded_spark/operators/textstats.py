@@ -438,9 +438,139 @@ FROM pii
 """
 
 
+#: decontamination n-gram width.  Real pipelines use 8-13-gram overlap
+#: (GPT-3 appendix C / PaLM-style); 3 fits the synthetic corpus' ~30
+#: token docs over a 31-word vocabulary so the query has signal at
+#: every SF.  The plan shape is width-independent.
+DECON_N = 3
+
+#: deterministic benchmark membership rule: docs whose id hashes into
+#: this residue class stand in for the held-out eval suite.
+DECON_MOD = 97
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: flag every training document
+    sharing at least one word {N}-gram with the "benchmark" subset
+    (doc_id % {MOD} == 0), reporting how many distinct benchmark
+    n-grams each contaminated doc hits — the filter every serious
+    LLM data pipeline runs before training.
+
+    Scale: the benchmark n-gram set is bounded (eval suites are
+    ~1e5 docs, not corpus-sized) so it BROADCASTS; the corpus-sized
+    training gram stream joins against it map-side — no shuffle of the
+    big side.  The final per-doc count-distinct is a keyed agg over
+    only the matching grams (223 rows at sf0.01, not 250k)."""
+    grams_expr = (
+        "transform(sequence(1, size(t) - {n1}), "
+        "i -> array_join(slice(t, i, {n}), ' '))"
+    ).format(n=DECON_N, n1=DECON_N - 1)
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
+        )
+        .where(F.expr(f"size(t) >= {DECON_N}"))
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    )
+    bench = (
+        toks.where(F.col("doc_id") % DECON_MOD == 0)
+        .select("gram").distinct()
+    )
+    train = toks.where(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_N - 1}),
+                i -> array_to_string(t[i:i + {DECON_N - 1}], ' '))) AS gram
+  FROM toks WHERE len(t) >= {DECON_N}
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_MOD} = 0)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id % {DECON_MOD} != 0
+GROUP BY g.doc_id
+"""
+
+
+#: repetition-score n-gram width (word 3-grams, the Gopher/MassiveText
+#: "duplicate n-gram fraction" quality signal).
+REP_N = 3
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score: the fraction of word {N}-grams
+    that are duplicates of an earlier n-gram in the SAME document — the
+    MassiveText/Gopher quality signal that catches boilerplate and
+    looping generations which inter-document dedup cannot see.
+
+    Determinism: counts are exact integers; the one double division is
+    final.  Scale: a pure narrow map over documents — the n-gram array,
+    its distinct count, and the ratio all evaluate inside codegen per
+    row, no explode and NO shuffle at all (contrast
+    :func:`text_decontaminate`, which must explode to join)."""
+    grams_expr = (
+        "transform(sequence(1, size(t) - {n1}), "
+        "i -> array_join(slice(t, i, {n}), ' '))"
+    ).format(n=REP_N, n1=REP_N - 1)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
+        )
+        .where(F.expr(f"size(t) >= {REP_N}"))
+        .select("doc_id", F.expr(grams_expr).alias("g"))
+        .select(
+            "doc_id",
+            F.expr("size(g)").cast("int").alias("n_grams"),
+            F.expr("size(array_distinct(g))").cast("int").alias("n_distinct"),
+            F.expr(
+                "CAST(size(g) - size(array_distinct(g)) AS DOUBLE) / CAST(size(g) AS DOUBLE)"
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - {REP_N - 1}),
+                        i -> array_to_string(t[i:i + {REP_N - 1}], ' ')) AS grams
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS t
+        FROM documents)
+  WHERE len(t) >= {REP_N}
+)
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+       CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         / CAST(len(grams) AS DOUBLE) AS dup_ratio
+FROM g
+"""
+
+
 SPECS = [
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_decontaminate", text_decontaminate, _DECON_ORACLE,
+              "benchmark n-gram decontamination scan (broadcast bench grams)"),
+    QuerySpec("text_repetition", text_repetition, _REPETITION_ORACLE,
+              "duplicate n-gram fraction per doc (Gopher repetition signal)"),
     QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SCRUB_ORACLE,
               "regex PII redaction (URL/email/phone) with count + md5 oracle"),
     QuerySpec("text_rolling_fingerprint", text_rolling_fingerprint, _ROLLING_ORACLE,

@@ -124,3 +124,76 @@ def test_aqe_skew_join_split(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    """The struct-pick OHLC formulation must aggregate in ONE keyed
+    exchange — the whole point of spelling first/last-by as
+    min/max-of-struct instead of a window + distinct."""
+    plan = _plan(relational.events_ohlc_bars(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    rows = relational.events_ohlc_bars(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_trades"] >= 1
+        if r["n_trades"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+
+
+def test_ewma_first_row_equals_value(spark, sf_dir):
+    """With no history, the truncated EWMA degenerates to the value
+    itself (numerator = cents*w0, denominator = w0*100)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.expr("unix_micros(ts)"), "event_id")
+    first_ids = {
+        r["event_id"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("event_id")
+        .collect()
+    }
+    vals = {r["event_id"]: r["value"] for r in ev.select("event_id", "value").collect()}
+    out = {r["event_id"]: r["ewma"] for r in relational.events_ewma(spark, sf_dir).collect()}
+    assert first_ids
+    for eid in first_ids:
+        assert out[eid] == round(vals[eid] * 100) / 100
+
+
+def test_edit_distance_blocking_is_complete(spark, sf_dir):
+    """FastSS completeness: deletion-neighborhood candidates must find
+    EVERY distinct-name pair within Levenshtein distance 1 — compare
+    against the brute-force all-pairs scan."""
+    con = duck_con(sf_dir)
+    brute = set(
+        con.sql(
+            """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name, b.p_name FROM names a, names b
+            WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+            """
+        ).fetchall()
+    )
+    blocked = {
+        (r["name_a"], r["name_b"])
+        for r in relational.join_edit_distance(spark, sf_dir).collect()
+    }
+    assert blocked == brute and brute
+
+
+def test_array_collect_sorted(spark, sf_dir):
+    rows = relational.agg_array_collect(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["types"] == sorted(r["types"])
+        assert len(set(r["types"])) == len(r["types"]) == r["n_types"]

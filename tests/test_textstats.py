@@ -30,3 +30,24 @@ def test_tfidf_prefers_rare_terms(spark, sf_oracle_dir):
     rows = textstats.text_tfidf_top_term(spark, sf_oracle_dir).collect()
     assert len(rows) == 500
     assert all(r["tfidf"] >= 0 for r in rows)
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_oracle_dir):
+    """The benchmark gram set is the bounded side — the join must be a
+    BroadcastHashJoin so the corpus-sized gram stream never shuffles."""
+    df = textstats.text_decontaminate(spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % textstats.DECON_MOD != 0
+        assert r["n_shared_grams"] >= 1
+
+
+def test_repetition_score_bounds(spark, sf_oracle_dir):
+    rows = textstats.text_repetition(spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_distinct"] <= r["n_grams"]
+        assert abs(r["dup_ratio"] - (r["n_grams"] - r["n_distinct"]) / r["n_grams"]) < 1e-15
