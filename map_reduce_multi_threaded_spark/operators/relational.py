@@ -2095,6 +2095,165 @@ FROM events GROUP BY user_id
 """
 
 
+#: Recursive-CTE BOM rollup over the implicit part 10-ary tree
+#: (parent(p) = floor((p-1)/10), root 0): the ancestor closure built by
+#: iteration, then a subtree size/price rollup per node.  The SQL is
+#: dialect-intersection (no ``div``/``//``) so the IDENTICAL text runs
+#: on Spark (recursive CTEs since 4.0, SPARK-24497) and DuckDB.
+#: Scale: recursion depth is log10(|part|) — 7 iterations at 10M parts;
+#: each step is a narrow map over the frontier, and the rollup is one
+#: keyed agg with an exact decimal sum.
+_RECURSIVE_BOM_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS pk, p_partkey AS anc, 0 AS depth FROM part
+  UNION ALL
+  SELECT a.pk, CAST(floor((a.anc - 1) / 10.0) AS BIGINT), a.depth + 1
+  FROM anc a WHERE a.anc > 0
+)
+SELECT a.anc AS p_partkey,
+       count(*) AS subtree_size,
+       CAST(max(a.depth) AS INTEGER) AS max_rel_depth,
+       CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS subtree_price
+FROM anc a JOIN part p ON p.p_partkey = a.pk
+GROUP BY a.anc
+"""
+
+sql_recursive_bom = _sql_query(_RECURSIVE_BOM_SQL)
+
+
+#: rolling-distinct lookback (rows)
+ROLLING_DISTINCT_K = 5
+
+
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct count: per user, how many DISTINCT event types
+    the last {K} events span — the short-horizon behavioral-diversity
+    feature.  Spark has no DISTINCT window aggregate, so the idiomatic
+    spelling is ``size(collect_set() OVER frame)`` — the set dedups
+    inside the frame buffer; the oracle uses DuckDB's native
+    ``count(DISTINCT) OVER``.  Scale: one keyed window sort; the frame
+    buffer is K rows, independent of user history length."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("tu"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(-(ROLLING_DISTINCT_K - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("int").alias("n_types_window"),
+    )
+
+
+_WINDOW_DISTINCT_ORACLE = f"""
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ROWS BETWEEN {ROLLING_DISTINCT_K - 1} PRECEDING AND CURRENT ROW
+       ) AS INTEGER) AS n_types_window
+FROM events
+"""
+
+
+#: market-basket result size
+BASKET_TOP_N = 20
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-{N} part pairs by
+    the number of orders containing both (pairwise frequent-itemset
+    support, the first step of association-rule mining).
+
+    Scale: the pair generator is a self-join ON the order key — both
+    sides hash-partition on l_orderkey so the quadratic blowup is per
+    ORDER (bounded by max basket size, 13 items → ≤78 pairs here),
+    never per partition; support counting is one keyed agg with
+    map-side partials, and the top-N is a TakeOrdered, not a full
+    sort.  Ties broken by (part_a, part_b) for a total order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+
+
+_BASKET_ORACLE = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOP_N}
+"""
+
+
+#: weighted-sample size and weight vocabulary
+WEIGHTED_SAMPLE_K = 25
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006): each order gets weight w = 1 +
+    (o_orderkey mod 7); per order draw w md5 "uniforms" and keep the
+    MINIMUM — min of w iid uniforms is Beta(1, w), so P(order i
+    outranks order j) = w_i / (w_i + w_j), exactly the ES weighted
+    -sampling order statistic — then take the global top-{K} by that
+    key.  Everything is md5-on-integers and string MIN: no floats, no
+    RNG state, bit-identical on any engine and any partitioning.
+
+    Scale: the explode is bounded by max weight (7 replicas/row), the
+    per-key min is an agg with map-side partials, and the top-K is a
+    TakeOrdered — no global sort, no driver-side sampling state."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 7 + 1).alias("weight")
+    )
+    keyed = (
+        o.select(
+            "o_orderkey",
+            "weight",
+            F.explode(F.expr("sequence(1, weight)")).alias("rep"),
+        )
+        .select(
+            "o_orderkey",
+            "weight",
+            F.md5(F.concat_ws("-", "o_orderkey", "rep")).alias("u"),
+        )
+        .groupBy("o_orderkey", "weight")
+        .agg(F.min("u").alias("sample_key"))
+    )
+    return keyed.orderBy("sample_key", "o_orderkey").limit(WEIGHTED_SAMPLE_K)
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT o_orderkey, o_orderkey % 7 + 1 AS weight,
+         min(md5(o_orderkey::VARCHAR || '-' || r::VARCHAR)) AS sample_key
+  FROM orders, LATERAL unnest(generate_series(1, o_orderkey % 7 + 1)) AS t(r)
+  GROUP BY o_orderkey
+)
+SELECT o_orderkey, CAST(weight AS BIGINT) AS weight, sample_key
+FROM keyed ORDER BY sample_key, o_orderkey LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -2177,4 +2336,12 @@ SPECS = [
               "Levenshtein<=1 similarity join via deletion-neighborhood blocking"),
     QuerySpec("agg_array_collect", agg_array_collect, _ARRAY_COLLECT_ORACLE,
               "sorted collect_set arrays per key (deterministic-by-sort contract)"),
+    QuerySpec("sql_recursive_bom", sql_recursive_bom, _RECURSIVE_BOM_SQL,
+              "recursive-CTE ancestor closure + BOM subtree rollup (identical SQL both engines)"),
+    QuerySpec("window_distinct_rolling", window_distinct_rolling, _WINDOW_DISTINCT_ORACLE,
+              "rolling distinct count via collect_set window (no native DISTINCT agg)"),
+    QuerySpec("basket_pairs", basket_pairs, _BASKET_ORACLE,
+              "market-basket pair support mining (per-order bounded self-join)"),
+    QuerySpec("sample_weighted", sample_weighted, _WEIGHTED_SAMPLE_ORACLE,
+              "Efraimidis-Spirakis weighted sampling, md5-deterministic, no floats"),
 ]

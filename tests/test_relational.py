@@ -197,3 +197,46 @@ def test_array_collect_sorted(spark, sf_dir):
     for r in rows:
         assert r["types"] == sorted(r["types"])
         assert len(set(r["types"])) == len(r["types"]) == r["n_types"]
+
+
+def test_recursive_bom_root_covers_all(spark, sf_dir):
+    """The root's subtree is the whole forest: its rollup must equal
+    the global part count and exact total retail price."""
+    con = duck_con(sf_dir)
+    n, total = con.sql(
+        "SELECT count(*), CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) FROM part"
+    ).fetchall()[0]
+    root = {
+        r["p_partkey"]: r
+        for r in relational.sql_recursive_bom(spark, sf_dir).collect()
+    }[0]
+    assert root["subtree_size"] == n
+    assert root["subtree_price"] == total
+
+
+def test_window_distinct_rolling_bounds(spark, sf_dir):
+    rows = relational.window_distinct_rolling(spark, sf_dir).collect()
+    assert rows
+    assert all(1 <= r["n_types_window"] <= relational.ROLLING_DISTINCT_K for r in rows)
+
+
+def test_basket_pairs_shape(spark, sf_dir):
+    df = relational.basket_pairs(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-N, never a full sort
+    rows = df.collect()
+    assert 0 < len(rows) <= relational.BASKET_TOP_N
+    assert all(r["part_a"] < r["part_b"] and r["support"] >= 1 for r in rows)
+    supports = [r["support"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+
+
+def test_sample_weighted_skews_heavy(spark, sf_dir):
+    """ES sampling must overrepresent heavy weights: the sampled mean
+    weight exceeds the population mean (deterministic on the fixture)."""
+    rows = relational.sample_weighted(spark, sf_dir).collect()
+    assert len(rows) == relational.WEIGHTED_SAMPLE_K
+    con = duck_con(sf_dir)
+    pop_mean = con.sql("SELECT avg(o_orderkey % 7 + 1) FROM orders").fetchall()[0][0]
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > pop_mean
