@@ -68,6 +68,10 @@ HEADLINE = [
     "text_pii_scrub",       # regex PII redaction map
     "embedding_neardup_lsh",  # bucketed near-dup scale path
     "dq_profile",           # one-pass column audit (multi-distinct Expand)
+    "events_ohlc_bars",     # single-exchange OHLC via min/max-of-struct
+    "text_decontaminate",   # broadcast benchmark n-gram scan
+    "basket_pairs",         # per-order bounded co-occurrence self-join
+    "sql_recursive_bom",    # recursive-CTE closure + subtree rollup
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

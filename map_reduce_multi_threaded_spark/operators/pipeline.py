@@ -329,9 +329,75 @@ WHERE ('0x' || substr(md5(doc_id || 'strat'), 1, 15))::BIGINT % 1000
 """
 
 
+#: per-source mix-rate vocabulary: rate = (1 + md5-byte mod 4) / 4 of
+#: the source's docs are kept (real pipelines read these rates from a
+#: mixing config; md5-derived rates keep the fixture self-contained
+#: while exercising unequal per-source keeps).
+MIX_RATE_BUCKETS = 4
+
+
+def pipeline_balance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing downsample: each source keeps
+    ``ceil(n_src * rate_src)`` documents — the ones with the SMALLEST
+    md5 rank within the source — where rate_src is the source's
+    configured mix weight.  This is the curriculum/mixture step that
+    turns a raw crawl into a weighted training mix with EXACT per-source
+    row counts (rate-threshold sampling only hits the target in
+    expectation; rank-based selection hits it exactly).
+
+    Scale: one keyed window sort per source (rank by md5) plus a
+    broadcast of the per-source quota table — no global sort, no
+    collect.  Output is the kept docs plus their source quota, so the
+    mix is auditable downstream."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    quota = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .withColumn(
+            "rate_num",
+            F.expr(
+                "1 + CAST(conv(substr(md5(source), 1, 15), 16, 10) AS BIGINT) "
+                f"% {MIX_RATE_BUCKETS}"
+            ),
+        )
+        .withColumn(
+            "keep_n",
+            F.expr(f"CAST(ceil(n_src * rate_num / {MIX_RATE_BUCKETS}) AS BIGINT)"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.concat_ws("-", "doc_id", F.lit("mix"))), "doc_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(quota.select("source", "keep_n")), "source")
+        .where(F.col("rnk") <= F.col("keep_n"))
+        .select("doc_id", "source", F.col("rnk").cast("int").alias("rnk"), "keep_n")
+    )
+
+
+_BALANCE_ORACLE = f"""
+WITH quota AS (
+  SELECT source, count(*) AS n_src,
+         1 + ('0x' || substr(md5(source), 1, 15))::BIGINT % {MIX_RATE_BUCKETS} AS rate_num
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(doc_id::VARCHAR || '-mix'), doc_id) AS rnk
+  FROM documents
+)
+SELECT r.doc_id, r.source, CAST(r.rnk AS INTEGER) AS rnk,
+       CAST(ceil(q.n_src * q.rate_num / {MIX_RATE_BUCKETS}) AS BIGINT) AS keep_n
+FROM ranked r JOIN quota q USING (source)
+WHERE r.rnk <= ceil(q.n_src * q.rate_num / {MIX_RATE_BUCKETS})
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
+    QuerySpec("pipeline_balance_sources", pipeline_balance_sources, _BALANCE_ORACLE,
+              "exact-count domain-mixing downsample (md5 rank per source + quota broadcast)"),
     QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
               "BM25 top-10 for a fixed query term set"),
     QuerySpec("tfidf_cosine_rank", tfidf_cosine_rank, _TFIDF_COSINE_ORACLE,

@@ -2254,6 +2254,166 @@ FROM keyed ORDER BY sample_key, o_orderkey LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    relative to the newest order in the data), frequency (order
+    count), monetary (exact decimal revenue), each graded into
+    quartiles — the classic marketing-analytics segmentation.
+
+    The quartile grades come from three ``percentile_disc`` cutoffs
+    computed in ONE single-row aggregate and broadcast back over the
+    per-customer table — NOT from ``ntile()`` over a global sort,
+    which would funnel every row through one partition (the
+    scale-killer this module's window queries deliberately avoid).
+    percentile_disc PICKS elements (verified bit-equal across
+    engines), so the grade boundaries are exact."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("monetary"),
+        )
+    )
+    cuts = base.agg(
+        F.max("last_order").alias("ref_date"),
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{c[0]}q{i}")
+            for c in ("frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ],
+    )
+    with_r = base.join(F.broadcast(cuts), how="cross").withColumn(
+        "recency_days", F.datediff("ref_date", "last_order")
+    )
+    rcuts = with_r.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY recency_days)").alias(f"rq{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    grade = lambda v, q: (  # noqa: E731 — 1 + #cutoffs strictly below v
+        F.lit(1)
+        + (F.col(v) > F.col(f"{q}q1")).cast("int")
+        + (F.col(v) > F.col(f"{q}q2")).cast("int")
+        + (F.col(v) > F.col(f"{q}q3")).cast("int")
+    )
+    return (
+        with_r.join(F.broadcast(rcuts), how="cross")
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (F.lit(5) - grade("recency_days", "r")).alias("r_score"),
+            grade("frequency", "f").alias("f_score"),
+            grade("monetary", "m").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws("", "r_score", "f_score", "m_score"),
+        )
+    )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT max(last_order) AS ref_date,
+         quantile_disc(frequency, 0.25) AS fq1, quantile_disc(frequency, 0.5) AS fq2,
+         quantile_disc(frequency, 0.75) AS fq3,
+         quantile_disc(monetary, 0.25) AS mq1, quantile_disc(monetary, 0.5) AS mq2,
+         quantile_disc(monetary, 0.75) AS mq3
+  FROM base
+),
+with_r AS (
+  SELECT b.*, c.*, datediff('day', last_order, ref_date) AS recency_days
+  FROM base b CROSS JOIN cuts c
+),
+rcuts AS (
+  SELECT quantile_disc(recency_days, 0.25) AS rq1,
+         quantile_disc(recency_days, 0.5) AS rq2,
+         quantile_disc(recency_days, 0.75) AS rq3
+  FROM with_r
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         5 - (1 + (recency_days > rq1)::INT + (recency_days > rq2)::INT
+                + (recency_days > rq3)::INT) AS r_score,
+         1 + (frequency > fq1)::INT + (frequency > fq2)::INT
+           + (frequency > fq3)::INT AS f_score,
+         1 + (monetary > mq1)::INT + (monetary > mq2)::INT
+           + (monetary > mq3)::INT AS m_score
+  FROM with_r CROSS JOIN rcuts
+)
+SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+       frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+FROM scored
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (current type -> next type) bigram, the count
+    and the transition probability — sequence statistics a behavioral
+    model (or an LLM-agent trace analyzer) trains on.
+
+    Determinism: the sequence order is the (ts micros, event_id) total
+    order; counts are exact and the probability is ONE final double
+    division of two bigints.  Scale: lead() is one keyed window sort
+    per user; the bigram count is a keyed agg over a (|types|^2)-sized
+    result, and the per-source normalizer joins back on a tiny
+    broadcast side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("tu"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    bigrams = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = bigrams.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return bigrams.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.col("n_src").cast("double")).alias("p"),
+    )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst
+  FROM events
+),
+bigrams AS (
+  SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+FROM bigrams
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -2344,4 +2504,8 @@ SPECS = [
               "market-basket pair support mining (per-order bounded self-join)"),
     QuerySpec("sample_weighted", sample_weighted, _WEIGHTED_SAMPLE_ORACLE,
               "Efraimidis-Spirakis weighted sampling, md5-deterministic, no floats"),
+    QuerySpec("orders_rfm", orders_rfm, _RFM_ORACLE,
+              "RFM segmentation via broadcast percentile_disc cutoffs (no global ntile)"),
+    QuerySpec("events_markov_transitions", events_markov_transitions, _MARKOV_ORACLE,
+              "first-order Markov transition matrix over per-user sequences"),
 ]

@@ -564,9 +564,77 @@ FROM g
 """
 
 
+#: tokenizer-vocabulary size for the coverage scan
+VOCAB_K = 16
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus top-{K} token
+    vocabulary (count desc, token asc tie-break), then score every
+    document's out-of-vocabulary ratio — the check that a tokenizer's
+    vocab actually covers the corpus before a training run.
+
+    Scale: the vocabulary is ONE wordcount aggregate reduced to K rows
+    and broadcast back as a single array (crossJoin of a 1-row frame);
+    the per-doc OOV count is then a pure higher-order-function map —
+    no explode, no second shuffle over the corpus.  The one double
+    division is final."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
+    )
+    vocab = (
+        d.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_K)
+        .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+    )
+    return (
+        d.join(F.broadcast(vocab), how="cross")
+        .select(
+            "doc_id",
+            F.expr("size(t)").cast("int").alias("n_tokens"),
+            F.expr("size(filter(t, x -> NOT array_contains(vocab, x)))")
+            .cast("int")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(size(filter(t, x -> NOT array_contains(vocab, x))) AS DOUBLE)"
+                " / CAST(size(t) AS DOUBLE)"
+            ).alias("oov_ratio"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT list_sort(list(tok)) AS v FROM (
+    SELECT tok FROM (SELECT unnest(t) AS tok FROM toks)
+    GROUP BY tok ORDER BY count(*) DESC, tok LIMIT {VOCAB_K}
+  )
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(t, x -> NOT list_contains(v, x))) AS INTEGER) AS n_oov,
+       CAST(len(list_filter(t, x -> NOT list_contains(v, x))) AS DOUBLE)
+         / CAST(len(t) AS DOUBLE) AS oov_ratio
+FROM toks CROSS JOIN vocab
+WHERE len(t) > 0
+"""
+
+
 SPECS = [
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_vocab_coverage", text_vocab_coverage, _VOCAB_COVERAGE_ORACLE,
+              "corpus top-K vocabulary + per-doc OOV ratio (broadcast vocab, HOF map)"),
     QuerySpec("text_decontaminate", text_decontaminate, _DECON_ORACLE,
               "benchmark n-gram decontamination scan (broadcast bench grams)"),
     QuerySpec("text_repetition", text_repetition, _REPETITION_ORACLE,

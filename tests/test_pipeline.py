@@ -29,3 +29,24 @@ def test_bm25_descending_and_positive(spark, sf_oracle_dir):
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_balance_sources_hits_exact_quotas(spark, sf_oracle_dir):
+    """Rank-based mixing must keep EXACTLY ceil(n_src * rate) docs per
+    source — the property threshold sampling only has in expectation."""
+    import math
+
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+    from tests.oracle_utils import duck_con
+
+    con = duck_con(sf_oracle_dir)
+    n_by_src = dict(con.sql("SELECT source, count(*) FROM documents GROUP BY 1").fetchall())
+    rows = P.pipeline_balance_sources(spark, sf_oracle_dir).collect()
+    kept = {}
+    for r in rows:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    import hashlib
+
+    for src, n in n_by_src.items():
+        rate_num = 1 + int(hashlib.md5(src.encode()).hexdigest()[:15], 16) % P.MIX_RATE_BUCKETS
+        assert kept.get(src, 0) == math.ceil(n * rate_num / P.MIX_RATE_BUCKETS)

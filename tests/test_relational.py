@@ -240,3 +240,31 @@ def test_sample_weighted_skews_heavy(spark, sf_dir):
     pop_mean = con.sql("SELECT avg(o_orderkey % 7 + 1) FROM orders").fetchall()[0][0]
     sample_mean = sum(r["weight"] for r in rows) / len(rows)
     assert sample_mean > pop_mean
+
+
+def test_rfm_scores_partition_quartiles(spark, sf_dir):
+    """Each RFM grade must be 1-4 and every grade class non-empty
+    (percentile_disc cutoffs split a non-degenerate metric)."""
+    rows = relational.orders_rfm(spark, sf_dir).collect()
+    assert rows
+    for col in ("r_score", "f_score", "m_score"):
+        seen = {r[col] for r in rows}
+        assert seen <= {1, 2, 3, 4}
+        assert len(seen) >= 2, f"{col} degenerate: {seen}"
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_markov_rows_are_distribution(spark, sf_dir):
+    """Per-source transition probabilities must sum to 1 exactly-ish
+    and counts must reconcile with the bigram total."""
+    rows = relational.events_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, rs in by_src.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9
+        n_src = sum(r["n"] for r in rs)
+        for r in rs:
+            assert r["p"] == r["n"] / n_src

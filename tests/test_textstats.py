@@ -51,3 +51,13 @@ def test_repetition_score_bounds(spark, sf_oracle_dir):
     for r in rows:
         assert 0 <= r["n_distinct"] <= r["n_grams"]
         assert abs(r["dup_ratio"] - (r["n_grams"] - r["n_distinct"]) / r["n_grams"]) < 1e-15
+
+
+def test_vocab_coverage_bounds(spark, sf_oracle_dir):
+    rows = textstats.text_vocab_coverage(spark, sf_oracle_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_ratio"] - r["n_oov"] / r["n_tokens"]) < 1e-15
+    # a 16-word vocab over a 31-word corpus must leave real OOV mass
+    assert any(r["n_oov"] > 0 for r in rows)
