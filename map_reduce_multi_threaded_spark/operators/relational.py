@@ -2167,28 +2167,34 @@ BASKET_TOP_N = 20
 
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining: the top-{N} part pairs by
-    the number of orders containing both (pairwise frequent-itemset
-    support, the first step of association-rule mining).
+    the number of orders containing BOTH (pairwise frequent-itemset
+    support over distinct presence, the first step of association-rule
+    mining).
 
-    Scale: the pair generator is a self-join ON the order key — both
-    sides hash-partition on l_orderkey so the quadratic blowup is per
-    ORDER (bounded by max basket size, 13 items → ≤78 pairs here),
-    never per partition; support counting is one keyed agg with
-    map-side partials, and the top-N is a TakeOrdered, not a full
-    sort.  Ties broken by (part_a, part_b) for a total order."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+    Scale: the naive spelling is a self-join on the order key, which
+    shuffles the fact table TWICE; this one instead collects each
+    basket into a sorted distinct array (ONE keyed shuffle with
+    map-side partial sets) and emits the pairs with an indexed
+    higher-order transform — the quadratic blowup stays bounded per
+    ORDER (max basket 13 items → ≤78 pairs), support counting is a
+    keyed agg, and the top-N is a TakeOrdered, never a full sort.
+    Ties broken by (part_a, part_b) for a total order."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
     )
     return (
-        pairs.groupBy("part_a", "part_b")
+        pairs.select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(BASKET_TOP_N)
@@ -2196,8 +2202,9 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BASKET_ORACLE = f"""
+WITH present AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
-FROM lineitem a JOIN lineitem b
+FROM present a JOIN present b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY a.l_partkey, b.l_partkey
 ORDER BY support DESC, part_a, part_b
