@@ -1479,6 +1479,97 @@ SELECT fmt, n_rows, sum_acctbal FROM (
 """
 
 
+#: partitions the pruning query keeps
+PRUNE_KEEP_TYPES = ("click", "error")
+
+
+def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition PRUNING: stage events
+    as parquet partitioned by event_type (cached per sf in scratch),
+    read it back with a two-type filter, and aggregate — the listing
+    must touch ONLY the two matching partition directories, which at
+    100 TB is the difference between scanning 2/5 of the table and all
+    of it.  The plan-shape test asserts the pruned file index; this
+    registered query gates the VALUES (exact count + decimal sum per
+    kept type) against the unpartitioned original via the oracle.
+
+    Scale: dynamic partition overwrite parallelizes the write; the
+    read side is pure metadata pruning — no data-side filter work at
+    all for the dropped partitions."""
+    import os
+
+    from ..sources.tables import stage_scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    base = stage_scratch_dir(sf_dir, "parted", "events")
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        (
+            ev.withColumn("tu", F.expr("unix_micros(ts)"))
+            .drop("ts")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(f"{base}/events")
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    keep = ", ".join(f"'{t}'" for t in PRUNE_KEEP_TYPES)
+    return (
+        spark.read.parquet(f"{base}/events")
+        .where(F.expr(f"event_type IN ({keep})"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DECM)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+_PRUNE_IN_LIST = ", ".join(f"'{t}'" for t in PRUNE_KEEP_TYPES)
+
+_PARTITION_PRUNE_ORACLE = f"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type IN ({_PRUNE_IN_LIST})
+GROUP BY event_type
+"""
+
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with an EXPLICIT tie-break: the most
+    frequent user per event type (smallest user_id wins count ties).
+    Native ``mode()`` exists on both engines but leaves ties
+    engine-defined — the same reproducibility hole as unsorted
+    collect_set (:func:`agg_array_collect`), so the contract spells it
+    as count + row_number over a total order.
+
+    Scale: two keyed aggs (type,user) then a per-type top-1 window over
+    the already-aggregated (bounded) table — the window never sees raw
+    events."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("mode_n"))
+    )
+
+
+_AGG_MODE_ORACLE = """
+SELECT event_type, user_id AS mode_user, n AS mode_n FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id
+) WHERE rn = 1
+"""
+
+
 def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key join left UNSALTED, with skew handling delegated to
     ADAPTIVE QUERY EXECUTION: events.event_type has 5 values over the
@@ -2515,4 +2606,8 @@ SPECS = [
               "RFM segmentation via broadcast percentile_disc cutoffs (no global ntile)"),
     QuerySpec("events_markov_transitions", events_markov_transitions, _MARKOV_ORACLE,
               "first-order Markov transition matrix over per-user sequences"),
+    QuerySpec("source_partition_prune", source_partition_prune, _PARTITION_PRUNE_ORACLE,
+              "hive-partitioned staging + partition-pruned read (values gated vs unpartitioned)"),
+    QuerySpec("agg_mode", agg_mode, _AGG_MODE_ORACLE,
+              "grouped mode with explicit tie-break (reproducible, unlike native mode())"),
 ]

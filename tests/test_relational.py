@@ -268,3 +268,48 @@ def test_markov_rows_are_distribution(spark, sf_dir):
         n_src = sum(r["n"] for r in rs)
         for r in rs:
             assert r["p"] == r["n"] / n_src
+
+
+def test_partition_prune_reads_only_kept_dirs(spark, sf_dir):
+    """The partitioned read must prune at the FILE INDEX level: every
+    input file sits under a kept event_type= directory, and the scan
+    carries PartitionFilters (metadata pruning, not a data filter)."""
+    relational.source_partition_prune(spark, sf_dir).collect()  # ensure staged
+    from map_reduce_multi_threaded_spark.sources.tables import stage_scratch_dir
+
+    base = stage_scratch_dir(sf_dir, "parted", "events")
+    from pyspark.sql import functions as F
+
+    keep = ", ".join(f"'{t}'" for t in relational.PRUNE_KEEP_TYPES)
+    scan = spark.read.parquet(f"{base}/events").where(F.expr(f"event_type IN ({keep})"))
+    # inputFiles() reports the pre-pruning listing; ask the EXECUTED scan
+    # which files it actually touched instead.
+    files = [
+        r["f"]
+        for r in scan.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files
+    assert all(
+        any(f"event_type={t}/" in f for t in relational.PRUNE_KEEP_TYPES) for f in files
+    ), files[:3]
+    assert "PartitionFilters: [" in _plan(relational.source_partition_prune(spark, sf_dir))
+
+
+def test_agg_mode_is_true_mode(spark, sf_dir):
+    """mode_n must equal the max per-type count, and the reported user
+    the smallest among those attaining it."""
+    counts = {}
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    ):
+        counts.setdefault(r["event_type"], {})[r["user_id"]] = r["count"]
+    for r in relational.agg_mode(spark, sf_dir).collect():
+        per = counts[r["event_type"]]
+        best = max(per.values())
+        assert r["mode_n"] == best
+        assert r["mode_user"] == min(u for u, c in per.items() if c == best)
