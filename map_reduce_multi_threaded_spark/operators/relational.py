@@ -1884,6 +1884,45 @@ SELECT nationkey, count(*) AS n_common FROM (
 """
 
 
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference preserving duplicate counts:
+    for each nation, how many customer rows SURVIVE after cancelling
+    one-for-one against supplier rows (max(count_c - count_s, 0) —
+    the bag semantics, where distinct-flavored EXCEPT would just drop
+    the key entirely).  Completes the set-op family alongside
+    :func:`setop_intersect_all`.  Scale: one shuffle per side on the
+    full row as key, like any set op."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_surplus"))
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT nationkey, count(*) AS n_surplus FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+#: Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the SQL
+#: spelling of topk_per_group; identical text runs on both engines
+#: (Spark lateral subqueries since 3.2/4.x, DuckDB LATERAL).  Catalyst
+#: decorrelates this into a ranked window join — plan-asserted in
+#: tests, so the "lateral loop" never actually executes per-row.
+_LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t
+"""
+
+sql_lateral_topk = _sql_query(_LATERAL_TOPK_SQL)
+
+
 #: (column, string-conversion SQL fragment) pairs for the DQ profile —
 #: conversions chosen so both engines render the identical string
 #: (decimals print canonically on both; raw doubles would not).
@@ -2610,4 +2649,8 @@ SPECS = [
               "hive-partitioned staging + partition-pruned read (values gated vs unpartitioned)"),
     QuerySpec("agg_mode", agg_mode, _AGG_MODE_ORACLE,
               "grouped mode with explicit tie-break (reproducible, unlike native mode())"),
+    QuerySpec("setop_except_all", setop_except_all, _EXCEPT_ALL_ORACLE,
+              "EXCEPT ALL multiset difference, surviving-count profile per key"),
+    QuerySpec("sql_lateral_topk", sql_lateral_topk, _LATERAL_TOPK_SQL,
+              "correlated LATERAL ORDER BY/LIMIT subquery (identical SQL both engines)"),
 ]

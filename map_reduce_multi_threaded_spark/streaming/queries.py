@@ -282,9 +282,32 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: the min/max-of-struct first/last picks run
+    incrementally as ordinary aggregate state — proof the batch
+    operator's formulation carries to streaming unchanged (a window
+    -function OHLC could not)."""
+    ev = W.read_events_stream(spark, sf_dir)
+    return W.run_to_memory(W.ohlc_bars(ev), "stream_ohlc_sink")
+
+
+_STREAM_OHLC_ORACLE = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+       event_type,
+       struct_extract(min({'tu': epoch_us(ts), 'eid': event_id, 'v': value}), 'v') AS open,
+       max(value) AS high,
+       min(value) AS low,
+       struct_extract(max({'tu': epoch_us(ts), 'eid': event_id, 'v': value}), 'v') AS close,
+       count(*) AS n_trades
+FROM events GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_ORACLE,
               "streaming tumbling windows drained through a memory sink"),
+    QuerySpec("stream_ohlc", stream_ohlc, _STREAM_OHLC_ORACLE,
+              "streaming OHLC bars via incremental min/max-of-struct picks"),
     QuerySpec("stream_tumbling_multibatch", stream_tumbling_multibatch, _TUMBLING_ORACLE,
               "append-mode tumbling windows over a 6-micro-batch replay (watermark-driven emission)"),
     QuerySpec("stream_join_left_outer", stream_join_left_outer, _STREAM_LEFT_OUTER_ORACLE,

@@ -178,6 +178,34 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """1-hour OHLC bars per event type — the streaming twin of the
+    batch ``events_ohlc_bars`` operator, sharing its min/max-of-struct
+    first/last picks (plain aggregates, so they run incrementally
+    under streaming state like any min/max; no window-function sort,
+    which streaming could not express)."""
+    k = F.expr("struct(unix_micros(ts) AS tu, event_id AS eid, value AS v)")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(k).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(k).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
+    )
+
+
 def session_counts(events: DataFrame) -> DataFrame:
     """30-minute-gap session windows per user."""
     return (

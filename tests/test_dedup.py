@@ -154,3 +154,24 @@ def test_large_small_star_random_graphs_vs_union_find(spark):
         expected = union_find_labels([e2 for e2 in edges if e2[0] != e2[1]], nodes)
         for n in nodes:
             assert got.get(n, n) == expected[n], (trial, n, got.get(n, n), expected[n])
+
+
+def test_cluster_keep_exactly_one_per_cluster(spark, sf_oracle_dir):
+    """Every cluster keeps exactly one doc; kept docs have the max
+    n_chars in their cluster (smallest doc_id on ties)."""
+    from map_reduce_multi_threaded_spark.operators import dedup as D
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    rows = D.dedup_cluster_keep(spark, sf_oracle_dir).collect()
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf_oracle_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1, (cid, members)
+        best = max((n_chars[r["doc_id"]], -r["doc_id"]) for r in members)
+        assert (n_chars[kept[0]["doc_id"]], -kept[0]["doc_id"]) == best

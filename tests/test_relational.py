@@ -313,3 +313,29 @@ def test_agg_mode_is_true_mode(spark, sf_dir):
         best = max(per.values())
         assert r["mode_n"] == best
         assert r["mode_user"] == min(u for u, c in per.items() if c == best)
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the LATERAL ORDER BY/LIMIT into a ranked
+    window join — no per-outer-row subquery execution."""
+    plan = _plan(relational.sql_lateral_topk(spark, sf_dir))
+    assert "Window" in plan or "rank" in plan.lower(), plan
+    rows = relational.sql_lateral_topk(spark, sf_dir).collect()
+    per_nation = {}
+    for r in rows:
+        per_nation.setdefault(r["n_name"], []).append(r["c_acctbal"])
+    assert all(len(v) <= 2 for v in per_nation.values())
+
+
+def test_except_all_reconciles_with_counts(spark, sf_dir):
+    """n_surplus must equal max(count_c - count_s, 0) per nation."""
+    con = duck_con(sf_dir)
+    c = dict(con.sql("SELECT c_nationkey, count(*) FROM customer GROUP BY 1").fetchall())
+    s = dict(con.sql("SELECT s_nationkey, count(*) FROM supplier GROUP BY 1").fetchall())
+    out = {
+        r["nationkey"]: r["n_surplus"]
+        for r in relational.setop_except_all(spark, sf_dir).collect()
+    }
+    for k in set(c) | set(s):
+        expect = max(c.get(k, 0) - s.get(k, 0), 0)
+        assert out.get(k, 0) == expect

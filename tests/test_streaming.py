@@ -177,3 +177,26 @@ def test_transform_with_state_gated(spark, sf_oracle_dir, tmp_path):
         assert got.count() > 0
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_ohlc_matches_batch_operator(spark, sf_oracle_dir):
+    """The streaming OHLC drain must agree with the batch operator on
+    every bar (same struct-pick semantics, different execution)."""
+    from map_reduce_multi_threaded_spark.operators import relational
+    from map_reduce_multi_threaded_spark.streaming import queries as SQ
+
+    batch = {
+        (r["event_type"], r["bucket"]): (r["open"], r["high"], r["low"], r["close"], r["n_trades"])
+        for r in relational.events_ohlc_bars(spark, sf_oracle_dir).collect()
+    }
+    streamed = SQ.stream_ohlc(spark, sf_oracle_dir).collect()
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        # bar_start is the formatted hour; recover the epoch-hour bucket
+        import datetime
+
+        dt = datetime.datetime.strptime(r["bar_start"], "%Y-%m-%d %H:%M:%S")
+        bucket = int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) // 3_600_000_000
+        key = (r["event_type"], bucket)
+        assert key in batch, key
+        assert batch[key] == (r["open"], r["high"], r["low"], r["close"], r["n_trades"])
