@@ -663,7 +663,104 @@ def cosine_pandas_udf():
     return cosine
 
 
+# ---------------------------------------------------------------------------
+# product quantization (the PQ half of IVF-PQ)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            #: subspaces (64 dims -> 4 x 16)
+PQ_SUB = DIM // PQ_M
+PQ_K = 4            #: codewords per subspace (corpus seed vectors)
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011) — the
+    compression half of IVF-PQ ANN: split each 64-dim vector into
+    {M} 16-dim subvectors, assign each to the nearest of {K} codewords
+    (the corpus seed vectors' matching subvectors, same family as
+    knn_ivf's coarse cells), and report the code plus the exact total
+    squared reconstruction error.
+
+    Determinism: distances are squared L2 over INTEGER-quantized
+    components — pure bigint arithmetic end to end, no floats anywhere;
+    argmin ties break on codeword id via min-of-(dist, k) struct.
+    Scale: codebooks are M×K tiny rows (broadcast); each vector emits
+    M×K candidate rows — a constant fan-out map — and the argmin is an
+    ordinary keyed min-of-struct aggregate with map-side partials; the
+    code-array rebuild groups M rows per vector.  At 100 TB the output
+    (M small ints per vector) is the point: ~32× smaller than the raw
+    vectors."""
+    v = _quantized(spark, sf_dir)
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), "
+                f"m -> struct(m AS m, slice(qv, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    books = (
+        sub.where((F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + PQ_K))
+        .select("m", (F.col("vec_id") - _CENTROID_BASE).alias("k"), F.col("sv").alias("cw"))
+    )
+    dist = F.expr(
+        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+    best = (
+        sub.join(F.broadcast(books), "m")
+        .select("vec_id", "m", F.struct(dist.alias("d"), F.col("k").alias("k")).alias("dk"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dk").alias("best"))
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("m").alias("m"), F.col("best.k").alias("k")))
+            ).alias("mk"),
+            F.sum("best.d").alias("sq_err"),
+        )
+        .select(
+            "vec_id",
+            F.expr("transform(mk, x -> x.k)").alias("code"),
+            "sq_err",
+        )
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, qv[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM q, LATERAL unnest(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+books AS (
+  SELECT m, vec_id - {_CENTROID_BASE} AS k, sv AS cw
+  FROM sub WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + PQ_K}
+),
+best AS (
+  SELECT s.vec_id, s.m,
+         min({{'d': list_sum(list_transform(generate_series(1, {PQ_SUB}),
+                   i -> (s.sv[i] - b.cw[i]) * (s.sv[i] - b.cw[i]))),
+              'k': b.k}}) AS best
+  FROM sub s JOIN books b USING (m)
+  GROUP BY s.vec_id, s.m
+)
+SELECT vec_id,
+       list(struct_extract(best, 'k') ORDER BY m) AS code,
+       CAST(sum(struct_extract(best, 'd')) AS BIGINT) AS sq_err
+FROM best GROUP BY vec_id
+"""
+
+
 SPECS = [
+    QuerySpec("embedding_pq", embedding_pq, _pq_oracle(),
+              "product-quantization codes + exact integer reconstruction error (IVF-PQ compression half)"),
     QuerySpec("knn_bruteforce", knn_bruteforce, _KNN_BRUTE_ORACLE,
               "exact cosine top-5 per query vector (broadcast queries)"),
     QuerySpec("embedding_neardup", embedding_neardup, _NEARDUP_ORACLE,

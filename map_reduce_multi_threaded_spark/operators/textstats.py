@@ -506,6 +506,52 @@ GROUP BY g.doc_id
 """
 
 
+#: corpus n-gram LM count support threshold
+NGRAM_MIN_SUPPORT = 5
+
+
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus {N}-gram language-model counts with a support cutoff —
+    the direct generalization of the reference's word count
+    (map_reduce.cpp:191-236 counts 1-grams; an n-gram LM table is the
+    same partial/final count shuffle over composite keys), and the
+    stats table every KN/Katz-smoothed LM or contamination analysis
+    starts from.
+
+    Scale: explode is a constant ×(len-2) fan-out map; the count is
+    ONE keyed aggregation with map-side partials; the support filter
+    prunes the long tail AFTER the final agg (it cannot be pushed
+    below it), keeping the output the head of the Zipf curve."""
+    grams_expr = (
+        "transform(sequence(1, size(t) - {n1}), "
+        "i -> array_join(slice(t, i, {n}), ' '))"
+    ).format(n=DECON_N, n1=DECON_N - 1)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"))
+        .where(F.expr(f"size(t) >= {DECON_N}"))
+        .select(F.explode(F.expr(grams_expr)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= NGRAM_MIN_SUPPORT)
+    )
+
+
+_NGRAM_COUNTS_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - {DECON_N - 1}),
+                i -> array_to_string(t[i:i + {DECON_N - 1}], ' '))) AS gram
+  FROM toks WHERE len(t) >= {DECON_N}
+)
+SELECT gram, count(*) AS n FROM grams GROUP BY gram
+HAVING count(*) >= {NGRAM_MIN_SUPPORT}
+"""
+
+
 #: repetition-score n-gram width (word 3-grams, the Gopher/MassiveText
 #: "duplicate n-gram fraction" quality signal).
 REP_N = 3
@@ -639,6 +685,8 @@ SPECS = [
               "benchmark n-gram decontamination scan (broadcast bench grams)"),
     QuerySpec("text_repetition", text_repetition, _REPETITION_ORACLE,
               "duplicate n-gram fraction per doc (Gopher repetition signal)"),
+    QuerySpec("text_ngram_counts", text_ngram_counts, _NGRAM_COUNTS_ORACLE,
+              "corpus n-gram LM counts with support cutoff (the reference generalized)"),
     QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SCRUB_ORACLE,
               "regex PII redaction (URL/email/phone) with count + md5 oracle"),
     QuerySpec("text_rolling_fingerprint", text_rolling_fingerprint, _ROLLING_ORACLE,

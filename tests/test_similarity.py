@@ -126,3 +126,19 @@ def test_neardup_lsh_recall_and_precision(spark, sf_oracle_dir):
     assert brute, "fixture must contain planted near-dup pairs"
     recall = len(lsh) / len(brute)
     assert recall >= 0.5, f"near-dup LSH recall {recall:.2%} below 50%"
+
+
+def test_pq_codewords_self_assign_with_zero_error(spark, sf_oracle_dir):
+    """A seed vector IS its own codeword in every subspace: its code
+    must be [k,k,k,k] and its reconstruction error exactly 0."""
+    from map_reduce_multi_threaded_spark.operators import similarity as S
+
+    rows = {r["vec_id"]: r for r in S.embedding_pq(spark, sf_oracle_dir).collect()}
+    for k in range(S.PQ_K):
+        r = rows[S._CENTROID_BASE + k]
+        assert list(r["code"]) == [k] * S.PQ_M
+        assert r["sq_err"] == 0
+    for r in rows.values():
+        assert len(r["code"]) == S.PQ_M
+        assert all(0 <= c < S.PQ_K for c in r["code"])
+        assert r["sq_err"] >= 0

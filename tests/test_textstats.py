@@ -61,3 +61,30 @@ def test_vocab_coverage_bounds(spark, sf_oracle_dir):
         assert abs(r["oov_ratio"] - r["n_oov"] / r["n_tokens"]) < 1e-15
     # a 16-word vocab over a 31-word corpus must leave real OOV mass
     assert any(r["n_oov"] > 0 for r in rows)
+
+
+def test_ngram_counts_reconcile(spark, sf_oracle_dir):
+    """Every reported gram meets the support floor, and the grand
+    total over ALL grams (unfiltered) equals sum(len-2) over docs."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    rows = textstats.text_ngram_counts(spark, sf_oracle_dir).collect()
+    assert rows
+    assert all(r["n"] >= textstats.NGRAM_MIN_SUPPORT for r in rows)
+    d = load_table(spark, sf_oracle_dir, "documents").select(
+        F.expr(r"size(filter(split(text, '\\s+'), x -> length(x) > 0))").alias("n")
+    )
+    expected_total = d.where(f"n >= {textstats.DECON_N}").agg(
+        F.sum(F.col("n") - textstats.DECON_N + 1)
+    ).first()[0]
+    from tests.oracle_utils import duck_con
+
+    con = duck_con(sf_oracle_dir)
+    total = con.sql(f"""
+        WITH toks AS (SELECT list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) t
+                      FROM documents)
+        SELECT sum(len(t) - {textstats.DECON_N - 1}) FROM toks WHERE len(t) >= {textstats.DECON_N}
+    """).fetchall()[0][0]
+    assert total == expected_total
