@@ -25,9 +25,10 @@ from pyspark.sql import SparkSession
 
 # Configs that must hold for correctness (not just speed).
 _REQUIRED_CONFS = {
-    # events.parquet stores TIMESTAMP(NANOS); Spark's vectorized reader
-    # rejects it unless read as raw int64 nanos (converted in
-    # sources.tables.load_table).
+    # Legacy driver fixtures stored events.ts as TIMESTAMP(NANOS),
+    # which Spark's vectorized reader rejects unless read as raw int64
+    # nanos (normalized in sources.tables.normalize_event_ts; the
+    # current micros fixture is unaffected by this conf).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics for TimestampType; the DuckDB
     # oracle reads the same parquet as naive (no-tz) timestamps.

@@ -35,24 +35,36 @@ TABLES = (
 BROADCAST_SAFE = frozenset({"region", "nation", "supplier"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-UTC ``TimestampType`` whatever
+    the fixture's physical parquet type is.  Generations of the driver
+    fixture have shipped it as TIMESTAMP(NANOS) — which Spark reads as
+    int64 nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong`` —
+    and as TIMESTAMP_MICROS with isAdjustedToUTC=false, which reads as
+    TIMESTAMP_NTZ.  DuckDB (the correctness oracle) sees microsecond
+    naive timestamps in both cases, so each branch lands on the same
+    instants: the session timezone is pinned to UTC (session.py)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's parquet
-    reader cannot decode natively; we read it as int64 nanoseconds
-    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
-    microsecond TimestampType.  DuckDB (the correctness oracle)
-    truncates the same nanos to microseconds on read, so the two
-    engines see bit-identical timestamps.
-    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # integer division — ts is 19-digit nanos; double math would
+        # round the low microsecond digit (DuckDB truncates on read).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # naive micros; cast interprets wall-clock in session tz (UTC).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already TimestampType
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table (``events.ts`` → see normalize_event_ts)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer division — ts is 19-digit nanos; double math would
-        # round the low microsecond digit (DuckDB truncates on read).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -23,39 +23,62 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-#: physical schema of events.parquet (ts = raw int64 nanos; converted
-#: after read exactly like sources.tables.load_table).
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _raw_ts_type(parquet_path: str) -> DataType:
+    """Spark type that ``ts`` in this parquet file reads as, under
+    ``nanosAsLong=true``: TIMESTAMP(NANOS) → int64 nanos (LongType);
+    micros with isAdjustedToUTC=false → TIMESTAMP_NTZ; adjusted-to-UTC
+    micros would read as plain TimestampType (then no conversion is
+    needed, but the NTZ cast is a no-op on it anyway, so NTZ is the
+    safe declared type only for tz-naive files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(parquet_path).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit != "ns":
+        return TimestampNTZType()
+    return LongType()  # nanos (arrow timestamp[ns]) → nanosAsLong int64
+
+
+def events_schema(ts_type: DataType) -> StructType:
+    """Read-time schema of an events parquet file (file streams require
+    an explicit schema; ``ts`` physical type varies by fixture
+    generation — see sources.tables.normalize_event_ts)."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of events.parquet as a stream."""
+    from ..sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file source requires a directory; select just events.parquet
     # from the sf dir via glob filter
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(_raw_ts_type(f"{sf_dir}/events.parquet")))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 #: sentinel rows use event_ids at/above this and negative user_ids, so
@@ -115,16 +138,19 @@ def stage_events_multibatch(
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
     n = t.num_rows
     max_scalar = t.column("ts")[n - 1]
-    max_ts = max_scalar.value  # nanoseconds since epoch
+    max_ts = max_scalar.value  # ticks since epoch in the column's unit
     cutoff = max_scalar.as_py().strftime("%Y-%m-%d %H:%M:%S")
-    day_ns = 86_400_000_000_000
+    # one day in the fixture's own timestamp unit (ns for the legacy
+    # TIMESTAMP(NANOS) fixture, us for the current one)
+    unit = t.schema.field("ts").type.unit
+    day_ticks = 86_400 * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
     chunks = [
         t.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
         for i in range(n_files)
     ]
     for s in range(n_sentinels):
         base = SENTINEL_EVENT_ID + 10 * s
-        sts = max_ts + (s + 1) * day_ns
+        sts = max_ts + (s + 1) * day_ticks
         chunks.append(
             pa.table(
                 {
@@ -150,14 +176,21 @@ def stage_events_multibatch(
 
 def read_staged_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     """Stream the staged multi-file replay, one file per micro-batch."""
+    import glob
+
+    from ..sources.tables import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # staged files preserve the source fixture's ts type (cast to the
+    # source schema in stage_events_multibatch) — sample any one file
+    sample = sorted(glob.glob(f"{staged_dir}/*.parquet"))[0]
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(_raw_ts_type(sample)))
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(staged_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
