@@ -2551,6 +2551,130 @@ FROM bigrams
 """
 
 
+def table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build: compress each user's
+    event stream into versioned state intervals — one row per
+    *change* of event_type, carrying ``valid_from_us``/``valid_to_us``
+    micros bounds, a per-user version number, and an ``is_current``
+    flag on the open interval.  This is the standard warehouse pattern
+    for turning an append-only log into a point-in-time-joinable
+    dimension (the write side of :func:`join_asof`'s read side).
+
+    Determinism: the stream order is the (ts micros, event_id) total
+    order on both engines.  Scale: two window passes over the same
+    ``user_id`` partitioning — Catalyst reuses one sort+exchange for
+    both (change detection via lag, then versioning via lead/
+    row_number over the filtered change rows, which only shrinks
+    partitions); no join, no driver-side state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("tu"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("tu").alias("valid_from_us"),
+        F.lead("tu").over(w).alias("valid_to_us"),
+        F.lead("tu").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, tu, event_id FROM seq
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type AS state, tu AS valid_from_us,
+       lead(tu) OVER w AS valid_to_us,
+       lead(tu) OVER w IS NULL AS is_current,
+       CAST(row_number() OVER w AS INTEGER) AS version
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+"""
+
+
+def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim-side filter + fact join — the RUNTIME ROW-LEVEL
+    FILTER showcase: with a filter this selective (one of five order
+    priorities), Spark's ``InjectRuntimeFilter`` rule can build a
+    bloom filter over the surviving ``o_orderkey`` set while planning
+    and push ``might_contain`` into the lineitem SCAN, so ~4/5 of the
+    100 TB fact side is dropped before the shuffle instead of after
+    the join.  Thresholds (creation side ≤ 10 MB, application side
+    scan ≥ 10 GB by default) mean the rewrite only fires at real
+    scale — the plan-shape test
+    (tests/test_relational.py::test_bloom_filter_join_plan) lowers
+    them and asserts the ``might_contain`` scan filter; the result is
+    identical either way, which is the point of a runtime filter."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT l_linestatus, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_linestatus
+"""
+
+
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL sketch rollup: per-nation Datasketches HLL
+    sketches of distinct customers, merged per region with
+    ``hll_union_agg`` and only then estimated — the mergeable-sketch
+    pattern that lets a 1000-executor cluster (or a day-partitioned
+    pipeline) compute distinct counts without ever re-scanning raw
+    data: partials are a few KB each and re-aggregate associatively,
+    exactly like the reference's partial counts (map_reduce.cpp:191-236)
+    but for a non-additive statistic.
+
+    Sketch bytes are engine-specific → rows-only driver check; the
+    pytest gate bounds the estimate's relative error vs the exact
+    per-region distinct (lgConfigK=14 ⇒ σ ≈ 0.8 %)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sketch")
+    )
+    return (
+        per_nation.join(
+            F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_regionkey")
+        .agg(F.hll_union_agg("sketch").alias("merged"))
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            "r_name",
+            F.hll_sketch_estimate("merged").alias("approx_customers"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -2653,4 +2777,11 @@ SPECS = [
               "EXCEPT ALL multiset difference, surviving-count profile per key"),
     QuerySpec("sql_lateral_topk", sql_lateral_topk, _LATERAL_TOPK_SQL,
               "correlated LATERAL ORDER BY/LIMIT subquery (identical SQL both engines)"),
+    QuerySpec("table_scd2", table_scd2, _SCD2_ORACLE,
+              "type-2 SCD build: versioned state intervals from an append-only log"),
+    QuerySpec("join_bloom_filter", join_bloom_filter, _BLOOM_JOIN_ORACLE,
+              "selective dim filter + fact join (runtime bloom-filter pushdown demo)"),
+    QuerySpec("agg_hll_merge", agg_hll_merge, None,
+              "two-level mergeable HLL sketch rollup (sketch bytes engine-specific; "
+              "rows-only + test tolerance)"),
 ]

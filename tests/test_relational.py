@@ -339,3 +339,70 @@ def test_except_all_reconciles_with_counts(spark, sf_dir):
     for k in set(c) | set(s):
         expect = max(c.get(k, 0) - s.get(k, 0), 0)
         assert out.get(k, 0) == expect
+
+
+def test_bloom_filter_join_plan(spark, sf_dir):
+    """join_bloom_filter delegates fact-side pruning to Spark's runtime
+    row-level filter; prove InjectRuntimeFilter fires.  Default
+    thresholds (application-side scan >= 10 GB) are cluster-scale, so
+    the test lowers them to test scale and asserts the bloom's
+    might_contain probe lands in the lineitem scan subtree."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # a broadcast join exchanges no rows, so the rule skips it —
+        # force the shuffle-class join the rewrite exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = relational.join_bloom_filter(spark, sf_dir)
+        plan = _plan(df)
+        assert "might_contain" in plan, plan
+        # result identical with the filter active
+        compare(df, relational._BLOOM_JOIN_ORACLE, sf_dir)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_hll_merge_tolerance(spark, sf_dir):
+    """Sketch bytes are engine-specific (rows-only driver check); gate
+    the merged estimate's relative error vs the exact distinct.
+    lgConfigK=14 gives sigma ~0.8%; 5% is >6 sigma."""
+    est = {
+        r["r_name"]: r["approx_customers"]
+        for r in relational.agg_hll_merge(spark, sf_dir).collect()
+    }
+    con = duck_con(sf_dir)
+    exact = dict(
+        con.sql(
+            """SELECT r_name, count(DISTINCT c_custkey)
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for name, e in est.items():
+        assert abs(e - exact[name]) / exact[name] < 0.05, (name, e, exact[name])
+
+
+def test_scd2_intervals_partition_timeline(spark, sf_dir):
+    """Per user: versions are 1..n dense, intervals chain exactly
+    (valid_to == next valid_from), exactly one open current row, and
+    consecutive states actually differ (no no-op versions)."""
+    rows = relational.table_scd2(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["is_current"] and vs[-1]["valid_to_us"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["state"] != b["state"]
