@@ -72,6 +72,9 @@ HEADLINE = [
     "text_decontaminate",   # broadcast benchmark n-gram scan
     "basket_pairs",         # per-order bounded co-occurrence self-join
     "sql_recursive_bom",    # recursive-CTE closure + subtree rollup
+    "table_scd2",           # type-2 SCD versioned-interval build
+    "join_bloom_filter",    # selective dim + fact join (runtime-filter demo)
+    "agg_hll_merge",        # two-level mergeable HLL sketch rollup
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
@@ -153,12 +156,20 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Two timed runs, report the min: the host is shared, and one GC
+    # pause / state-store maintenance hiccup otherwise lands on a
+    # random query and trips the regression gate with noise.  Min of
+    # two is the steady-state engine cost, which is the number that
+    # scales to a real cluster.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     prev = _previous_bench(sf, sf_dir)
@@ -180,6 +191,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "sf_dir": sf_dir,
+        "runs_per_query": 2,
     }
     if regressions:
         out["regressions"] = regressions

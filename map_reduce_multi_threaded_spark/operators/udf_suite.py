@@ -199,6 +199,71 @@ def rowudf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cogroup_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas`` — align TWO keyed tables group-by-
+    group in one pass: each user's events and their orders arrive as a
+    pandas frame pair, the custom merge emits one profile row.  This is
+    the extension shape for per-entity reconciliation that isn't a
+    plain join (sequence alignment, per-key model fitting over two
+    inputs); here the merge is deliberately SQL-expressible (a full
+    outer agg-join) so the Python path is oracle-gated end to end.
+
+    Determinism: counts and exact integer cents/micros only.  Scale:
+    one co-partitioned shuffle on the key — both sides hash to the
+    same partitions, each group pair must fit one worker (per-user
+    slices do); the 100 TB caveat is the same as any grouped-map."""
+    def merge(key, ev_pdf: pd.DataFrame, ord_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_events": pd.Series([len(ev_pdf)], dtype="int64"),
+                "n_orders": pd.Series([len(ord_pdf)], dtype="int64"),
+                "first_event_us": pd.Series(
+                    [int(ev_pdf["tu"].min()) if len(ev_pdf) else None], dtype="Int64"
+                ),
+                "order_total_cents": pd.Series(
+                    [int(ord_pdf["cents"].sum()) if len(ord_pdf) else 0], dtype="int64"
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts)").alias("tu")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, n_orders long, "
+            "first_event_us long, order_total_cents long",
+        )
+    )
+
+
+_COGROUP_ORACLE = """
+WITH e AS (
+  SELECT user_id, count(*) AS n_events, min(epoch_us(ts)) AS first_event_us
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS order_total_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(e.user_id, o.user_id) AS user_id,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(n_orders, 0) AS n_orders,
+       first_event_us,
+       CAST(coalesce(order_total_cents, 0) AS BIGINT) AS order_total_cents
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+"""
+
+
 SPECS = [
     QuerySpec("udaf_weighted_mean", udaf_weighted_mean, _UDAF_ORACLE,
               "pandas grouped-agg UDAF (discount-weighted mean)"),
@@ -206,4 +271,6 @@ SPECS = [
               "Python UDTF: per-user inter-event gaps via LATERAL"),
     QuerySpec("grouped_map_zscore", grouped_map_zscore, _GROUPED_MAP_ORACLE,
               "applyInPandas grouped-map per-user z-scores"),
+    QuerySpec("cogroup_activity", cogroup_activity, _COGROUP_ORACLE,
+              "cogroup().applyInPandas two-table per-key merge (full-outer profile)"),
 ]

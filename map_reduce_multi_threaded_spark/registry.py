@@ -49,10 +49,11 @@ def collect_specs() -> list[QuerySpec]:
         udf_suite,
         wordcount,
     )
+    from .sources import pygen
     from .streaming import queries as streaming_queries
 
     specs: list[QuerySpec] = []
-    for mod in (wordcount, similarity, textstats, multimodal, udf_suite, pipeline, graph, streaming_queries, relational, dedup):
+    for mod in (wordcount, similarity, textstats, multimodal, udf_suite, pipeline, graph, streaming_queries, relational, dedup, pygen):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     dupes = {n for n in names if names.count(n) > 1}

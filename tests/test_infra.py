@@ -210,3 +210,26 @@ def test_sweep_demotes_on_helper_module_edit():
     rel_spec = {s.name: s for s in relational.SPECS}["q6_revenue"]
     rel_group, _ = rank(rel_spec)
     assert rel_group == 2, "unrelated query must stay proven"
+
+
+def test_python_datasource_partitioned_and_correct(spark, sf_oracle_dir):
+    """The custom Python source must expose its declared partition
+    split to Spark (genuinely parallel read), and the full pipeline
+    over it is value-gated against the DuckDB regeneration oracle."""
+    from map_reduce_multi_threaded_spark.sources import pygen
+    from tests.oracle_utils import compare
+
+    pygen.register(spark)
+    gen = (
+        spark.read.format("wordgen")
+        .option("n", str(pygen.GEN_ROWS))
+        .option("parts", str(pygen.GEN_PARTS))
+        .load()
+    )
+    assert gen.rdd.getNumPartitions() == pygen.GEN_PARTS
+    assert gen.count() == pygen.GEN_ROWS
+    compare(
+        pygen.source_python_datasource(spark, sf_oracle_dir),
+        pygen._PYGEN_ORACLE,
+        sf_oracle_dir,
+    )
