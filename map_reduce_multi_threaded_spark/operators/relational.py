@@ -2551,6 +2551,51 @@ FROM bigrams
 """
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by the month
+    of their FIRST order; for every (cohort_month, months-since-first)
+    cell, the active-customer count and exact revenue — the standard
+    retention/LTV matrix marketing and forecasting read.
+
+    Determinism: month arithmetic is integer (year×12+month), revenue
+    is an exact decimal sum with one final double cast.  Scale: one agg
+    for first-order dates, a key-shuffle join back to orders (the
+    first-order side is customer-cardinality — too big to broadcast at
+    100 TB, so it stays a co-partitioned join on o_custkey), one
+    final small agg over (cohort × offset) cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    mnum = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        orders.join(first, "o_custkey")
+        .select(
+            F.date_format("first_dt", "yyyy-MM").alias("cohort_month"),
+            (mnum(F.col("o_orderdate")) - mnum(F.col("first_dt"))).cast("int").alias("month_offset"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+_COHORT_LTV_ORACLE = """
+WITH first AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+)
+SELECT strftime(first_dt, '%Y-%m') AS cohort_month,
+       CAST((year(o_orderdate) * 12 + month(o_orderdate))
+          - (year(first_dt) * 12 + month(first_dt)) AS INTEGER) AS month_offset,
+       count(DISTINCT o.o_custkey) AS n_active,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+"""
+
+
 def table_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension build: compress each user's
     event stream into versioned state intervals — one row per
@@ -2779,6 +2824,8 @@ SPECS = [
               "correlated LATERAL ORDER BY/LIMIT subquery (identical SQL both engines)"),
     QuerySpec("table_scd2", table_scd2, _SCD2_ORACLE,
               "type-2 SCD build: versioned state intervals from an append-only log"),
+    QuerySpec("orders_cohort_ltv", orders_cohort_ltv, _COHORT_LTV_ORACLE,
+              "cohort LTV triangle: first-order cohorts x month offset, exact revenue"),
     QuerySpec("join_bloom_filter", join_bloom_filter, _BLOOM_JOIN_ORACLE,
               "selective dim filter + fact join (runtime bloom-filter pushdown demo)"),
     QuerySpec("agg_hll_merge", agg_hll_merge, None,

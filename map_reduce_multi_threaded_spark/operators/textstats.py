@@ -676,9 +676,72 @@ WHERE len(t) > 0
 """
 
 
+#: a token is "rare" when its whole-corpus count is at or below this
+RARE_MAX_COUNT = 2
+
+
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring, integer-exact: per document, the
+    token count, the number/fraction of RARE tokens (corpus frequency
+    ≤ {RARE_MAX_COUNT} — the hapax-style signal that flags gibberish,
+    OCR noise, and boilerplate IDs), and the mean corpus frequency of
+    its tokens.  This is the cross-engine-exact proxy for perplexity
+    filtering: true −Σln p(w) needs libm ``ln`` whose last ulp differs
+    between engines, while counts, one exact bigint sum, and one final
+    IEEE division hash identically — same discipline as the decimal
+    aggregates (module docstring).
+
+    Scale: token explode → one vocab-keyed agg (partial map-side) →
+    fact-fact join back on token (vocab is corpus-sized at 100 TB, so
+    it must NOT broadcast) → one doc-keyed agg.  Three shuffles, all
+    on bounded keys."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("c") <= RARE_MAX_COUNT).cast("long")).alias("n_rare"),
+            F.sum("c").alias("sum_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")).alias("rare_ratio"),
+            (F.col("sum_c").cast("double") / F.col("n_tokens").cast("double")).alias("mean_freq"),
+        )
+    )
+
+
+_RARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum((c <= {RARE_MAX_COUNT})::INT) AS BIGINT) AS n_rare,
+       CAST(sum((c <= {RARE_MAX_COUNT})::INT) AS DOUBLE) / count(*) AS rare_ratio,
+       CAST(sum(c) AS DOUBLE) / count(*) AS mean_freq
+FROM toks JOIN counts USING (w)
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_rarity_score", text_rarity_score, _RARITY_ORACLE,
+              "integer-exact unigram rarity scoring (perplexity-filter proxy)"),
     QuerySpec("text_vocab_coverage", text_vocab_coverage, _VOCAB_COVERAGE_ORACLE,
               "corpus top-K vocabulary + per-doc OOV ratio (broadcast vocab, HOF map)"),
     QuerySpec("text_decontaminate", text_decontaminate, _DECON_ORACLE,
