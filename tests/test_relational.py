@@ -406,3 +406,14 @@ def test_scd2_intervals_partition_timeline(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to_us"] == b["valid_from_us"]
             assert a["state"] != b["state"]
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Change detection (lag) and versioning (lead/row_number) share
+    the (user_id, tu, event_id) window spec, so Catalyst must plan ONE
+    exchange + ONE sort serving both Window operators — the property
+    that keeps the SCD build a single-shuffle job at 100 TB."""
+    from map_reduce_multi_threaded_spark.plans.explain import count_exchanges
+
+    df = relational.table_scd2(spark, sf_dir)
+    assert count_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
