@@ -2720,6 +2720,36 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitters sketch size (top-k words over the document corpus)
+TOPK_SKETCH_K = 10
+
+
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (``approx_top_k``, DataSketches
+    frequent-strings): the top-{K} words of the corpus without an
+    exact global word count — heavy hitters are THE streaming/minimal-
+    memory answer to "what dominates 100 TB" when the exact groupBy's
+    vocab-sized shuffle is not worth it.  Sketches merge
+    associatively across partitions like every other partial agg.
+
+    Sketch counts are estimates with engine-specific internals →
+    rows-only driver check; the pytest gate proves the Zipf head is
+    found exactly (top words are far above the sketch's error bound)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    return (
+        toks.agg(F.expr(f"approx_top_k(w, {TOPK_SKETCH_K})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("word"),
+            F.col("e.count").alias("approx_count"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -2831,4 +2861,7 @@ SPECS = [
     QuerySpec("agg_hll_merge", agg_hll_merge, None,
               "two-level mergeable HLL sketch rollup (sketch bytes engine-specific; "
               "rows-only + test tolerance)"),
+    QuerySpec("agg_approx_topk", agg_approx_topk, None,
+              "frequent-items heavy-hitters sketch (approx_top_k; rows-only + "
+              "exact-head test)"),
 ]

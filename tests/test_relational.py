@@ -417,3 +417,24 @@ def test_scd2_single_exchange(spark, sf_dir):
 
     df = relational.table_scd2(spark, sf_dir)
     assert count_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_approx_topk_finds_exact_head(spark, sf_oracle_dir):
+    """The corpus word distribution is Zipfian, so the top-5 exact
+    words sit far above the frequent-items sketch's error bound: the
+    sketch must contain each of them with an exact count (DataSketches
+    guarantees exact counts for items that never left the sketch)."""
+    approx = {
+        r["word"]: r["approx_count"]
+        for r in relational.agg_approx_topk(spark, sf_oracle_dir).collect()
+    }
+    con = duck_con(sf_oracle_dir)
+    exact = con.sql(
+        """SELECT w, count(*) AS c FROM (
+             SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+             FROM documents) t
+           WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 5"""
+    ).fetchall()
+    for w, c in exact:
+        assert w in approx, (w, approx)
+        assert approx[w] == c, (w, approx[w], c)
