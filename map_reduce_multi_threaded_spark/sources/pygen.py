@@ -28,7 +28,12 @@ import hashlib
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..registry import QuerySpec
 
@@ -61,8 +66,49 @@ class WordGenReader(DataSourceReader):
             yield i, hashlib.md5(str(i).encode()).hexdigest()[:4]
 
 
+class WordGenStreamReader(DataSourceStreamReader):
+    """Partitioned STREAMING reader over the same generated rows: each
+    micro-batch advances the offset by ``batch`` rows and splits the
+    range into ``parts`` InputPartitions — the executor-parallel shape
+    a real custom stream source (queue snapshotter, CDC tailer) uses,
+    as opposed to ``SimpleDataSourceStreamReader``'s driver-side
+    reads.  Offsets are plain dicts; Spark handles the WAL."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", GEN_ROWS))
+        self.parts = int(options.get("parts", GEN_PARTS))
+        self.batch = int(options.get("batch", max(1, self.n // 4)))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        # a real source reports "what exists now"; the generator's
+        # stream is finite, so the high-water mark walks to n and stays
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(cur + self.batch, self.n)
+        return {"i": self._cur}
+
+    def partitions(self, start, end):
+        lo, hi = start["i"], end["i"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = (hi - lo + self.parts - 1) // self.parts
+        return [
+            _RangePartition(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield i, hashlib.md5(str(i).encode()).hexdigest()[:4]
+
+    def commit(self, end):
+        pass  # nothing external to acknowledge
+
+
 class WordGenSource(DataSource):
-    """``spark.read.format("wordgen").option("n", ...).load()``."""
+    """``spark.read.format("wordgen").option("n", ...).load()`` (batch)
+    or ``spark.readStream.format("wordgen")...`` (micro-batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -73,6 +119,9 @@ class WordGenSource(DataSource):
 
     def reader(self, schema) -> WordGenReader:
         return WordGenReader(self.options)
+
+    def streamReader(self, schema) -> WordGenStreamReader:
+        return WordGenStreamReader(self.options)
 
 
 def register(spark: SparkSession) -> None:
@@ -105,11 +154,64 @@ FROM generate_series(0, {GEN_ROWS - 1}) t(i)
 GROUP BY 1
 """
 
+
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same aggregation fed by the CUSTOM STREAMING source: the
+    generator's rows arrive over four micro-batches (offset walks
+    ``batch`` rows per ``latestOffset`` poll, each range split into
+    executor partitions), a complete-mode count aggregates across
+    batches, and the drained memory table must equal the one-shot
+    batch answer — proving the source's offset/partition bookkeeping
+    loses and duplicates nothing.  Drained with ``processAllAvailable``
+    (the finite stream stops advancing at ``n``) rather than
+    availableNow, which Python stream sources don't implement
+    admission control for.  ``sf_dir`` unused (generative source)."""
+    import os
+    import shutil
+    import tempfile
+
+    register(spark)
+    gen = (
+        spark.readStream.format("wordgen")
+        .option("n", str(GEN_ROWS))
+        .option("parts", str(GEN_PARTS))
+        .load()
+    )
+    agg = gen.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("i").alias("first_i"),
+    )
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="sg_ckpt_pygen_", dir=ckpt_root)
+    name = "stream_pygen_sink"
+    try:
+        query = (
+            agg.writeStream.queryName(name)
+            .outputMode("complete")
+            .format("memory")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 SPECS = [
     QuerySpec(
         "source_python_datasource",
         source_python_datasource,
         _PYGEN_ORACLE,
         "Spark 4 Python Data Source API: partitioned custom source, value-gated",
+    ),
+    QuerySpec(
+        "stream_python_datasource",
+        stream_python_datasource,
+        _PYGEN_ORACLE,
+        "custom Python STREAM source: micro-batch offsets + partition splits, "
+        "drained to the same exact oracle",
     ),
 ]

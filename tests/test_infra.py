@@ -233,3 +233,16 @@ def test_python_datasource_partitioned_and_correct(spark, sf_oracle_dir):
         pygen._PYGEN_ORACLE,
         sf_oracle_dir,
     )
+
+
+def test_python_stream_datasource_matches_batch(spark, sf_oracle_dir):
+    """The custom streaming source must deliver exactly the batch
+    answer through its micro-batch offset walk (no loss, no dupes)."""
+    from map_reduce_multi_threaded_spark.sources import pygen
+    from tests.oracle_utils import compare
+
+    compare(
+        pygen.stream_python_datasource(spark, sf_oracle_dir),
+        pygen._PYGEN_ORACLE,
+        sf_oracle_dir,
+    )
