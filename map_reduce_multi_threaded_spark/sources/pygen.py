@@ -32,7 +32,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..registry import QuerySpec
@@ -106,6 +108,77 @@ class WordGenStreamReader(DataSourceStreamReader):
         pass  # nothing external to acknowledge
 
 
+class RefSinkCommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, pid: int, rows: int):
+        self.path = path
+        self.pid = pid
+        self.rows = rows
+
+
+class RefSinkWriter(DataSourceWriter):
+    """Executor-side writer for the reference's S14 text contract
+    (``map_reduce.cpp:440-450``): one temp file per task, one
+    ``<word, count> `` line per row (trailing space,
+    ``map_reduce.cpp:448``), SORTED within the task — the ordering the
+    reference got free from ``std::map`` is enforced here.  Tasks
+    write to unique temp names; ``commit`` on the driver atomically
+    renames the per-task files into place — the standard two-phase
+    custom-sink protocol (a failed/speculated task's file is simply
+    never committed; ``abort`` removes leftovers)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("refsink requires .option('path', ...) or save(path)")
+
+    def write(self, iterator) -> RefSinkCommitMessage:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        rows = sorted((r[0], r[1]) for r in iterator)
+        with open(tmp, "w") as f:
+            for word, cnt in rows:
+                f.write(f"<{word}, {cnt}> \n")
+        return RefSinkCommitMessage(tmp, pid, len(rows))
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            final = os.path.join(
+                os.path.dirname(m.path), f"Process_{m.pid}_Output_File.txt"
+            )
+            os.replace(m.path, final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class RefSinkSource(DataSource):
+    """``df.write.format("refsink").option("path", dir).save()`` —
+    the reference's sorted ``<word, count> `` text sink re-expressed
+    through the Python Data Source writer API (two-phase commit),
+    beside the native-Spark implementation in sources.sinks."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "refsink"
+
+    def writer(self, schema, overwrite: bool) -> RefSinkWriter:
+        return RefSinkWriter(self.options)
+
+
 class WordGenSource(DataSource):
     """``spark.read.format("wordgen").option("n", ...).load()`` (batch)
     or ``spark.readStream.format("wordgen")...`` (micro-batch)."""
@@ -127,6 +200,7 @@ class WordGenSource(DataSource):
 def register(spark: SparkSession) -> None:
     """Idempotent registration (re-registering just replaces)."""
     spark.dataSource.register(WordGenSource)
+    spark.dataSource.register(RefSinkSource)
 
 
 def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,3 +246,38 @@ def test_python_stream_datasource_matches_batch(spark, sf_oracle_dir):
         pygen._PYGEN_ORACLE,
         sf_oracle_dir,
     )
+
+
+def test_python_refsink_matches_native_sink(spark, sf_dir, tmp_path):
+    """The Python-writer re-expression of the reference's S14 sink
+    (two-phase commit: temp file per task, rename on driver commit)
+    must produce the same multiset of `<word, count> ` lines as the
+    native text sink, each file sorted (map_reduce.cpp:440-450)."""
+    import os
+
+    from map_reduce_multi_threaded_spark.operators.wordcount import word_counts
+    from map_reduce_multi_threaded_spark.sources import pygen
+    from map_reduce_multi_threaded_spark.sources.sinks import write_reference_format
+
+    wc = word_counts(spark, sf_dir)
+    native_dir = str(tmp_path / "native")
+    write_reference_format(wc, native_dir, num_files=4)
+    py_dir = str(tmp_path / "pywriter")
+    pygen.register(spark)
+    (
+        wc.repartition(4, "word").sortWithinPartitions("word")
+        .write.format("refsink").option("path", py_dir).mode("append").save()
+    )
+    def lines(d, pat):
+        out = []
+        for f in sorted(os.listdir(d)):
+            if pat(f):
+                with open(os.path.join(d, f)) as fh:
+                    body = [l.rstrip("\n") for l in fh if l.strip()]
+                    assert body == sorted(body)  # sorted within file
+                    out.extend(body)
+        return sorted(out)
+
+    native = lines(native_dir, lambda f: f.startswith("part-"))
+    py = lines(py_dir, lambda f: f.startswith("Process_"))
+    assert py == native and len(py) > 0
