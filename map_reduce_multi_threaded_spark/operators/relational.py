@@ -2720,6 +2720,53 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4) over ``events.props``: parse the JSON
+    string ONCE into variant's binary encoding, then typed
+    ``variant_get`` extraction feeds exact integer aggregates.  At
+    100 TB the pattern is parse-at-ingest (store the variant column in
+    parquet) so every downstream query pays typed binary field access
+    instead of re-parsing JSON text — the semi-structured answer to
+    "the schema moved again".  Values are gated against DuckDB's JSON
+    reading of the same strings, proving the variant round-trip is
+    lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("k") >= 50).cast("long")).alias("n_high"),
+            F.sum(F.col("k") * F.col("k")).alias("sum_k_sq"),
+        )
+    )
+
+
+_SCALAR_VARIANT_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum((CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50)::INT) AS BIGINT) AS n_high,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)
+              * CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_sq
+FROM events GROUP BY event_type
+"""
+
+
+#: TPC-H Q6 rewritten in Spark 4's SQL PIPE syntax — the linear
+#: dataflow spelling (FROM |> WHERE |> AGGREGATE) of the same logical
+#: plan the optimizer sees from nested SQL; the oracle is the standard
+#: spelling, proving syntax-level equivalence end to end.
+_PIPE_Q6_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+|> AGGREGATE CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+"""
+
+sql_pipe_q6 = _sql_query(_PIPE_Q6_SQL)
+
+
 #: heavy-hitters sketch size (top-k words over the document corpus)
 TOPK_SKETCH_K = 10
 
@@ -2864,4 +2911,8 @@ SPECS = [
     QuerySpec("agg_approx_topk", agg_approx_topk, None,
               "frequent-items heavy-hitters sketch (approx_top_k; rows-only + "
               "exact-head test)"),
+    QuerySpec("scalar_variant", scalar_variant, _SCALAR_VARIANT_ORACLE,
+              "VARIANT parse + typed variant_get extraction over props JSON"),
+    QuerySpec("sql_pipe_q6", sql_pipe_q6, _Q6_ORACLE,
+              "TPC-H Q6 in Spark 4 SQL pipe syntax (oracle = standard spelling)"),
 ]
