@@ -233,6 +233,54 @@ def stream_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("window_start") <= cutoff)
 
 
+def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregation — two windowed aggregates in ONE
+    streaming query (multiple-stateful-operator support, Spark ≥ 3.4):
+    10-minute tumbling counts per event type roll up into 30-minute
+    windows via ``window()`` OVER THE WINDOW STRUCT, each stage with
+    its own state store, watermark propagated through.  This is the
+    streaming form of a tiered rollup (minute → hour → day) that
+    otherwise needs one job per tier plus an intermediate topic; the
+    multi-batch replay proves inner windows close and feed the outer
+    aggregate before the sink.  Oracle: the same two-level GROUP BY in
+    batch SQL — exact because the replay is time-ordered."""
+    import pyspark.sql.functions as F
+
+    staged, cutoff = W.stage_events_multibatch(sf_dir)
+    ev = W.read_staged_stream(spark, staged).withWatermark("ts", "10 minutes")
+    w10 = ev.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type").agg(
+        F.count(F.lit(1)).alias("n10")
+    )
+    w30 = (
+        w10.groupBy(F.window("w10", "30 minutes").alias("w30"), "event_type")
+        .agg(
+            F.sum("n10").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+        .select(
+            F.date_format("w30.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+        )
+    )
+    out = W.run_to_memory(w30, "stream_rollup_sink", output_mode="append")
+    return out.where(F.col("window_start") <= cutoff)
+
+
+_WINDOWED_ROLLUP_ORACLE = """
+WITH w10 AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type,
+         count(*) AS n10
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(sum(n10) AS BIGINT) AS n_events,
+       count(*) AS n_subwindows
+FROM w10 GROUP BY 1, 2
+"""
+
+
 def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join: purchases
     with no error in the trailing 10 minutes emit a null-extended row —
@@ -310,6 +358,8 @@ SPECS = [
               "streaming OHLC bars via incremental min/max-of-struct picks"),
     QuerySpec("stream_tumbling_multibatch", stream_tumbling_multibatch, _TUMBLING_ORACLE,
               "append-mode tumbling windows over a 6-micro-batch replay (watermark-driven emission)"),
+    QuerySpec("stream_windowed_rollup", stream_windowed_rollup, _WINDOWED_ROLLUP_ORACLE,
+              "chained stateful aggregation: 10-min windows rolled into 30-min inside one query"),
     QuerySpec("stream_join_left_outer", stream_join_left_outer, _STREAM_LEFT_OUTER_ORACLE,
               "stream-stream LEFT OUTER interval join with watermark-forced null emission"),
     QuerySpec("stream_stateful_counts", stream_stateful_counts, _STATEFUL_ORACLE,
