@@ -2767,6 +2767,18 @@ FROM lineitem
 sql_pipe_q6 = _sql_query(_PIPE_Q6_SQL)
 
 
+#: GROUP BY ALL — the modern "group by every non-aggregate column"
+#: spelling; one text runs verbatim on Spark and DuckDB, so the oracle
+#: IS the query (same contract as the other sql_* entries).
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ALL
+"""
+
+sql_group_by_all = _sql_query(_GROUP_BY_ALL_SQL)
+
+
 #: heavy-hitters sketch size (top-k words over the document corpus)
 TOPK_SKETCH_K = 10
 
@@ -2915,4 +2927,6 @@ SPECS = [
               "VARIANT parse + typed variant_get extraction over props JSON"),
     QuerySpec("sql_pipe_q6", sql_pipe_q6, _Q6_ORACLE,
               "TPC-H Q6 in Spark 4 SQL pipe syntax (oracle = standard spelling)"),
+    QuerySpec("sql_group_by_all", sql_group_by_all, _GROUP_BY_ALL_SQL,
+              "GROUP BY ALL (identical SQL text on both engines)"),
 ]
