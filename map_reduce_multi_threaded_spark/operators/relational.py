@@ -580,6 +580,67 @@ GROUP BY p_brand
 """
 
 
+#: bin width for the binned interval join, in microseconds (equal to
+#: the interval length, so each interval covers at most 2 bins)
+INTERVAL_BIN_US = 2 * 3600 * 1_000_000
+
+
+def join_interval_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join with NO equi key — point-in-interval matching
+    of every event against "incident windows" (2-hour spans anchored
+    at every 2000th event) — via TIME BINNING: both sides map to
+    fixed-width time bins (an interval explodes to the ≤2 bins it
+    covers, a point to exactly one), the join runs as an ordinary
+    hash equi-join on the bin, and the exact [start, end) predicate
+    filters post-match.  Without this rewrite Spark plans a
+    broadcast-nested-loop join (asserted away in the plan test) —
+    O(events × intervals), the classic 100 TB interval-join trap;
+    binned, the cost is one keyed shuffle and each probe row meets
+    only its own bin's intervals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("unix_micros(ts)").alias("tu")
+    )
+    anchors = ev.where(F.col("event_id") % 2000 == 0).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("tu").alias("start_us"),
+        (F.col("tu") + F.lit(INTERVAL_BIN_US)).alias("end_us"),
+    )
+    cov = anchors.select(
+        "incident_id",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {INTERVAL_BIN_US}"),
+                F.expr(f"end_us div {INTERVAL_BIN_US}"),
+            )
+        ).alias("bin"),
+    )
+    probe = ev.select("event_id", "tu", F.expr(f"tu div {INTERVAL_BIN_US}").alias("bin"))
+    return (
+        probe.join(cov, "bin")
+        .where((F.col("tu") >= F.col("start_us")) & (F.col("tu") < F.col("end_us")))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+_INTERVAL_BINS_ORACLE = f"""
+WITH anchors AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + {INTERVAL_BIN_US} AS end_us
+  FROM events WHERE event_id % 2000 = 0
+)
+SELECT incident_id, count(*) AS n_events, min(e.event_id) AS first_event
+FROM anchors a JOIN events e
+  ON epoch_us(e.ts) >= a.start_us AND epoch_us(e.ts) < a.end_us
+GROUP BY incident_id
+"""
+
+
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join for a skewed build key: events.event_type has only
     5 distinct values over the whole fact table, so a plain shuffle
@@ -2929,4 +2990,6 @@ SPECS = [
               "TPC-H Q6 in Spark 4 SQL pipe syntax (oracle = standard spelling)"),
     QuerySpec("sql_group_by_all", sql_group_by_all, _GROUP_BY_ALL_SQL,
               "GROUP BY ALL (identical SQL text on both engines)"),
+    QuerySpec("join_interval_bins", join_interval_bins, _INTERVAL_BINS_ORACLE,
+              "no-equi-key interval join rewritten as a binned hash join (plan-tested)"),
 ]

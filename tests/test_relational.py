@@ -438,3 +438,12 @@ def test_approx_topk_finds_exact_head(spark, sf_oracle_dir):
     for w, c in exact:
         assert w in approx, (w, approx)
         assert approx[w] == c, (w, approx[w], c)
+
+
+def test_interval_bins_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The binned rewrite must plan a hash-class equi-join on the bin;
+    a BroadcastNestedLoopJoin/CartesianProduct means the rewrite broke
+    and the query is O(events x intervals) again."""
+    plan = _plan(relational.join_interval_bins(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
