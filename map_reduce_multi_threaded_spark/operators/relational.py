@@ -641,6 +641,72 @@ GROUP BY incident_id
 """
 
 
+#: synthetic session length for the concurrency sweep, microseconds
+CONCURRENCY_SESSION_US = 30 * 60 * 1_000_000
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY per event type via the SWEEP-LINE transform:
+    each event opens a half-open 30-minute session ``[ts, ts+30m)``;
+    explode every session into a +1 boundary at start and a −1 at end,
+    sort boundaries in time within the type, running-sum the deltas,
+    and the max of the running sum is the peak number of simultaneously
+    open sessions.  The boundary trick turns an interval-overlap
+    question (quadratic if asked pairwise) into one keyed window scan —
+    the same shape capacity planning and rate-limit sizing use.
+
+    Determinism: ties order (time, delta, event_id) with −1 before +1,
+    so back-to-back sessions at the same instant don't overlap (the
+    half-open contract), identically on both engines.  Scale: one
+    explode (2× rows), one keyed window sort, one agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr("unix_micros(ts)").alias("tu")
+    )
+    bounds = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("tu").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("tu") + F.lit(CONCURRENCY_SESSION_US)).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("b"),
+    ).select("event_type", "event_id", F.col("b.t").alias("t"), F.col("b.delta").alias("delta"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = bounds.select(
+        "event_type", F.sum("delta").over(w).alias("open_now")
+    )
+    return running.groupBy("event_type").agg(
+        F.max("open_now").cast("int").alias("peak_concurrency")
+    )
+
+
+_CONCURRENCY_ORACLE = f"""
+WITH bounds AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, event_id, epoch_us(ts) + {CONCURRENCY_SESSION_US} AS t, -1 AS delta
+  FROM events
+),
+running AS (
+  SELECT event_type,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS open_now
+  FROM bounds
+)
+SELECT event_type, CAST(max(open_now) AS INTEGER) AS peak_concurrency
+FROM running GROUP BY event_type
+"""
+
+
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join for a skewed build key: events.event_type has only
     5 distinct values over the whole fact table, so a plain shuffle
@@ -2992,4 +3058,6 @@ SPECS = [
               "GROUP BY ALL (identical SQL text on both engines)"),
     QuerySpec("join_interval_bins", join_interval_bins, _INTERVAL_BINS_ORACLE,
               "no-equi-key interval join rewritten as a binned hash join (plan-tested)"),
+    QuerySpec("events_concurrency", events_concurrency, _CONCURRENCY_ORACLE,
+              "peak concurrent sessions via the sweep-line boundary transform"),
 ]
