@@ -393,9 +393,61 @@ WHERE r.rnk <= ceil(q.n_src * q.rate_num / {MIX_RATE_BUCKETS})
 """
 
 
+#: training shard count for the manifest builder
+N_SHARDS = 16
+
+
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard MANIFEST: every document is
+    assigned to one of {N} shards by a stable content-independent hash
+    of its id (so re-runs, resumes, and incremental appends land each
+    doc in the same shard), and the manifest row per shard carries the
+    doc count, total characters, and an ORDER-FREE content checksum
+    (XOR of per-doc md5-derived longs — XOR commutes and stays in 64
+    bits, so the checksum is identical under any partitioning or
+    arrival order and never overflows, unlike a sum).
+    This is the reproducibility contract of a training data release:
+    two pipelines producing the same manifest table produced the same
+    shards, byte for byte, without comparing the shards themselves.
+
+    Scale: one narrow map (hash + length) and one {N}-group agg; the
+    checksum never materializes doc contents anywhere."""
+    from ..functions.text import md5_bucket, md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            md5_bucket(F.col("doc_id"), N_SHARDS, salt="shard").alias("shard"),
+            F.length("text").alias("n_chars"),
+            md5_long(F.col("text")).alias("content_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(content_h)").alias("content_checksum"),
+        )
+    )
+
+
+def _shard_manifest_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    return f"""
+SELECT {duck_md5_long("CAST(doc_id AS VARCHAR)", salt="shard")} % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(bit_xor({duck_md5_long("text")}) AS BIGINT) AS content_checksum
+FROM documents
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
+    QuerySpec("pipeline_shard_manifest", pipeline_shard_manifest, _shard_manifest_oracle(),
+              "deterministic shard assignment + order-free content-checksum manifest"),
     QuerySpec("pipeline_balance_sources", pipeline_balance_sources, _BALANCE_ORACLE,
               "exact-count domain-mixing downsample (md5 rank per source + quota broadcast)"),
     QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
