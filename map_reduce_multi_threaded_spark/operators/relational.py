@@ -793,6 +793,73 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join (bidirectional): for each purchase,
+    the same user's error closest in time in EITHER direction, ties to
+    the earlier side.  The scalable composition extends
+    :func:`join_asof`'s carry pattern: one backward pass carries the
+    last error at-or-before (``last ignorenulls``), one forward pass
+    carries the first error after (``first ignorenulls`` over the
+    mirrored frame), and a 3-way CASE picks the closer candidate —
+    two window passes over ONE (user_id, time) sort, zero row
+    multiplication, where the naive join-and-argmin explodes
+    |purchases|×|errors| per user.  The oracle IS that naive argmin,
+    which is exactly the point."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"), F.col("ts").alias("err_ts")
+    )
+    both = purchases.unionByName(errors)
+    order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tu = F.expr("unix_micros(ts)")
+    back, fwd = F.col("back_ts"), F.col("fwd_ts")
+    nearest = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(tu - F.expr("unix_micros(back_ts)") <= F.expr("unix_micros(fwd_ts)") - tu, back)
+        .otherwise(fwd)
+    )
+    return (
+        both.withColumn("back_ts", F.last("err_ts", ignorenulls=True).over(wb))
+        .withColumn("fwd_ts", F.first("err_ts", ignorenulls=True).over(wf))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+            F.date_format(nearest, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("nearest_error_ts"),
+        )
+    )
+
+
+_JOIN_ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+e AS (SELECT * FROM events WHERE event_type = 'error'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts AS pts, e.ts AS ets,
+         row_number() OVER (PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)), e.ts, e.event_id) AS rn
+  FROM p LEFT JOIN e ON p.user_id = e.user_id
+)
+SELECT event_id, user_id,
+       strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS nearest_error_ts
+FROM j WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # windows / sorts / top-k
 # --------------------------------------------------------------------------
@@ -3060,4 +3127,6 @@ SPECS = [
               "no-equi-key interval join rewritten as a binned hash join (plan-tested)"),
     QuerySpec("events_concurrency", events_concurrency, _CONCURRENCY_ORACLE,
               "peak concurrent sessions via the sweep-line boundary transform"),
+    QuerySpec("join_asof_nearest", join_asof_nearest, _JOIN_ASOF_NEAREST_ORACLE,
+              "bidirectional nearest-in-time as-of join via two carry passes"),
 ]
