@@ -1598,6 +1598,99 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling with LINEAR INTERPOLATION — the arithmetic sibling of
+    :func:`events_resample_ffill`: empty 6-hour grid buckets get
+    ``prev + (next − prev) · frac`` between the neighboring known
+    points instead of a carried copy.  Four carried columns (previous/
+    next known value and bucket, via ignorenulls last/first over the
+    same per-user bucket order) feed ONE fixed-shape IEEE expression,
+    which both engines evaluate with per-op correct rounding in the
+    same operand order — so even this floating-point query hash-matches
+    exactly.  Grid endpoints always hold events (the grid spans min..max
+    event bucket), so every empty bucket is interior and the formula is
+    total.  Scale: identical to the ffill variant — two keyed windows,
+    no joins beyond the grid fill."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("unix_micros(ts)").alias("tu"),
+        F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("bucket"),
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("tu"), F.desc("event_id")
+    )
+    last_in = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("bucket").alias("mb"), F.max("bucket").alias("xb"))
+        .select("user_id", F.explode(F.expr("sequence(mb, xb)")).alias("bucket"))
+    )
+    wb = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_bucket = F.when(F.col("value").isNotNull(), F.col("bucket"))
+    filled = (
+        grid.join(last_in, ["user_id", "bucket"], "left")
+        .withColumn("pv", F.last("value", ignorenulls=True).over(wb))
+        .withColumn("pb", F.last(known_bucket, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("value", ignorenulls=True).over(wf))
+        .withColumn("nb", F.first(known_bucket, ignorenulls=True).over(wf))
+    )
+    interp = F.expr(
+        "CASE WHEN value IS NOT NULL THEN value "
+        "ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END"
+    )
+    return filled.select("user_id", "bucket", interp.alias("value_li"))
+
+
+_RESAMPLE_INTERP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         epoch_us(ts) AS tu,
+         epoch_us(ts) // {{RESAMPLE_BUCKET_US}} AS bucket
+  FROM events
+),
+last_in AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, bucket, value,
+           row_number() OVER (PARTITION BY user_id, bucket
+                              ORDER BY tu DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mb, xb)) AS bucket
+  FROM (SELECT user_id, min(bucket) AS mb, max(bucket) AS xb FROM ev GROUP BY user_id)
+),
+filled AS (
+  SELECT g.user_id, g.bucket, l.value,
+         last_value(l.value IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN l.value IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wb AS pb,
+         first_value(l.value IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN l.value IS NOT NULL THEN g.bucket END IGNORE NULLS) OVER wf AS nb
+  FROM grid g LEFT JOIN last_in l ON g.user_id = l.user_id AND g.bucket = l.bucket
+  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.user_id ORDER BY g.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+       CASE WHEN value IS NOT NULL THEN value
+            ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END
+         AS value_li
+FROM filled
+""".replace("{RESAMPLE_BUCKET_US}", str(RESAMPLE_BUCKET_US))
+
+
 _RESAMPLE_ORACLE = f"""
 WITH ev AS (
   SELECT user_id, event_id, value,
@@ -3129,4 +3222,6 @@ SPECS = [
               "peak concurrent sessions via the sweep-line boundary transform"),
     QuerySpec("join_asof_nearest", join_asof_nearest, _JOIN_ASOF_NEAREST_ORACLE,
               "bidirectional nearest-in-time as-of join via two carry passes"),
+    QuerySpec("events_resample_interpolate", events_resample_interpolate, _RESAMPLE_INTERP_ORACLE,
+              "6-hour-grid resampling with exact-IEEE linear interpolation"),
 ]
