@@ -148,9 +148,69 @@ FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a JOIN e e3
 """
 
 
+#: BFS source (part #1 under the even/odd node encoding) and the level
+#: cap shared by the Spark loop and the recursive-CTE oracle.
+BFS_SOURCE = 2
+BFS_MAX_LEVEL = 15
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances over the part↔supplier graph —
+    frontier expansion as iterative MapReduce: each round is one join
+    (frontier × edges), a distinct, and an anti-join against the
+    visited set; the loop stops when the frontier empties (a driver
+    count per round — the convergence test itself, O(1) rows, same
+    discipline as dedup_clusters).  The bipartite fact graph is dense,
+    so the loop runs ~3-5 rounds regardless of node count.
+
+    Exact oracle: DuckDB's recursive CTE computes min-hop levels with
+    UNION-dedup bounding the working set to nodes × levels.  Scale:
+    per-round cost is one keyed shuffle on the frontier; the visited
+    set stays partitioned, and each round's frontier is
+    localCheckpointed to cut the growing lineage."""
+    edges = _edges(spark, sf_dir).distinct().localCheckpoint(eager=True)
+    visited = spark.range(1).select(
+        F.lit(BFS_SOURCE).cast("long").alias("node"), F.lit(0).alias("level")
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for level in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(level).alias("level"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select("node", F.col("level").cast("int").alias("level"))
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem
+),
+bfs AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS level
+  UNION
+  SELECT e.dst, b.level + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.level < {BFS_MAX_LEVEL}
+)
+SELECT node, CAST(min(level) AS INTEGER) AS level FROM bfs GROUP BY node
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(),
               "3-iteration integer PageRank over the part↔supplier graph (join+agg per iteration)"),
+    QuerySpec("graph_bfs_levels", graph_bfs_levels, _BFS_ORACLE,
+              "single-source BFS hop levels (frontier loop vs recursive-CTE oracle)"),
     QuerySpec("graph_triangle_count", graph_triangle_count, _triangle_oracle(),
               "triangle count over the near-dup graph (two joins on the a<b orientation)"),
 ]
