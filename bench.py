@@ -75,6 +75,9 @@ HEADLINE = [
     "table_scd2",           # type-2 SCD versioned-interval build
     "join_bloom_filter",    # selective dim + fact join (runtime-filter demo)
     "agg_hll_merge",        # two-level mergeable HLL sketch rollup
+    "join_interval_bins",   # no-equi-key interval join via time binning
+    "events_concurrency",   # sweep-line peak-concurrency scan
+    "text_rarity_score",    # unigram rarity scoring (corpus-vocab join)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
