@@ -3066,6 +3066,105 @@ FROM lineitem GROUP BY ALL
 sql_group_by_all = _sql_query(_GROUP_BY_ALL_SQL)
 
 
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: customers ranked by total
+    spend, classified A (first 80 % of cumulative revenue), B (next
+    15 %), C (tail 5 %) — the 80/20 segmentation every procurement and
+    marketing stack computes.
+
+    Determinism: spend is an exact decimal sum; the cumulative share
+    is a running decimal sum over a (spend DESC, custkey) total order,
+    and the class cutoffs compare decimal × integer against decimal ×
+    integer — no floats until the emitted share.  Scale: one keyed agg
+    + one global-order window; the window is the irreducible part of
+    any exact Pareto (a single sort by spend), same as any global
+    top-k-with-prefix-sums."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("spend_d")
+    )
+    w = Window.orderBy(F.desc("spend_d"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = spend.agg(F.sum("spend_d").alias("total_d"))
+    cum = spend.crossJoin(F.broadcast(total)).withColumn(
+        "cum_d", F.sum("spend_d").over(w)
+    )
+    cls = (
+        F.when(F.col("cum_d") * 100 <= F.col("total_d") * 80, "A")
+        .when(F.col("cum_d") * 100 <= F.col("total_d") * 95, "B")
+        .otherwise("C")
+    )
+    return cum.select(
+        "o_custkey",
+        F.col("spend_d").cast("double").alias("spend"),
+        (F.col("cum_d").cast("double") / F.col("total_d").cast("double")).alias("cum_share"),
+        cls.alias("abc_class"),
+    )
+
+
+_ABC_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_d
+  FROM orders GROUP BY o_custkey
+),
+cum AS (
+  SELECT o_custkey, spend_d,
+         sum(spend_d) OVER (ORDER BY spend_d DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_d,
+         sum(spend_d) OVER () AS total_d
+  FROM spend
+)
+SELECT o_custkey, CAST(spend_d AS DOUBLE) AS spend,
+       CAST(cum_d AS DOUBLE) / CAST(total_d AS DOUBLE) AS cum_share,
+       CASE WHEN cum_d * 100 <= total_d * 80 THEN 'A'
+            WHEN cum_d * 100 <= total_d * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (low entropy = bot-like repetition,
+    high = varied usage; the same formula scores token diversity in a
+    training corpus).  H = ln(n) − (Σ c·ln c)/n from exact integer
+    counts: each ln sees an INTEGER argument, both engines' libm agree
+    far past 9 dp there, and the one division is IEEE — rounded to
+    9 dp like the other libm-dependent scores (bm25 precedent).
+    Scale: two keyed aggs, partial map-side both times."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clogc"),
+        )
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.round(
+                F.log(F.col("n").cast("double")) - F.col("clogc") / F.col("n").cast("double"),
+                9,
+            ).alias("entropy"),
+        )
+    )
+
+
+_ENTROPY_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 9) AS entropy
+FROM per_type GROUP BY user_id
+"""
+
+
 #: heavy-hitters sketch size (top-k words over the document corpus)
 TOPK_SKETCH_K = 10
 
@@ -3224,4 +3323,8 @@ SPECS = [
               "bidirectional nearest-in-time as-of join via two carry passes"),
     QuerySpec("events_resample_interpolate", events_resample_interpolate, _RESAMPLE_INTERP_ORACLE,
               "6-hour-grid resampling with exact-IEEE linear interpolation"),
+    QuerySpec("orders_abc_analysis", orders_abc_analysis, _ABC_ORACLE,
+              "Pareto ABC classification via exact-decimal cumulative shares"),
+    QuerySpec("agg_entropy", agg_entropy, _ENTROPY_ORACLE,
+              "Shannon entropy of per-user event-type distributions (integer-arg ln)"),
 ]
