@@ -3066,6 +3066,56 @@ FROM lineitem GROUP BY ALL
 sql_group_by_all = _sql_query(_GROUP_BY_ALL_SQL)
 
 
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT decimal moments —
+    the deterministic spelling of ``corr()``: the built-in sums doubles
+    in shuffle order (never bit-stable across partitionings), while
+    Σx, Σy, Σxy, Σx², Σy² as wide decimals are exact, so the two
+    engines disagree only after the final sqrt/divide — rounded 9 dp.
+    The same five-moment shape is how any mergeable second-order
+    statistic (covariance matrices for PCA/whitening) is built at
+    100 TB: one partial-agg pass, O(1) state per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+            F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+            F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = num.cast("double") / (
+        F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))
+    )
+    return m.select("l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price"))
+
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr_qty_price
+FROM m
+"""
+
+
 def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC inventory classification: customers ranked by total
     spend, classified A (first 80 % of cumulative revenue), B (next
@@ -3327,4 +3377,6 @@ SPECS = [
               "Pareto ABC classification via exact-decimal cumulative shares"),
     QuerySpec("agg_entropy", agg_entropy, _ENTROPY_ORACLE,
               "Shannon entropy of per-user event-type distributions (integer-arg ln)"),
+    QuerySpec("agg_corr_exact", agg_corr_exact, _CORR_ORACLE,
+              "Pearson correlation from exact decimal moments (deterministic corr())"),
 ]
