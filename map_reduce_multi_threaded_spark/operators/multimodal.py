@@ -261,9 +261,50 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python batch API (raw
+    pyarrow RecordBatches, no pandas conversion): per-payload byte
+    length and 0x20-byte (space) count via ``pyarrow.compute`` kernels.
+    Completes the Python-extension ladder (row UDF → pandas_udf →
+    applyInPandas/cogroup → mapInPandas → mapInArrow); for byte-level
+    work over binary media columns this path avoids the pandas
+    object-boxing mapInPandas pays per payload.
+
+    Scale: narrow map, zero shuffles; Arrow batches stream through the
+    worker at ``maxRecordsPerBatch`` granularity."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for b in batches:
+            payload = b.column(b.schema.get_field_index("payload"))
+            n_bytes = pc.binary_length(payload)
+            # count 0x20 bytes — count_substring works on binary, so no
+            # unsafe cast-to-string for arbitrary payload bytes
+            n_space = pc.count_substring(payload, " ")
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), n_bytes.cast(pa.int64()), n_space.cast(pa.int64())],
+                ["doc_id", "n_bytes", "n_space"],
+            )
+
+    return with_payload(spark, sf_dir).mapInArrow(
+        stats, "doc_id long, n_bytes long, n_space long"
+    )
+
+
+_ARROW_BYTE_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_decode_meta", decode_metadata, _DECODE_META_ORACLE,
               "mapInPandas binary decode plumbing (deterministic fake codec)"),
+    QuerySpec("multimodal_arrow_stats", arrow_byte_stats, _ARROW_BYTE_STATS_ORACLE,
+              "mapInArrow byte stats (raw Arrow batches, no pandas boxing)"),
     QuerySpec("multimodal_embed_knn", embed_knn, _embed_knn_oracle(),
               "composed binary → feature-extract → cosine top-3 pipeline"),
     QuerySpec("multimodal_frame_sample", frame_sample, _FRAME_SAMPLE_ORACLE,
