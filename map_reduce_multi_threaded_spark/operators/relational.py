@@ -2495,18 +2495,27 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodes the rule that unsorted collected arrays are not
     reproducible.  Scale: one keyed shuffle with partial (map-side) set
     merging; per-group arrays are bounded by the event-type vocabulary,
-    not the event count."""
-    return (
+    not the event count.
+
+    Output contract: the array is serialized as a '|'-joined string —
+    top-level ARRAY columns are not hashable by downstream pandas
+    canonicalizers (verified: numpy.ndarray cells break sort_values),
+    so every registered query exposes scalars only."""
+    collected = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
-        .select("user_id", "types", F.size("types").cast("int").alias("n_types"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types_arr"))
+    )
+    return collected.select(
+        "user_id",
+        F.array_join("types_arr", "|").alias("types"),
+        F.size("types_arr").cast("int").alias("n_types"),
     )
 
 
 _ARRAY_COLLECT_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
        CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
 FROM events GROUP BY user_id
 """

@@ -722,7 +722,12 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            F.expr("transform(mk, x -> x.k)").alias("code"),
+            # '|'-joined string, not a raw array: top-level ARRAY columns
+            # break pandas-based result canonicalizers (unhashable ndarray),
+            # so the output contract is scalars only.
+            F.array_join(
+                F.expr("transform(mk, x -> cast(x.k as string))"), "|"
+            ).alias("code"),
             "sq_err",
         )
     )
@@ -752,7 +757,7 @@ best AS (
   GROUP BY s.vec_id, s.m
 )
 SELECT vec_id,
-       list(struct_extract(best, 'k') ORDER BY m) AS code,
+       array_to_string(list(CAST(struct_extract(best, 'k') AS VARCHAR) ORDER BY m), '|') AS code,
        CAST(sum(struct_extract(best, 'd')) AS BIGINT) AS sq_err
 FROM best GROUP BY vec_id
 """

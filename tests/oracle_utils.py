@@ -64,6 +64,26 @@ _SPARK_TO_DUCK = {
 }
 
 
+def check_output_contract(spark_df) -> None:
+    """Registered queries must expose SCALAR top-level columns only.
+
+    The driver's canonicalizer sorts result columns through pandas,
+    which cannot hash/sort numpy-array cells — CORRECTNESS_r04 recorded
+    ``TypeError: unhashable type: 'numpy.ndarray'`` for the first two
+    queries that leaked a top-level ARRAY column (embedding_pq,
+    agg_array_collect).  Serialize arrays (``array_join``) / structs
+    (project fields) instead."""
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if f.dataType.simpleString().startswith(("array", "map", "struct"))
+    ]
+    assert not bad, (
+        "top-level complex column(s) break the driver canonicalizer "
+        "(serialize with array_join / project struct fields): " + "; ".join(bad)
+    )
+
+
 def check_types(spark_df, duck_rel) -> None:
     """Fail when a DuckDB oracle column's type would hash differently from
     the Spark column's (e.g. HUGEINT vs int64, DECIMAL(38,0) vs bigint)."""
@@ -99,6 +119,7 @@ def rows_multiset(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare(spark_df, sql: str, sf_dir: str) -> None:
+    check_output_contract(spark_df)
     con = duck_con(sf_dir)
     duck = con.sql(sql)
     check_types(spark_df, duck)

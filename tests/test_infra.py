@@ -212,6 +212,22 @@ def test_sweep_demotes_on_helper_module_edit():
     assert rel_group == 2, "unrelated query must stay proven"
 
 
+def test_no_oracle_specs_obey_output_contract(spark, sf_oracle_dir):
+    """Registry-wide output contract, no-oracle half: every spec WITH an
+    oracle passes through ``compare()`` (which now calls
+    ``check_output_contract`` first), so the only schemas the parity
+    gate never sees are the rows-only sketch queries.  Check them here —
+    together the two paths assert NO registered query exposes a
+    top-level array/map/struct column (the r4 driver-RED class)."""
+    from map_reduce_multi_threaded_spark.registry import collect_specs
+    from tests.oracle_utils import check_output_contract
+
+    no_oracle = [s for s in collect_specs() if s.oracle is None]
+    assert no_oracle, "expected the rows-only sketch specs"
+    for spec in no_oracle:
+        check_output_contract(spec.fn(spark, sf_oracle_dir))
+
+
 def test_python_datasource_partitioned_and_correct(spark, sf_oracle_dir):
     """The custom Python source must expose its declared partition
     split to Spark (genuinely parallel read), and the full pipeline
