@@ -3080,10 +3080,17 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic spelling of ``corr()``: the built-in sums doubles
     in shuffle order (never bit-stable across partitionings), while
     Σx, Σy, Σxy, Σx², Σy² as wide decimals are exact, so the two
-    engines disagree only after the final sqrt/divide — rounded 9 dp.
-    The same five-moment shape is how any mergeable second-order
-    statistic (covariance matrices for PCA/whitening) is built at
-    100 TB: one partial-agg pass, O(1) state per group."""
+    engines disagree only after the final combination — which is done
+    in DOUBLES of the pre-divided means (cov = Σxy/n − x̄·ȳ), never as
+    n·Σxy in decimal: that product's precision exceeds 38, where Spark
+    silently drops scale digits (allowPrecisionLoss) while DuckDB
+    widens to 128-bit, so the decimal spelling only matched while
+    moment magnitudes stayed small.  Pre-dividing keeps every operand
+    near data magnitude at ANY scale factor, and both engines run the
+    identical IEEE op sequence — rounded 9 dp.  The same five-moment
+    shape is how any mergeable second-order statistic (covariance
+    matrices for PCA/whitening) is built at 100 TB: one partial-agg
+    pass, O(1) state per group."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -3098,12 +3105,13 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
         )
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = num.cast("double") / (
-        F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))
-    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
     return m.select("l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price"))
 
 
@@ -3118,11 +3126,23 @@ WITH m AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr_qty_price
+       round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 9) AS corr_qty_price
 FROM m
 """
+
+
+#: range partitions for the two-pass Pareto prefix sum — at cluster
+#: scale set this to the executor-core count; the offset table it
+#: produces stays this many rows regardless of input size.
+ABC_RANGE_PARTS = 16
 
 
 def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3134,20 +3154,45 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: spend is an exact decimal sum; the cumulative share
     is a running decimal sum over a (spend DESC, custkey) total order,
     and the class cutoffs compare decimal × integer against decimal ×
-    integer — no floats until the emitted share.  Scale: one keyed agg
-    + one global-order window; the window is the irreducible part of
-    any exact Pareto (a single sort by spend), same as any global
-    top-k-with-prefix-sums."""
+    integer — no floats until the emitted share.  Scale: the prefix sum
+    is TWO-PASS, never a single-task global window: range-partition by
+    the sort key (repartitionByRange keeps partition i's keys ahead of
+    partition i+1's), cumulative-sum WITHIN each partition in parallel,
+    then add per-partition offsets (an ``ABC_RANGE_PARTS``-row prefix
+    sum, broadcast back).  One eager localCheckpoint pins the sampled range boundaries
+    so the offsets and the per-row sums see the SAME partitioning —
+    cheap here because the input is already customer-cardinality
+    aggregates, not the fact table."""
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(money("o_totalprice")).alias("spend_d")
     )
-    w = Window.orderBy(F.desc("spend_d"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranged = (
+        spend.repartitionByRange(
+            ABC_RANGE_PARTS, F.desc("spend_d"), F.asc("o_custkey")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    total = spend.agg(F.sum("spend_d").alias("total_d"))
-    cum = spend.crossJoin(F.broadcast(total)).withColumn(
-        "cum_d", F.sum("spend_d").over(w)
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("spend_d"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = ranged.groupBy("pid").agg(F.sum("spend_d").alias("part_sum"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = part.select(
+        "pid",
+        F.coalesce(F.sum("part_sum").over(off_w), F.lit(0)).alias("off_d"),
+        F.sum("part_sum").over(tot_w).alias("total_d"),
+    )
+    cum = (
+        ranged.withColumn("local_cum", F.sum("spend_d").over(local_w))
+        .join(F.broadcast(offsets), "pid")
+        .withColumn("cum_d", F.col("local_cum") + F.col("off_d"))
     )
     cls = (
         F.when(F.col("cum_d") * 100 <= F.col("total_d") * 80, "A")

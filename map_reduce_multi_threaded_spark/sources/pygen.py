@@ -93,6 +93,11 @@ class WordGenStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["i"], end["i"]
+        # recovery: after a restart Spark replans from the WAL offset,
+        # but _cur restarts at 0 — without this clamp latestOffset
+        # would report below the checkpoint and the query would emit
+        # empty batches until the counter caught back up
+        self._cur = max(getattr(self, "_cur", 0), hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         step = (hi - lo + self.parts - 1) // self.parts
@@ -105,7 +110,10 @@ class WordGenStreamReader(DataSourceStreamReader):
             yield i, hashlib.md5(str(i).encode()).hexdigest()[:4]
 
     def commit(self, end):
-        pass  # nothing external to acknowledge
+        # nothing external to acknowledge, but keep the high-water mark
+        # at least at the committed offset (restart-safety belt to the
+        # clamp in partitions())
+        self._cur = max(getattr(self, "_cur", 0), end["i"])
 
 
 class RefSinkCommitMessage(WriterCommitMessage):
@@ -123,13 +131,22 @@ class RefSinkWriter(DataSourceWriter):
     reference got free from ``std::map`` is enforced here.  Tasks
     write to unique temp names; ``commit`` on the driver atomically
     renames the per-task files into place — the standard two-phase
-    custom-sink protocol (a failed/speculated task's file is simply
-    never committed; ``abort`` removes leftovers)."""
+    custom-sink protocol.  A failed/speculated task attempt's temp file
+    is never committed AND gets swept: commit/abort glob this job's
+    ``.tmp-<job>-*`` files (job-unique token, so concurrent writers to
+    the same dir never sweep each other).  ``overwrite`` commits the
+    reference's canonical ``Process_{pid}_Output_File.txt`` names
+    (clearing prior committed files); append mode commits job-unique
+    names instead of silently clobbering them."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("refsink requires .option('path', ...) or save(path)")
+        self.overwrite = overwrite
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> RefSinkCommitMessage:
         import os
@@ -139,21 +156,45 @@ class RefSinkWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        tmp = os.path.join(
+            self.path, f".tmp-{self.job_token}-{pid:05d}-{uuid.uuid4().hex}"
+        )
         rows = sorted((r[0], r[1]) for r in iterator)
         with open(tmp, "w") as f:
             for word, cnt in rows:
                 f.write(f"<{word}, {cnt}> \n")
         return RefSinkCommitMessage(tmp, pid, len(rows))
 
-    def commit(self, messages):
+    def _sweep_tmp(self, keep: set[str]) -> None:
+        """Remove this job's leftover temp files (failed or speculated
+        task attempts that returned no commit message)."""
+        import glob
         import os
 
+        for tmp in glob.glob(os.path.join(self.path, f".tmp-{self.job_token}-*")):
+            if tmp not in keep:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+    def commit(self, messages):
+        import glob
+        import os
+
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "Process_*_Output_File*.txt")):
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
         for m in messages:
-            final = os.path.join(
-                os.path.dirname(m.path), f"Process_{m.pid}_Output_File.txt"
-            )
-            os.replace(m.path, final)
+            if self.overwrite:
+                name = f"Process_{m.pid}_Output_File.txt"
+            else:
+                name = f"Process_{m.pid}_Output_File_{self.job_token}.txt"
+            os.replace(m.path, os.path.join(os.path.dirname(m.path), name))
+        self._sweep_tmp(keep=set())
 
     def abort(self, messages):
         import os
@@ -163,6 +204,7 @@ class RefSinkWriter(DataSourceWriter):
                 os.remove(m.path)
             except OSError:
                 pass
+        self._sweep_tmp(keep=set())
 
 
 class RefSinkSource(DataSource):
@@ -176,7 +218,7 @@ class RefSinkSource(DataSource):
         return "refsink"
 
     def writer(self, schema, overwrite: bool) -> RefSinkWriter:
-        return RefSinkWriter(self.options)
+        return RefSinkWriter(self.options, overwrite)
 
 
 class WordGenSource(DataSource):

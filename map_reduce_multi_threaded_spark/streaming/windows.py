@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
 
 
@@ -45,6 +46,11 @@ def _raw_ts_type(parquet_path: str) -> DataType:
 
     t = pq.read_schema(parquet_path).field("ts").type
     if pa.types.is_timestamp(t) and t.unit != "ns":
+        # isAdjustedToUTC=true surfaces as a pyarrow tz — declaring NTZ
+        # there would mismatch the file's logical type, so such files
+        # read as plain (tz-aware) TimestampType
+        if t.tz is not None:
+            return TimestampType()
         return TimestampNTZType()
     return LongType()  # nanos (arrow timestamp[ns]) → nanosAsLong int64
 

@@ -280,9 +280,10 @@ def test_python_refsink_matches_native_sink(spark, sf_dir, tmp_path):
     write_reference_format(wc, native_dir, num_files=4)
     py_dir = str(tmp_path / "pywriter")
     pygen.register(spark)
+    sorted_wc = wc.repartition(4, "word").sortWithinPartitions("word")
     (
-        wc.repartition(4, "word").sortWithinPartitions("word")
-        .write.format("refsink").option("path", py_dir).mode("append").save()
+        sorted_wc.write.format("refsink").option("path", py_dir)
+        .mode("overwrite").save()
     )
     def lines(d, pat):
         out = []
@@ -297,3 +298,15 @@ def test_python_refsink_matches_native_sink(spark, sf_dir, tmp_path):
     native = lines(native_dir, lambda f: f.startswith("part-"))
     py = lines(py_dir, lambda f: f.startswith("Process_"))
     assert py == native and len(py) > 0
+    # overwrite commits the reference's canonical filenames
+    assert sorted(f for f in os.listdir(py_dir) if f.startswith("Process_")) == [
+        f"Process_{i}_Output_File.txt" for i in range(4)
+    ]
+    # append must ADD job-unique files, not clobber the committed ones
+    (
+        sorted_wc.write.format("refsink").option("path", py_dir)
+        .mode("append").save()
+    )
+    assert lines(py_dir, lambda f: f.startswith("Process_")) == sorted(native + native)
+    # two-phase commit leaves no orphan temp files behind
+    assert not [f for f in os.listdir(py_dir) if f.startswith(".tmp-")]
