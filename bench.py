@@ -78,6 +78,10 @@ HEADLINE = [
     "join_interval_bins",   # no-equi-key interval join via time binning
     "events_concurrency",   # sweep-line peak-concurrency scan
     "text_rarity_score",    # unigram rarity scoring (corpus-vocab join)
+    "embedding_pq",         # product-quantization code assignment
+    "source_python_datasource",  # custom Python Data Source read path
+    "multimodal_arrow_stats",    # mapInArrow byte statistics
+    "orders_abc_analysis",  # two-pass range-partitioned Pareto prefix sum
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -206,9 +206,50 @@ SELECT node, CAST(min(level) AS INTEGER) AS level FROM bfs GROUP BY node
 """
 
 
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part↔supplier graph: per node type,
+    how many nodes have each (multi-)degree — the first diagnostic run
+    on any production graph (skew detection: a power-law hub means the
+    Pregel-style queries above need salting or hub-splitting).
+
+    Scale: degree is one keyed count over the edge list; the histogram
+    is a second keyed count over node-cardinality data.  Both are
+    map-side-partial aggregations — no joins, no windows."""
+    deg = (
+        _edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    node_type = F.when(F.col("src") % 2 == 0, F.lit("part")).otherwise(
+        F.lit("supplier")
+    )
+    return (
+        deg.select(node_type.alias("node_type"), "degree")
+        .groupBy("node_type", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+_DEGREES_ORACLE = """
+WITH edges AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+),
+deg AS (
+  SELECT src, count(*) AS degree FROM edges GROUP BY src
+)
+SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       degree, count(*) AS n_nodes
+FROM deg GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(),
               "3-iteration integer PageRank over the part↔supplier graph (join+agg per iteration)"),
+    QuerySpec("graph_degrees", graph_degrees, _DEGREES_ORACLE,
+              "multi-degree distribution per node type (skew diagnostic)"),
     QuerySpec("graph_bfs_levels", graph_bfs_levels, _BFS_ORACLE,
               "single-source BFS hop levels (frontier loop vs recursive-CTE oracle)"),
     QuerySpec("graph_triangle_count", graph_triangle_count, _triangle_oracle(),

@@ -443,6 +443,78 @@ GROUP BY 1
 """
 
 
+#: train/val/test split boundaries over md5(doc_id) % 100
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # val = [90, 95), test = [95, 100)
+
+
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest — the step every
+    training pipeline runs before anything touches the data: assign
+    each document to a split by content-independent hash (so the split
+    is stable across reruns, engines, and partitionings — never
+    ``rand()``), then report per-(source, split) document counts, char
+    totals, and the within-source share.
+
+    Determinism: the md5-derived bucket is bit-identical on both
+    engines (functions.text.md5_long); shares divide exact counts as
+    doubles.  Scale: one narrow map + one keyed agg with map-side
+    partials; the share window runs over source×split cardinality
+    (tiny), not rows."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id"), salt="split") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    per = (
+        d.select("source", split.alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast("double")).alias(
+            "source_share"
+        ),
+    )
+
+
+def _hash_split_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    bucket = f"{duck_md5_long('CAST(doc_id AS VARCHAR)', salt='split')} % 100"
+    return f"""
+WITH tagged AS (
+  SELECT source,
+         CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         length(text) AS n_chars
+  FROM documents
+),
+per AS (
+  SELECT source, split, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM tagged GROUP BY source, split
+)
+SELECT source, split, n_docs, total_chars,
+       CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS source_share
+FROM per
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
@@ -458,4 +530,6 @@ SPECS = [
               "concat-and-chunk sequence packing into 512-token context windows per source shard"),
     QuerySpec("sample_stratified", sample_stratified, _stratified_oracle(),
               "deterministic md5-bucket stratified sampling with per-language rates"),
+    QuerySpec("pipeline_hash_split", pipeline_hash_split, _hash_split_oracle(),
+              "deterministic train/val/test split manifest (md5 buckets, per-source shares)"),
 ]

@@ -3269,6 +3269,130 @@ FROM per_type GROUP BY user_id
 """
 
 
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate family — ``bit_and/bit_or/bit_xor``
+    over the part keys per return flag plus ``bool_and/bool_or`` over a
+    discount predicate.  These are the flag-mask rollups behind feature
+    bitmaps and permission masks, and bit_xor is the engine's order-free
+    checksum primitive (pipeline_shard_manifest builds on it).
+
+    Determinism: every one of these is a commutative, associative fold
+    over integers/booleans — exact under any partitioning, no decimal
+    tricks needed.  Scale: one keyed agg with map-side partials; state
+    is a single word per aggregate per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").alias("mask_and"),
+        F.bit_or("l_partkey").alias("mask_or"),
+        F.bit_xor("l_partkey").alias("mask_xor"),
+        F.bool_and(F.col("l_discount") > 0.05).alias("all_discounted"),
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+    )
+
+
+_BITWISE_ORACLE = """
+SELECT l_returnflag,
+       bit_and(l_partkey) AS mask_and,
+       bit_or(l_partkey) AS mask_or,
+       bit_xor(l_partkey) AS mask_xor,
+       bool_and(l_discount > 0.05) AS all_discounted,
+       bool_or(l_discount > 0.05) AS any_discounted
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution per user: the event type
+    that opened and closed each user's history (``min_by``/``max_by``),
+    plus event count and exact purchase revenue — the marketing-
+    attribution rollup and the canonical ``argmin/argmax`` aggregate
+    surface.
+
+    Determinism: min_by/max_by need a TOTAL order to be reproducible —
+    ties on ts would make the result partitioning-dependent — so the
+    ordering key is the (ts, event_id) pair serialized as a sortable
+    string (event_id is unique).  Revenue sums value through the exact
+    decimal path.  Scale: one keyed agg, O(1) state per user — no
+    window, no sort, map-side partials do the heavy lifting."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.withColumn("ord", key)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.col("ord")).alias("first_touch"),
+            F.max_by("event_type", F.col("ord")).alias("last_touch"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value")))
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH keyed AS (
+  SELECT user_id, event_type, value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '#' ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+  FROM events
+)
+SELECT user_id,
+       min_by(event_type, ord) AS first_touch,
+       max_by(event_type, ord) AS last_touch,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+         AS purchase_value
+FROM keyed GROUP BY user_id
+"""
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / ``IS NOT DISTINCT FROM``):
+    order priorities are bucketed with one value nulled out, the
+    even/odd order-key halves are aggregated separately, and a FULL
+    OUTER null-safe join lines the halves up — including the NULL
+    bucket, which a plain equality join would silently drop.
+
+    Scale: the join runs over group-cardinality aggregates (a handful
+    of rows), and null-safe equality remains hash-joinable in Spark
+    (EqualNullSafe is a valid equi-join key — no nested loop)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.expr("nullif(o_orderpriority, '3-MEDIUM')")
+    a = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .groupBy(key.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .groupBy(key.alias("pr"))
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return a.join(b, a["pr"].eqNullSafe(b["pr"]), "full_outer").select(
+        F.coalesce(a["pr"], b["pr"]).alias("priority"), "n_even", "n_odd"
+    )
+
+
+_NULL_SAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr, count(*) AS n_even
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT nullif(o_orderpriority, '3-MEDIUM') AS pr, count(*) AS n_odd
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+)
+SELECT COALESCE(a.pr, b.pr) AS priority, n_even, n_odd
+FROM a FULL OUTER JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+"""
+
+
 #: heavy-hitters sketch size (top-k words over the document corpus)
 TOPK_SKETCH_K = 10
 
@@ -3433,4 +3557,10 @@ SPECS = [
               "Shannon entropy of per-user event-type distributions (integer-arg ln)"),
     QuerySpec("agg_corr_exact", agg_corr_exact, _CORR_ORACLE,
               "Pearson correlation from exact decimal moments (deterministic corr())"),
+    QuerySpec("agg_bitwise", agg_bitwise, _BITWISE_ORACLE,
+              "bit_and/or/xor + bool_and/or aggregate family (order-free folds)"),
+    QuerySpec("events_attribution", events_attribution, _ATTRIBUTION_ORACLE,
+              "first/last-touch attribution via tie-safe min_by/max_by"),
+    QuerySpec("join_null_safe", join_null_safe, _NULL_SAFE_JOIN_ORACLE,
+              "null-safe equality full-outer join (<=> / IS NOT DISTINCT FROM)"),
 ]

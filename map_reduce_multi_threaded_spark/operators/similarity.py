@@ -384,6 +384,77 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@{K} of the LSH path against the
+    exact brute-force ground truth, per query — the measurement every
+    production ANN deployment runs before trusting its index, here as
+    a first-class registered query so the driver gates the EVALUATION
+    pipeline too (the oracle recomputes both sides in SQL).
+
+    Determinism: both inputs are already tie-broken top-{K} lists, and
+    the recall division is the same IEEE op on both engines.  Scale:
+    each side is ≤ queries×{K} rows, so the eval join is trivially
+    small regardless of corpus size; the cost is the two underlying
+    pipelines, each individually scale-safe (broadcast-query scan /
+    bucketed candidates)."""
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    got = knn_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(got, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("int").alias("n_hits"),
+            (F.col("hits").cast("double") / F.lit(float(K_NEIGHBORS))).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def _recall_eval_oracle() -> str:
+    rank_w = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)"
+    return f"""
+WITH {_DUCK_NORMS},
+buckets AS (
+  {_duck_buckets_sql()}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c
+    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+lsh_pairs AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
+  FROM cand JOIN n q ON q.vec_id = cand.query_id JOIN n c ON c.vec_id = cand.neighbor_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, {rank_w} AS rank FROM lsh_pairs
+  ) WHERE rank <= {K_NEIGHBORS}
+),
+brute_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, {rank_w} AS rank FROM brute_pairs
+  ) WHERE rank <= {K_NEIGHBORS}
+)
+SELECT b.query_id, CAST(count(l.neighbor_id) AS INTEGER) AS n_hits,
+       CAST(count(l.neighbor_id) AS DOUBLE) / {K_NEIGHBORS} AS recall_at_k
+FROM brute b LEFT JOIN lsh l
+  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. IVF ANN (coarse cells + nprobe search — the other scale path)
 # ---------------------------------------------------------------------------
@@ -774,6 +845,8 @@ SPECS = [
               "LSH-bucketed cosine≥τ near-dup pairs (scale path for embedding_neardup)"),
     QuerySpec("knn_lsh", knn_lsh, _knn_lsh_oracle(),
               "ANN top-5 within random-hyperplane LSH bucket (scale path)"),
+    QuerySpec("knn_recall_eval", knn_recall_eval, _recall_eval_oracle(),
+              "recall@5 of the LSH ANN path vs the exact brute-force truth"),
     QuerySpec("knn_ivf", knn_ivf, _KNN_IVF_ORACLE,
               "ANN top-5 via IVF coarse cells with nprobe=2 (cell-partitioned scale path)"),
     QuerySpec("kmeans_assign", kmeans_assign, _kmeans_oracle(),

@@ -737,7 +737,60 @@ GROUP BY doc_id
 """
 
 
+#: feature-hashing dimensionality (the "hashing trick" bucket count)
+N_HASH_FEATURES = 16
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term frequencies (Weinberger et al. 2009; the
+    HashingTF shape): every token hashes into one of {N} fixed buckets,
+    and each document's feature vector is the per-bucket token count —
+    the no-vocabulary featurizer used when the term space is unbounded.
+    Emitted as {N} scalar columns (f0..f15), not an array, per the
+    registry's scalar-only output contract.
+
+    Determinism: the bucket is md5-derived (functions.text.md5_bucket),
+    bit-identical on both engines.  Scale: explode → map-side partial
+    counts collapse the shuffle to ≈ docs×{N} rows regardless of token
+    count; no vocabulary state, no joins — the defining advantage of
+    the hashing trick at 100 TB."""
+    from ..functions.text import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+    b = toks.select(
+        "doc_id", md5_bucket(F.col("tok"), N_HASH_FEATURES, salt="feat").alias("b")
+    )
+    return b.groupBy("doc_id").agg(
+        *[
+            F.sum((F.col("b") == i).cast("int")).alias(f"f{i}")
+            for i in range(N_HASH_FEATURES)
+        ]
+    )
+
+
+def _feature_hashing_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    bucket = f"{duck_md5_long('tok', salt='feat')} % {N_HASH_FEATURES}"
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i in range(N_HASH_FEATURES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+bucketed AS (SELECT doc_id, {bucket} AS b FROM toks)
+SELECT doc_id,
+       {cols}
+FROM bucketed GROUP BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("text_feature_hashing", text_feature_hashing, _feature_hashing_oracle(),
+              "hashing-trick term-frequency features (16 md5 buckets, no vocabulary)"),
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
     QuerySpec("text_rarity_score", text_rarity_score, _RARITY_ORACLE,

@@ -192,11 +192,14 @@ def test_edit_distance_blocking_is_complete(spark, sf_dir):
 
 
 def test_array_collect_sorted(spark, sf_dir):
+    """`types` is the '|'-serialized sorted distinct set (the output
+    contract keeps top-level columns scalar for the driver hash)."""
     rows = relational.agg_array_collect(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["types"] == sorted(r["types"])
-        assert len(set(r["types"])) == len(r["types"]) == r["n_types"]
+        types = r["types"].split("|")
+        assert types == sorted(types)
+        assert len(set(types)) == len(types) == r["n_types"]
 
 
 def test_recursive_bom_root_covers_all(spark, sf_dir):

@@ -136,9 +136,11 @@ def test_pq_codewords_self_assign_with_zero_error(spark, sf_oracle_dir):
     rows = {r["vec_id"]: r for r in S.embedding_pq(spark, sf_oracle_dir).collect()}
     for k in range(S.PQ_K):
         r = rows[S._CENTROID_BASE + k]
-        assert list(r["code"]) == [k] * S.PQ_M
+        # code is '|'-serialized (scalar-only output contract)
+        assert r["code"] == "|".join([str(k)] * S.PQ_M)
         assert r["sq_err"] == 0
     for r in rows.values():
-        assert len(r["code"]) == S.PQ_M
-        assert all(0 <= c < S.PQ_K for c in r["code"])
+        code = [int(c) for c in r["code"].split("|")]
+        assert len(code) == S.PQ_M
+        assert all(0 <= c < S.PQ_K for c in code)
         assert r["sq_err"] >= 0
