@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import QuerySpec
+from ..sources.tables import load_table
 from . import windows as W
 
 
@@ -80,6 +81,46 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _DEDUP_ORACLE = """
 SELECT event_type, count(*) AS n_events FROM events GROUP BY 1
+"""
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against the batch
+    customer dimension, then aggregated per market segment — the
+    standard streaming-enrichment shape (clickstream × user table).
+
+    Unlike stream-stream joins this needs NO watermark and keeps NO
+    join state: each micro-batch hash-joins against the static side,
+    which Spark re-plans per batch (a broadcast at dim scale).  Users
+    without a customer row are kept as the 'unknown' segment via the
+    left join — enrichment must never drop fact rows.  Scale: state
+    stores hold only the aggregation; the dimension rides along as a
+    broadcast, exactly like the batch join_dim_broadcast."""
+    import pyspark.sql.functions as F
+
+    ev = W.read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id", "left")
+    agg = (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("unknown")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    return W.run_to_memory(agg, "stream_static_join_sink")
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
 """
 
 
@@ -376,4 +417,6 @@ SPECS = [
               "dropDuplicatesWithinWatermark (bounded dedup state)"),
     QuerySpec("stream_stream_join", stream_stream_join, _STREAM_STREAM_ORACLE,
               "watermarked stream-stream interval join"),
+    QuerySpec("stream_static_join", stream_static_join, _STREAM_STATIC_ORACLE,
+              "stream-static dimension enrichment join (stateless, broadcast per batch)"),
 ]
