@@ -422,6 +422,28 @@ def test_scd2_single_exchange(spark, sf_dir):
     assert count_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_attribution_single_exchange(spark, sf_dir):
+    """min_by/max_by/count/sum all live in ONE keyed aggregate, so the
+    whole attribution rollup must plan a single shuffle (partial
+    map-side aggs + one exchange on user_id) — the O(1)-state-per-key
+    property that makes it a 100 TB-safe alternative to a window."""
+    from map_reduce_multi_threaded_spark.plans.explain import count_exchanges
+
+    df = relational.events_attribution(spark, sf_dir)
+    assert count_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_feature_hashing_single_exchange(spark, sf_dir):
+    """explode + bucket are narrow maps; the only shuffle is the
+    per-doc count aggregate, whose map-side partials collapse the
+    exploded token stream to ≈ docs×16 rows before the exchange."""
+    from map_reduce_multi_threaded_spark.operators.textstats import text_feature_hashing
+    from map_reduce_multi_threaded_spark.plans.explain import count_exchanges
+
+    df = text_feature_hashing(spark, sf_dir)
+    assert count_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_approx_topk_finds_exact_head(spark, sf_oracle_dir):
     """The corpus word distribution is Zipfian, so the top-5 exact
     words sit far above the frequent-items sketch's error bound: the
