@@ -1,0 +1,72 @@
+"""Two-pass distributed prefix sum — the scale-safe spelling of a
+cumulative sum over a GLOBAL total order.
+
+A naive ``Window.orderBy(...)`` with no ``partitionBy`` executes in a
+single task; this helper instead (1) range-partitions by the sort key
+(``repartitionByRange`` keeps partition i's keys strictly ahead of
+partition i+1's under the given ordering), (2) cumulative-sums WITHIN
+each partition in parallel, and (3) adds per-partition offsets — an
+``n_parts``-row prefix sum broadcast back to the data.  The classic
+parallel-scan decomposition (Blelloch 1990), expressed in DataFrame
+ops.
+
+One eager ``localCheckpoint`` pins the sampled range boundaries so the
+per-row sums and the offset table see the SAME partitioning (the two
+consumers would otherwise re-execute the exchange and could re-sample
+different boundaries).
+
+Used by ``orders_abc_analysis`` (Pareto cumulative shares) and
+``pipeline_budget_select`` (token-budget corpus selection).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+#: default range-partition count — at cluster scale set to the
+#: executor-core count; the offset table stays this many rows.
+DEFAULT_PARTS = 16
+
+
+def two_pass_cumsum(
+    df: DataFrame,
+    value: Column | str,
+    order_cols: list[Column],
+    n_parts: int = DEFAULT_PARTS,
+    cum_col: str = "_cum",
+    total_col: str = "_total",
+) -> DataFrame:
+    """Attach ``cum_col`` (running sum of ``value`` over the global
+    ``order_cols`` order) and ``total_col`` (grand total) to ``df``.
+
+    ``value`` must be an exact type (decimal/integer) for the result
+    to be partitioning-independent; ``order_cols`` must be a TOTAL
+    order (include a unique tie-break column)."""
+    value = F.col(value) if isinstance(value, str) else value
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = ranged.groupBy("_pid").agg(F.sum(value).alias("_part_sum"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = part.select(
+        "_pid",
+        F.coalesce(F.sum("_part_sum").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_part_sum").over(tot_w).alias(total_col),
+    )
+    return (
+        ranged.withColumn("_local", F.sum(value).over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )

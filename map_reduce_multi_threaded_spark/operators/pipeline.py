@@ -443,6 +443,70 @@ GROUP BY 1
 """
 
 
+#: budget selection keeps top-ranked docs until this fraction of the
+#: corpus token count (numerator/denominator — integer-exact cutoff)
+BUDGET_NUM, BUDGET_DEN = 1, 2
+
+
+def pipeline_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by a quality proxy
+    and keep the best until a global token budget (here 1/2 of the
+    corpus) is spent — how a fixed training-compute budget picks its
+    corpus.  The cumulative token count over the global ranking uses
+    the two-pass distributed prefix sum
+    (:func:`functions.prefix.two_pass_cumsum`) — the selection is a
+    GLOBAL take-while, but no single task ever sees more than one
+    range partition.
+
+    Determinism: ranking is (n_chars DESC, doc_id) — a total order;
+    token counts are exact integers, and the budget cutoff compares
+    integer×integer, no floats.  Every doc is emitted with its
+    selected flag, so the output row count is partition-invariant."""
+    from ..functions.prefix import two_pass_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    cum = two_pass_cumsum(
+        d,
+        F.col("n_tokens").cast("long"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        cum_col="cum_tokens",
+        total_col="total_tokens",
+    )
+    sel = (
+        F.col("cum_tokens") * BUDGET_DEN <= F.col("total_tokens") * BUDGET_NUM
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        sel.alias("selected"),
+    )
+
+
+_BUDGET_SELECT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split_regex(text, '\\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         sum(n_tokens) OVER () AS total_tokens
+  FROM d
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens * {BUDGET_DEN} <= total_tokens * {BUDGET_NUM} AS selected
+FROM cum
+"""
+
+
 #: train/val/test split boundaries over md5(doc_id) % 100
 SPLIT_TRAIN_PCT = 90
 SPLIT_VAL_PCT = 95  # val = [90, 95), test = [95, 100)
@@ -532,4 +596,6 @@ SPECS = [
               "deterministic md5-bucket stratified sampling with per-language rates"),
     QuerySpec("pipeline_hash_split", pipeline_hash_split, _hash_split_oracle(),
               "deterministic train/val/test split manifest (md5 buckets, per-source shares)"),
+    QuerySpec("pipeline_budget_select", pipeline_budget_select, _BUDGET_SELECT_ORACLE,
+              "global token-budget take-while via the two-pass distributed prefix sum"),
 ]

@@ -3155,44 +3155,23 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a running decimal sum over a (spend DESC, custkey) total order,
     and the class cutoffs compare decimal × integer against decimal ×
     integer — no floats until the emitted share.  Scale: the prefix sum
-    is TWO-PASS, never a single-task global window: range-partition by
-    the sort key (repartitionByRange keeps partition i's keys ahead of
-    partition i+1's), cumulative-sum WITHIN each partition in parallel,
-    then add per-partition offsets (an ``ABC_RANGE_PARTS``-row prefix
-    sum, broadcast back).  One eager localCheckpoint pins the sampled range boundaries
-    so the offsets and the per-row sums see the SAME partitioning —
-    cheap here because the input is already customer-cardinality
-    aggregates, not the fact table."""
+    is TWO-PASS via :func:`functions.prefix.two_pass_cumsum` (range
+    partition → parallel per-partition windows → broadcast offsets),
+    never a single-task global window — cheap here because the input
+    is already customer-cardinality aggregates, not the fact table."""
+    from ..functions.prefix import two_pass_cumsum
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(money("o_totalprice")).alias("spend_d")
     )
-    ranged = (
-        spend.repartitionByRange(
-            ABC_RANGE_PARTS, F.desc("spend_d"), F.asc("o_custkey")
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    local_w = (
-        Window.partitionBy("pid")
-        .orderBy(F.desc("spend_d"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    part = ranged.groupBy("pid").agg(F.sum("spend_d").alias("part_sum"))
-    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    tot_w = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = part.select(
-        "pid",
-        F.coalesce(F.sum("part_sum").over(off_w), F.lit(0)).alias("off_d"),
-        F.sum("part_sum").over(tot_w).alias("total_d"),
-    )
-    cum = (
-        ranged.withColumn("local_cum", F.sum("spend_d").over(local_w))
-        .join(F.broadcast(offsets), "pid")
-        .withColumn("cum_d", F.col("local_cum") + F.col("off_d"))
+    cum = two_pass_cumsum(
+        spend,
+        "spend_d",
+        [F.desc("spend_d"), F.asc("o_custkey")],
+        n_parts=ABC_RANGE_PARTS,
+        cum_col="cum_d",
+        total_col="total_d",
     )
     cls = (
         F.when(F.col("cum_d") * 100 <= F.col("total_d") * 80, "A")

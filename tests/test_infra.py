@@ -212,6 +212,38 @@ def test_sweep_demotes_on_helper_module_edit():
     assert rel_group == 2, "unrelated query must stay proven"
 
 
+def test_two_pass_cumsum_partition_invariant(spark, sf_dir):
+    """The distributed prefix sum must equal the single-task reference
+    for ANY range-partition count — the property that lets
+    orders_abc_analysis / pipeline_budget_select avoid the one-task
+    global window without changing a bit."""
+    from map_reduce_multi_threaded_spark.functions.prefix import two_pass_cumsum
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("v")
+    )
+    rows = sorted(
+        ((r["c_custkey"], r["v"]) for r in c.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    expected, running = {}, 0
+    for k, v in rows:
+        running += v
+        expected[k] = running
+    total = running
+    for n_parts in (1, 3, 16):
+        got = {
+            r["c_custkey"]: (r["_cum"], r["_total"])
+            for r in two_pass_cumsum(
+                c, "v", [F.desc("v"), F.asc("c_custkey")], n_parts=n_parts
+            ).collect()
+        }
+        assert len(got) == len(expected)
+        for k, cum in expected.items():
+            assert got[k] == (cum, total), (n_parts, k)
+
+
 def test_no_oracle_specs_obey_output_contract(spark, sf_oracle_dir):
     """Registry-wide output contract, no-oracle half: every spec WITH an
     oracle passes through ``compare()`` (which now calls
