@@ -2036,6 +2036,108 @@ FROM latest GROUP BY o_orderstatus
 """
 
 
+def table_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics over a CDC change log — insert + update +
+    DELETE (the op table_upsert_latest leaves out): the snapshot merges
+    with a change batch carrying an op column (U = re-price, D = every
+    13th order tombstoned, I = net-new keys), the winner per key is the
+    newest version, and winners whose final op is a delete are dropped
+    from the merged table entirely.
+
+    This is ``MERGE INTO`` for any sink, not just ACID formats: at
+    100 TB the union streams, the keep-latest decision is ONE keyed
+    window (same spec as the SCD build), and tombstones cost nothing
+    extra — the delete is just a row that wins and is then filtered.
+    The output profiles the merged table per status with an exact
+    decimal checksum, so the oracle pins that deleted keys vanished
+    and no loser's values leaked."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DECM).alias("price"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("version"),
+    )
+    upd = (
+        o.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice").cast(DECM) + F.lit(100).cast(DECM)).alias("price"),
+            F.lit("U").alias("op"),
+            F.lit(2).alias("version"),
+        )
+    )
+    dels = (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("D").alias("o_orderstatus"),
+            F.lit(0).cast(DECM).alias("price"),
+            F.lit("D").alias("op"),
+            F.lit(2).alias("version"),
+        )
+    )
+    ins = (
+        o.where(F.col("o_orderkey") % 11 == 0)
+        .select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice").cast(DECM).alias("price"),
+            F.lit("I").alias("op"),
+            F.lit(2).alias("version"),
+        )
+    )
+    merged = snap.unionByName(upd).unionByName(dels).unionByName(ins)
+    # delete beats update at the same version: op desc ('U' > 'I', 'D'
+    # handled by putting it highest via explicit rank) — use a
+    # deterministic (version, op_rank) order so ties cannot flip
+    op_rank = F.when(F.col("op") == "D", 2).when(F.col("op") == "U", 1).otherwise(0)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("version"), F.desc(op_rank)
+    )
+    latest = merged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    alive = latest.where(F.col("op") != "D")
+    return alive.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price").cast("double").alias("sum_price"),
+    )
+
+
+_MERGE_CDC_ORACLE = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+         'I' AS op, 1 AS version
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, 'U', CAST(o_totalprice AS DECIMAL(14,2)) + CAST(100 AS DECIMAL(14,2)),
+         'U', 2
+  FROM orders WHERE o_orderkey % 7 = 0
+), dels AS (
+  SELECT o_orderkey, 'D', CAST(0 AS DECIMAL(14,2)), 'D', 2
+  FROM orders WHERE o_orderkey % 13 = 0
+), ins AS (
+  SELECT o_orderkey + 100000000, 'N', CAST(o_totalprice AS DECIMAL(14,2)), 'I', 2
+  FROM orders WHERE o_orderkey % 11 = 0
+), merged AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM ins
+), latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY version DESC,
+               CASE WHEN op = 'D' THEN 2 WHEN op = 'U' THEN 1 ELSE 0 END DESC) AS rn
+    FROM merged
+  ) WHERE rn = 1
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(sum(price) AS DOUBLE) AS sum_price
+FROM latest WHERE op <> 'D' GROUP BY o_orderstatus
+"""
+
+
 ZSCORE_LOOKBACK = 20
 
 
@@ -3542,4 +3644,6 @@ SPECS = [
               "first/last-touch attribution via tie-safe min_by/max_by"),
     QuerySpec("join_null_safe", join_null_safe, _NULL_SAFE_JOIN_ORACLE,
               "null-safe equality full-outer join (<=> / IS NOT DISTINCT FROM)"),
+    QuerySpec("table_merge_cdc", table_merge_cdc, _MERGE_CDC_ORACLE,
+              "full MERGE semantics (insert/update/DELETE tombstones) as union + one keyed window"),
 ]
