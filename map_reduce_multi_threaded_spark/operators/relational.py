@@ -2036,6 +2036,50 @@ FROM latest GROUP BY o_orderstatus
 """
 
 
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — ``listagg(...) WITHIN GROUP
+    (ORDER BY ...)``, new in Spark 4 (SPARK-42746): per market segment,
+    the '|'-joined list of its top-5 customers by account balance.
+
+    Determinism: listagg without WITHIN GROUP concatenates in
+    shuffle order (never reproducible) — the contract REQUIRES the
+    explicit ORDER BY, with (c_acctbal DESC, c_custkey) a total order.
+    Scale: the top-5 filter is a keyed window (one shuffle on
+    mktsegment after a per-partition top-k), and the listagg state is
+    bounded by k, not group size — unbounded listagg over a hot group
+    is the well-known OOM shape, so cap-then-aggregate is the 100 TB
+    discipline this query encodes."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = c.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return top.groupBy("c_mktsegment").agg(
+        F.expr(
+            "listagg(cast(c_custkey as string), '|') "
+            "WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey ASC)"
+        ).alias("top_custkeys"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("top_acctbal"),
+    )
+
+
+_LISTAGG_ORACLE = """
+WITH top AS (
+  SELECT * FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+    FROM customer
+  ) WHERE rn <= 5
+)
+SELECT c_mktsegment,
+       string_agg(CAST(c_custkey AS VARCHAR), '|'
+                  ORDER BY c_acctbal DESC, c_custkey ASC) AS top_custkeys,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS top_acctbal
+FROM top GROUP BY c_mktsegment
+"""
+
+
 def table_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MERGE semantics over a CDC change log — insert + update +
     DELETE (the op table_upsert_latest leaves out): the snapshot merges
@@ -3646,4 +3690,6 @@ SPECS = [
               "null-safe equality full-outer join (<=> / IS NOT DISTINCT FROM)"),
     QuerySpec("table_merge_cdc", table_merge_cdc, _MERGE_CDC_ORACLE,
               "full MERGE semantics (insert/update/DELETE tombstones) as union + one keyed window"),
+    QuerySpec("agg_listagg", agg_listagg, _LISTAGG_ORACLE,
+              "Spark 4 listagg WITHIN GROUP (ordered string aggregation, capped per group)"),
 ]
