@@ -296,6 +296,50 @@ def test_python_stream_datasource_matches_batch(spark, sf_oracle_dir):
     )
 
 
+def test_wordgen_stream_reader_resumes_from_checkpoint():
+    """Restart recovery (ADVICE r4): after a query restarts from a WAL
+    offset, the reader's in-memory high-water mark must never report
+    below the checkpoint — otherwise partitions(start, end) sees
+    end < start and the query emits empty batches until the counter
+    catches back up."""
+    from map_reduce_multi_threaded_spark.sources import pygen
+
+    r = pygen.WordGenStreamReader({"n": "100", "batch": "10"})
+    # fresh instance (restart): Spark replans batch [40, 50) from the WAL
+    parts = r.partitions({"i": 40}, {"i": 50})
+    assert sum(p.end - p.start for p in parts) == 10
+    assert r.latestOffset()["i"] > 50  # resumes PAST the checkpoint
+    # commit() alone must also clamp (second safety belt)
+    r2 = pygen.WordGenStreamReader({"n": "100", "batch": "10"})
+    r2.commit({"i": 70})
+    assert r2.latestOffset()["i"] > 70
+
+
+def test_refsink_commit_sweeps_orphan_temps(tmp_path):
+    """Failed/speculated task attempts leave temp files that returned
+    no commit message; commit()/abort() must sweep THIS job's orphans
+    (job-unique token) and leave other jobs' files alone (ADVICE r4)."""
+    import os
+
+    from map_reduce_multi_threaded_spark.sources.pygen import RefSinkWriter
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = RefSinkWriter({"path": out}, overwrite=True)
+    orphan = os.path.join(out, f".tmp-{w.job_token}-00003-deadbeef")
+    other = os.path.join(out, ".tmp-otherjob0000-00001-cafe")
+    open(orphan, "w").write("<a, 1> \n")
+    open(other, "w").write("<b, 1> \n")
+    w.commit([])
+    assert not os.path.exists(orphan), "own orphan must be swept"
+    assert os.path.exists(other), "other job's temp must survive"
+    w2 = RefSinkWriter({"path": out}, overwrite=False)
+    orphan2 = os.path.join(out, f".tmp-{w2.job_token}-00001-beef")
+    open(orphan2, "w").write("<c, 1> \n")
+    w2.abort([])
+    assert not os.path.exists(orphan2), "abort must sweep own orphans too"
+
+
 def test_python_refsink_matches_native_sink(spark, sf_dir, tmp_path):
     """The Python-writer re-expression of the reference's S14 sink
     (two-phase commit: temp file per task, rename on driver commit)
