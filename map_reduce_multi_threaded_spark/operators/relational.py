@@ -1719,25 +1719,31 @@ FROM grid g LEFT JOIN last_in l ON g.user_id = l.user_id AND g.bucket = l.bucket
 
 def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every ingestion format must preserve the data: write customer
-    out as csv, json and orc (cached per sf in scratch), read each back
-    through sources.formats, and report per-format row count + an exact
-    money checksum.  The oracle reads only the original parquet — the
-    row passes only if the round-trip is lossless.
+    out as csv, json, orc and XML (native in Spark 4; cached per sf in
+    scratch), read each back through sources.formats, and report
+    per-format row count + an exact money checksum.  The oracle reads
+    only the original parquet — the row passes only if the round-trip
+    is lossless.
 
     Scale: format edges parallelize like parquet; the checksum is a
     decimal sum so executor/partition order cannot move a bit."""
     import os
 
-    from ..sources.formats import read_csv, read_json, read_orc
+    from ..sources.formats import read_csv, read_json, read_orc, read_xml
     from ..sources.tables import stage_scratch_dir
 
     c = load_table(spark, sf_dir, "customer")
-    base = stage_scratch_dir(sf_dir, "formats", "customer")
+    base = stage_scratch_dir(sf_dir, "formats_v2", "customer")
     marker = os.path.join(base, "_WRITTEN")
     if not os.path.exists(marker):
         c.write.mode("overwrite").option("header", "true").csv(f"{base}/csv")
         c.write.mode("overwrite").json(f"{base}/json")
         c.write.mode("overwrite").orc(f"{base}/orc")
+        (
+            c.write.mode("overwrite")
+            .option("rootTag", "rows").option("rowTag", "row")
+            .format("xml").save(f"{base}/xml")
+        )
         with open(marker, "w") as f:
             f.write("ok")
     schema = c.schema
@@ -1745,6 +1751,7 @@ def source_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "csv": read_csv(spark, f"{base}/csv", schema=schema),
         "json": read_json(spark, f"{base}/json", schema=schema),
         "orc": read_orc(spark, f"{base}/orc"),
+        "xml": read_xml(spark, f"{base}/xml", schema=schema),
     }
     out = None
     for fmt, df in frames.items():
@@ -1762,7 +1769,7 @@ SELECT fmt, n_rows, sum_acctbal FROM (
   SELECT count(*) AS n_rows,
          CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_acctbal
   FROM customer
-) CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+) CROSS JOIN (SELECT unnest(['csv', 'json', 'orc', 'xml']) AS fmt)
 """
 
 

@@ -36,3 +36,12 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str | None = 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_xml(spark: SparkSession, path: str, schema: StructType | str | None = None, row_tag: str = "row") -> DataFrame:
+    """Native XML source (new in Spark 4 — the spark-xml package moved
+    in-tree): one DataFrame row per ``row_tag`` element."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("xml").load(path)

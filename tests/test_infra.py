@@ -16,7 +16,12 @@ from map_reduce_multi_threaded_spark.plans.explain import (
     pushed_filters,
 )
 from map_reduce_multi_threaded_spark.plans.metrics import observe_rows, timed
-from map_reduce_multi_threaded_spark.sources.formats import read_csv, read_json, read_orc
+from map_reduce_multi_threaded_spark.sources.formats import (
+    read_csv,
+    read_json,
+    read_orc,
+    read_xml,
+)
 from map_reduce_multi_threaded_spark.sources.tables import load_table
 
 
@@ -29,15 +34,22 @@ def test_csv_json_orc_roundtrip(spark, sf_dir, tmp_path):
     c.write.mode("overwrite").option("header", "true").csv(str(tmp_path / "csv"))
     c.write.mode("overwrite").json(str(tmp_path / "json"))
     c.write.mode("overwrite").orc(str(tmp_path / "orc"))
+    c.write.mode("overwrite").option("rootTag", "rows").option("rowTag", "row").format(
+        "xml"
+    ).save(str(tmp_path / "xml"))
 
     got_csv = sorted(tuple(r) for r in read_csv(spark, str(tmp_path / "csv"), schema).collect())
     got_json = sorted(
         tuple(r) for r in read_json(spark, str(tmp_path / "json"), schema).select(*c.columns).collect()
     )
     got_orc = sorted(tuple(r) for r in read_orc(spark, str(tmp_path / "orc")).select(*c.columns).collect())
+    got_xml = sorted(
+        tuple(r) for r in read_xml(spark, str(tmp_path / "xml"), schema).select(*c.columns).collect()
+    )
     assert got_csv == expected
     assert got_json == expected
     assert got_orc == expected
+    assert got_xml == expected
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
