@@ -175,3 +175,18 @@ def test_cluster_keep_exactly_one_per_cluster(spark, sf_oracle_dir):
         assert len(kept) == 1, (cid, members)
         best = max((n_chars[r["doc_id"]], -r["doc_id"]) for r in members)
         assert (n_chars[kept[0]["doc_id"]], -kept[0]["doc_id"]) == best
+
+
+def test_lsh_recall_is_total_at_fixture_similarity(spark, sf_oracle_dir):
+    """The fixture's true near-dup pairs sit at very high Jaccard
+    (duplicated crawl batches), where the 12x4 banding's miss
+    probability is ~5e-12 — so MinHash+LSH must recover EVERY exact
+    pair, making the eval's recall exactly 1.0 (precision is 1.0 by
+    construction).  A recall below 1.0 here means the banding or the
+    signature pipeline broke, not bad luck."""
+    from map_reduce_multi_threaded_spark.operators import dedup as D
+
+    [row] = D.dedup_recall_eval(spark, sf_oracle_dir).collect()
+    assert row["n_true_pairs"] > 0
+    assert row["n_found"] == row["n_true_pairs"]
+    assert row["recall"] == 1.0

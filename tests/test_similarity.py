@@ -144,3 +144,18 @@ def test_pq_codewords_self_assign_with_zero_error(spark, sf_oracle_dir):
         assert len(code) == S.PQ_M
         assert all(0 <= c < S.PQ_K for c in code)
         assert r["sq_err"] >= 0
+
+
+def test_ann_recall_far_above_chance(spark, sf_oracle_dir):
+    """Meaningfulness floor for the recall eval: on this near-uniform
+    fixture (the HARD case for LSH) chance recall is k/corpus ~ 0.005;
+    the 8-table OR-amplified index measures 0.42 mean recall@5.  The
+    pipeline is deterministic, so the value is fixed per fixture —
+    assert a generous floor that survives a fixture regen but catches
+    a broken index (which collapses to ~chance)."""
+    from map_reduce_multi_threaded_spark.operators import similarity as S
+
+    rows = S.knn_recall_eval(spark, sf_oracle_dir).collect()
+    assert len(rows) == S.N_QUERIES
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.25, [(r["query_id"], r["recall_at_k"]) for r in rows]
