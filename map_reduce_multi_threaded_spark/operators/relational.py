@@ -2043,6 +2043,103 @@ FROM latest GROUP BY o_orderstatus
 """
 
 
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis end-to-end: deterministic hash
+    assignment (md5(user_id) % 2 — the same never-rand() discipline as
+    pipeline_hash_split, so arms are stable across reruns and engines),
+    per-user purchase-revenue outcome, and the per-arm comparison with
+    a Welch z statistic — the readout every experimentation platform
+    computes.
+
+    Determinism: per-arm n/Σv/Σv² come from exact decimal sums (users
+    with no purchases count as 0 — dropping them would bias the arms);
+    the mean/variance/z combination runs in doubles with the IDENTICAL
+    op sequence on both engines, rounded 9 dp (agg_corr_exact
+    precedent).  Scale: one keyed agg to per-user outcomes, one 2-group
+    agg, one broadcast cross of two single rows — nothing global ever
+    sorts."""
+    from ..functions.text import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", dec("value"))),
+            F.lit(0).cast(DEC),
+        )
+        .cast(DEC)
+        .alias("v")
+    )
+    arms = per_user.select(
+        md5_bucket(F.col("user_id"), 2, salt="ab").alias("arm"), "v"
+    )
+    stats = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).alias("ss"),
+    )
+    a = stats.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = stats.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def _mv(n, s, ss):
+        nd = F.col(n).cast("double")
+        mean = F.col(s).cast("double") / nd
+        var = (F.col(ss).cast("double") - F.col(s).cast("double") * F.col(s).cast("double") / nd) / (nd - F.lit(1.0))
+        return nd, mean, var
+
+    na, ma, va = _mv("n_a", "s_a", "ss_a")
+    nb, mb, vb = _mv("n_b", "s_b", "ss_b")
+    z = (ma - mb) / F.sqrt(va / na + vb / nb)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 9).alias("mean_a"),
+        F.round(mb, 9).alias("mean_b"),
+        F.round(z, 9).alias("welch_z"),
+    )
+
+
+def _ab_test_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    arm = f"{duck_md5_long('CAST(user_id AS VARCHAR)', salt='ab')} % 2"
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(value AS DECIMAL(18,4)) END),
+                       0) AS DECIMAL(18,4)) AS v
+  FROM events GROUP BY user_id
+),
+arms AS (SELECT {arm} AS arm, v FROM per_user),
+stats AS (
+  SELECT arm, count(*) AS n,
+         sum(v) AS s,
+         sum(CAST(v * v AS DECIMAL(38,8))) AS ss
+  FROM arms GROUP BY arm
+),
+j AS (
+  SELECT a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+         b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+  FROM (SELECT * FROM stats WHERE arm = 0) a,
+       (SELECT * FROM stats WHERE arm = 1) b
+)
+SELECT n_a, n_b,
+       round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS mean_a,
+       round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS mean_b,
+       round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 9)
+         AS welch_z
+FROM j
+"""
+
+
 def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation — ``listagg(...) WITHIN GROUP
     (ORDER BY ...)``, new in Spark 4 (SPARK-42746): per market segment,
@@ -3699,4 +3796,6 @@ SPECS = [
               "full MERGE semantics (insert/update/DELETE tombstones) as union + one keyed window"),
     QuerySpec("agg_listagg", agg_listagg, _LISTAGG_ORACLE,
               "Spark 4 listagg WITHIN GROUP (ordered string aggregation, capped per group)"),
+    QuerySpec("events_ab_test", events_ab_test, _ab_test_oracle(),
+              "deterministic A/B assignment + exact-moment Welch z readout"),
 ]
