@@ -737,6 +737,103 @@ GROUP BY doc_id
 """
 
 
+#: log-quantization scale for the Zipf regression (1e6 = 6 decimal
+#: digits of each ln value survive into the exact integer moments)
+ZIPF_Q = 1_000_000
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word frequencies: the log-log
+    regression slope of frequency against rank (≈ −1 for natural
+    language) — the corpus-health diagnostic that flags boilerplate
+    floods (slope flattens) or truncated vocabularies (slope dives).
+
+    Built from the engine's own primitives: the flagship word count
+    feeds a DISTRIBUTED global rank via the two-pass prefix sum
+    (rank = running count over the (cnt DESC, word) total order — no
+    single-task window even at web-scale vocabularies), and the
+    regression uses integer moments: each ln is quantized to {Q}
+    BEFORE summation, so Σx, Σy, Σxy, Σx² are exact DECIMAL(38,0)
+    sums and shuffle order cannot move a bit.  Only the final
+    slope/intercept combination runs in doubles (pre-divided means,
+    agg_corr_exact discipline), rounded 9 dp.  The quantization scale
+    cancels in the slope (both axes scaled by {Q})."""
+    from ..functions.prefix import two_pass_cumsum
+    from .wordcount import word_counts
+
+    freq = word_counts(spark, sf_dir)
+    ranked = two_pass_cumsum(
+        freq,
+        F.lit(1).cast("long"),
+        [F.desc("cnt"), F.asc("word")],
+        cum_col="rnk",
+        total_col="n_words_t",
+    )
+    x = F.round(F.log(F.col("rnk").cast("double")) * ZIPF_Q).cast("long")
+    y = F.round(F.log(F.col("cnt").cast("double")) * ZIPF_Q).cast("long")
+    q = ranked.select(x.alias("x"), y.alias("y"))
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    slope = cov / vx
+    intercept = my / F.lit(float(ZIPF_Q)) - slope * (mx / F.lit(float(ZIPF_Q)))
+    return m.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(intercept, 9).alias("ln_intercept"),
+    )
+
+
+def _zipf_oracle() -> str:
+    from .wordcount import _ORACLE_WORDCOUNT
+
+    return f"""
+WITH wc AS ({_ORACLE_WORDCOUNT}),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk FROM wc
+),
+q AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * {ZIPF_Q}) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * {ZIPF_Q}) AS BIGINT) AS y
+  FROM ranked
+),
+m AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+  FROM q
+)
+SELECT n AS n_words,
+       round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS zipf_slope,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / {ZIPF_Q}.0
+             - ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / {ZIPF_Q}.0), 9)
+         AS ln_intercept
+FROM m
+"""
+
+
 #: feature-hashing dimensionality (the "hashing trick" bucket count)
 N_HASH_FEATURES = 16
 
@@ -789,6 +886,8 @@ FROM bucketed GROUP BY doc_id
 
 
 SPECS = [
+    QuerySpec("text_zipf_slope", text_zipf_slope, _zipf_oracle(),
+              "Zipf exponent via distributed two-pass rank + integer-quantized log regression"),
     QuerySpec("text_feature_hashing", text_feature_hashing, _feature_hashing_oracle(),
               "hashing-trick term-frequency features (16 md5 buckets, no vocabulary)"),
     QuerySpec("text_langid", text_langid, _langid_oracle(),
