@@ -224,6 +224,42 @@ def test_sweep_demotes_on_helper_module_edit():
     assert rel_group == 2, "unrelated query must stay proven"
 
 
+def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
+    """Determinism under ANY partitioning is the registry-wide claim:
+    rerunning with a different spark.sql.shuffle.partitions must
+    reproduce byte-identical rows.  Exercised on the round-5 queries
+    whose shapes are most partitioning-sensitive (two-pass prefix
+    sums, min_by/max_by aggs, quantized-log regression, hash splits)."""
+    from map_reduce_multi_threaded_spark.operators.pipeline import (
+        pipeline_budget_select,
+        pipeline_hash_split,
+    )
+    from map_reduce_multi_threaded_spark.operators.relational import (
+        events_ab_test,
+        events_attribution,
+        orders_abc_analysis,
+    )
+    from map_reduce_multi_threaded_spark.operators.textstats import text_zipf_slope
+
+    fns = [
+        orders_abc_analysis,
+        pipeline_budget_select,
+        pipeline_hash_split,
+        events_attribution,
+        events_ab_test,
+        text_zipf_slope,
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {f.__name__: sorted(map(tuple, f(spark, sf_dir).collect())) for f in fns}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for f in fns:
+            again = sorted(map(tuple, f(spark, sf_dir).collect()))
+            assert again == baseline[f.__name__], f.__name__
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_two_pass_cumsum_partition_invariant(spark, sf_dir):
     """The distributed prefix sum must equal the single-task reference
     for ANY range-partition count — the property that lets
