@@ -443,6 +443,58 @@ GROUP BY 1
 """
 
 
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle order: every training epoch
+    needs a DIFFERENT but fully REPRODUCIBLE permutation of the corpus
+    (restart a crashed epoch-2 job and get the same order, on any
+    cluster) — so the position is the rank of md5(doc_id, epoch-salt)
+    within the doc's shard, never ``rand()``.  Emitted for two epochs
+    side by side, proving the permutations differ while each stays
+    deterministic.
+
+    Scale: shard-local ranking — both epoch windows share the ONE
+    hash-partition exchange on shard (only the sort differs), and no
+    shard ever needs a global order.  This is exactly how epoch
+    shuffling works on a 100 TB corpus: permute within shards, read
+    shards in epoch-salted order."""
+    from ..functions.text import md5_bucket, md5_long
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id"), N_SHARDS, salt="shard").alias("shard"),
+        md5_long(F.col("doc_id"), salt="epoch1").alias("k1"),
+        md5_long(F.col("doc_id"), salt="epoch2").alias("k2"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("k1", "doc_id")
+    w2 = Window.partitionBy("shard").orderBy("k2", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w1).alias("pos_epoch1"),
+        F.row_number().over(w2).alias("pos_epoch2"),
+    )
+
+
+def _epoch_shuffle_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    did = "CAST(doc_id AS VARCHAR)"
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {duck_md5_long(did, salt="shard")} % {N_SHARDS} AS shard,
+         {duck_md5_long(did, salt="epoch1")} AS k1,
+         {duck_md5_long(did, salt="epoch2")} AS k2
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k1, doc_id) AS INTEGER) AS pos_epoch1,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k2, doc_id) AS INTEGER) AS pos_epoch2
+FROM keyed
+"""
+
+
 #: budget selection keeps top-ranked docs until this fraction of the
 #: corpus token count (numerator/denominator — integer-exact cutoff)
 BUDGET_NUM, BUDGET_DEN = 1, 2
@@ -598,4 +650,6 @@ SPECS = [
               "deterministic train/val/test split manifest (md5 buckets, per-source shares)"),
     QuerySpec("pipeline_budget_select", pipeline_budget_select, _BUDGET_SELECT_ORACLE,
               "global token-budget take-while via the two-pass distributed prefix sum"),
+    QuerySpec("pipeline_epoch_shuffle", pipeline_epoch_shuffle, _epoch_shuffle_oracle(),
+              "reproducible per-epoch corpus permutations (shard-local md5 ranks, never rand)"),
 ]
