@@ -2888,6 +2888,87 @@ LIMIT {BASKET_TOP_N}
 """
 
 
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the top co-occurring part pairs:
+    support, confidence(a→b) and lift — the step after
+    :func:`basket_pairs` that turns raw co-occurrence into "is this
+    pair MORE common than chance" (lift > 1) — the recommender/
+    market-basket staple.
+
+    Determinism: the top-20 selection orders by INTEGER support with a
+    (part_a, part_b) tie-break — never by the derived doubles — and
+    confidence/lift divide exact integer counts, so both engines run
+    one identical IEEE division per metric.  Scale: basket collection
+    is the same one-shuffle array trick as basket_pairs; item supports
+    are a keyed agg; the item-support table is corpus-cardinality so
+    it joins KEYED (only the bounded top-pair set is broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    )
+    top = (
+        pairs.select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .orderBy(F.desc("support_ab"), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
+    )
+    present = li.select("l_orderkey", "l_partkey").distinct()
+    item = present.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sa = item.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a"))
+    sb = item.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b"))
+    j = (
+        sa.join(F.broadcast(top), "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    confidence = F.col("support_ab").cast("double") / F.col("supp_a").cast("double")
+    lift = (F.col("support_ab") * F.col("n_orders")).cast("double") / (
+        F.col("supp_a") * F.col("supp_b")
+    ).cast("double")
+    return j.select(
+        "part_a",
+        "part_b",
+        "support_ab",
+        "supp_a",
+        "supp_b",
+        F.round(confidence, 9).alias("confidence_a_b"),
+        F.round(lift, 9).alias("lift"),
+    )
+
+
+_BASKET_LIFT_ORACLE = f"""
+WITH present AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+top AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support_ab
+  FROM present a JOIN present b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY support_ab DESC, part_a, part_b
+  LIMIT {BASKET_TOP_N}
+),
+item AS (SELECT l_partkey, count(*) AS supp FROM present GROUP BY 1),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem)
+SELECT t.part_a, t.part_b, t.support_ab,
+       sa.supp AS supp_a, sb.supp AS supp_b,
+       round(CAST(t.support_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE), 9) AS confidence_a_b,
+       round(CAST(t.support_ab * n.n_orders AS DOUBLE)
+             / CAST(sa.supp * sb.supp AS DOUBLE), 9) AS lift
+FROM top t JOIN item sa ON sa.l_partkey = t.part_a
+           JOIN item sb ON sb.l_partkey = t.part_b, n
+"""
+
+
 #: weighted-sample size and weight vocabulary
 WEIGHTED_SAMPLE_K = 25
 
@@ -3798,4 +3879,6 @@ SPECS = [
               "Spark 4 listagg WITHIN GROUP (ordered string aggregation, capped per group)"),
     QuerySpec("events_ab_test", events_ab_test, _ab_test_oracle(),
               "deterministic A/B assignment + exact-moment Welch z readout"),
+    QuerySpec("basket_lift", basket_lift, _BASKET_LIFT_ORACLE,
+              "association-rule support/confidence/lift over the top co-occurring pairs"),
 ]
