@@ -2855,6 +2855,14 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER (max basket 13 items → ≤78 pairs), support counting is a
     keyed agg, and the top-N is a TakeOrdered, never a full sort.
     Ties broken by (part_a, part_b) for a total order."""
+    return _top_pair_supports(spark, sf_dir, "support")
+
+
+def _top_pair_supports(spark: SparkSession, sf_dir: str, alias: str) -> DataFrame:
+    """The shared basket → pair-expansion → top-N pipeline behind
+    :func:`basket_pairs` (raw support) and :func:`basket_lift`
+    (association metrics) — ONE spelling so a fix to the expansion
+    can never leave the other query stale."""
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -2871,8 +2879,8 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
         .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .orderBy(F.desc("support"), "part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias(alias))
+        .orderBy(F.desc(alias), "part_a", "part_b")
         .limit(BASKET_TOP_N)
     )
 
@@ -2903,28 +2911,10 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a keyed agg; the item-support table is corpus-cardinality so
     it joins KEYED (only the bounded top-pair set is broadcast)."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("pr")
-    )
-    top = (
-        pairs.select(F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support_ab"))
-        .orderBy(F.desc("support_ab"), "part_a", "part_b")
-        .limit(BASKET_TOP_N)
-    )
+    top = _top_pair_supports(spark, sf_dir, "support_ab")
     present = li.select("l_orderkey", "l_partkey").distinct()
     item = present.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
-    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     sa = item.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("supp_a"))
     sb = item.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("supp_b"))
     j = (

@@ -113,16 +113,23 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_BRUTE_ORACLE = f"""
-WITH {_DUCK_NORMS},
-pairs AS (
+#: (query, corpus) exact-cosine pairs over the norms CTE — the ONE
+#: spelling of the brute-force ground truth, shared by the
+#: knn_bruteforce oracle and the recall-eval oracle.
+_DUCK_BRUTE_PAIRS_CTE = f"""brute_pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
   FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
-)
+)"""
+
+_RANK_W = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)"
+
+_KNN_BRUTE_ORACLE = f"""
+WITH {_DUCK_NORMS},
+{_DUCK_BRUTE_PAIRS_CTE}
 SELECT query_id, rank, neighbor_id, cosine FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM pairs
+  SELECT *, {_RANK_W} AS rank
+  FROM brute_pairs
 ) WHERE rank <= {K_NEIGHBORS}
 """
 
@@ -361,10 +368,13 @@ def _duck_buckets_sql() -> str:
     return "\n  UNION ALL\n  ".join(per_table)
 
 
-def _knn_lsh_oracle() -> str:
-    return f"""
-WITH {_DUCK_NORMS},
-buckets AS (
+def _duck_lsh_pairs_ctes() -> str:
+    """``buckets → cand → lsh_pairs`` CTE chain (banded candidates for
+    the query vectors + exact cosine) — the ONE spelling of the LSH
+    index, shared by the knn_lsh oracle and the recall-eval oracle so
+    a banding change can never leave the recall gate measuring a stale
+    index definition."""
+    return f"""buckets AS (
   {_duck_buckets_sql()}
 ),
 cand AS (
@@ -372,14 +382,20 @@ cand AS (
   FROM buckets q JOIN buckets c
     ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
 ),
-pairs AS (
+lsh_pairs AS (
   SELECT cand.query_id, cand.neighbor_id,
          {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
   FROM cand JOIN n q ON q.vec_id = cand.query_id JOIN n c ON c.vec_id = cand.neighbor_id
-)
+)"""
+
+
+def _knn_lsh_oracle() -> str:
+    return f"""
+WITH {_DUCK_NORMS},
+{_duck_lsh_pairs_ctes()}
 SELECT query_id, rank, neighbor_id, cosine FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM pairs
+  SELECT *, {_RANK_W} AS rank
+  FROM lsh_pairs
 ) WHERE rank <= {K_NEIGHBORS}
 """
 
@@ -416,35 +432,18 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_eval_oracle() -> str:
-    rank_w = "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)"
     return f"""
 WITH {_DUCK_NORMS},
-buckets AS (
-  {_duck_buckets_sql()}
-),
-cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM buckets q JOIN buckets c
-    ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
-),
-lsh_pairs AS (
-  SELECT cand.query_id, cand.neighbor_id,
-         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
-  FROM cand JOIN n q ON q.vec_id = cand.query_id JOIN n c ON c.vec_id = cand.neighbor_id
-),
+{_duck_lsh_pairs_ctes()},
 lsh AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT *, {rank_w} AS rank FROM lsh_pairs
+    SELECT *, {_RANK_W} AS rank FROM lsh_pairs
   ) WHERE rank <= {K_NEIGHBORS}
 ),
-brute_pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_DUCK_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cosine
-  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
-),
+{_DUCK_BRUTE_PAIRS_CTE},
 brute AS (
   SELECT query_id, neighbor_id FROM (
-    SELECT *, {rank_w} AS rank FROM brute_pairs
+    SELECT *, {_RANK_W} AS rank FROM brute_pairs
   ) WHERE rank <= {K_NEIGHBORS}
 )
 SELECT b.query_id, CAST(count(l.neighbor_id) AS INTEGER) AS n_hits,

@@ -95,9 +95,13 @@ class WordGenStreamReader(DataSourceStreamReader):
         lo, hi = start["i"], end["i"]
         # recovery: after a restart Spark replans from the WAL offset,
         # but _cur restarts at 0 — without this clamp latestOffset
-        # would report below the checkpoint and the query would emit
-        # empty batches until the counter caught back up
-        self._cur = max(getattr(self, "_cur", 0), hi)
+        # would report below the checkpoint and rows would be
+        # re-emitted.  Clamp to BOTH bounds: on the committed-batch
+        # restart path Spark can plan (committed, fresh-latest) with
+        # end < start, and clamping only to `hi` would keep reporting
+        # below the committed offset (one empty batch is harmless;
+        # regressed offsets are not).
+        self._cur = max(getattr(self, "_cur", 0), lo, hi)
         if hi <= lo:
             return [_RangePartition(lo, lo)]
         step = (hi - lo + self.parts - 1) // self.parts

@@ -78,6 +78,12 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+#: staging kinds no code reads anymore (renamed layouts) — swept on
+#: any staging access.  'formats' became 'formats_v2' when the XML
+#: copy was added in round 5.
+RETIRED_STAGE_KINDS = ("formats",)
+
+
 def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:
     """Scratch directory for staged derivatives of ``sf_dir`` tables,
     keyed by a CONTENT fingerprint of the source parquet files
@@ -90,7 +96,9 @@ def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:
     pruned without touching other kinds' staging keyed on different
     source tables (ADVICE r3: fingerprinted dirs were never cleaned
     up).  Legacy flat ``<base>-<fp>`` dirs from the old layout are
-    removed too — nothing reads them anymore."""
+    removed too — nothing reads them anymore, as are RETIRED kinds
+    (renamed staging layouts would otherwise orphan their old dirs
+    on disk forever)."""
     import hashlib
     import os
     import shutil
@@ -113,7 +121,9 @@ def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:
                 shutil.rmtree(full, ignore_errors=True)
             elif d == base and os.path.isdir(full):
                 for sub in os.listdir(full):
-                    if sub.startswith(f"{kind}-") and sub != f"{kind}-{fp}":
+                    stale_kind = sub.startswith(f"{kind}-") and sub != f"{kind}-{fp}"
+                    retired = any(sub.startswith(f"{rk}-") for rk in RETIRED_STAGE_KINDS)
+                    if stale_kind or retired:
                         shutil.rmtree(os.path.join(full, sub), ignore_errors=True)
     except OSError:
         pass
