@@ -13,7 +13,14 @@ ops.
 One eager ``localCheckpoint`` pins the sampled range boundaries so the
 per-row sums and the offset table see the SAME partitioning (the two
 consumers would otherwise re-execute the exchange and could re-sample
-different boundaries).
+different boundaries).  Fault-tolerance caveat: ``localCheckpoint``
+stores blocks on executors, NOT reliable storage — an executor loss
+(or dynamic-allocation decommission) loses blocks and FAILS the job
+rather than recomputing.  That trade is fine for interactive/bench
+runs; a cluster-grade production run should swap the pin for a
+reliable ``checkpoint()`` (with ``sparkContext.setCheckpointDir`` on
+durable storage) or stage the ranged frame to a persisted table — the
+algorithm is unchanged, only the pinning mechanism.
 
 Used by ``orders_abc_analysis`` (Pareto cumulative shares) and
 ``pipeline_budget_select`` (token-budget corpus selection).

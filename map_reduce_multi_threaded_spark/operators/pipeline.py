@@ -171,9 +171,14 @@ def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     been applied: document norms then become integer sums (order-free
     across any partitioning — a float norm over hundreds of terms WILL
     flip last-ulp bits between engines), and every later product stays
-    exact.  Shapes: two keyed aggs (tf, df) + broadcast idf + one
-    keyed norm agg + a 3-term broadcast join for the numerator —
-    single-scan, all shuffles on doc_id/term."""
+    exact.  Shapes: two keyed aggs (tf, df) + one keyed norm agg + a
+    3-term broadcast join for the numerator — single-scan, all shuffles
+    on doc_id/term.  The corpus-wide tf⋈df join stays a KEYED shuffle
+    with no broadcast hint: the vocabulary is corpus-derived and
+    unbounded (10⁸–10⁹ distinct terms at web scale; SCALE.md's
+    no-vocab-broadcast rule), and AQE still picks broadcast on its own
+    at small scale.  Only the query-term-filtered idf rows (bounded by
+    |BM25_QUERY_TERMS|) are broadcast."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
@@ -183,7 +188,7 @@ def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -193,8 +198,8 @@ def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     qv = (
-        df_.crossJoin(F.broadcast(n))
-        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        df_.where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .crossJoin(F.broadcast(n))
         .select(
             "term",
             F.expr(f"CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE}) AS BIGINT)").alias("q"),

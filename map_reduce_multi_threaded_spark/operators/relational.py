@@ -198,13 +198,39 @@ FROM lineitem GROUP BY l_returnflag
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB answer to
     count-distinct (no expand, fixed-size sketch per group, mergeable
-    across partitions).  HLL implementations differ between engines, so
-    no value-level oracle; tests assert <5% error vs exact instead.
-    """
+    across partitions).  HLL internals differ between engines, so the
+    raw estimate can never hash-match a DuckDB oracle; instead the
+    query emits the EXACT companion count (hash-gated for real) plus
+    ``est_within_tol`` — the estimate's ≤5 % relative-error contract
+    (rsd 0.02 ⇒ 2.5σ) evaluated in-engine, which the oracle pins to
+    TRUE.  The driver thus gates both halves: exact value equality and
+    the sketch's accuracy bound.  At 100 TB you drop the exact
+    companion column — it exists here as the certification harness, the
+    same sample-then-trust shape as the dedup/ANN recall evaluators."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= 0.05
+            ).alias("est_within_tol"),
+        )
     )
+
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS est_within_tol
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,20 +414,43 @@ FROM events GROUP BY event_type
 
 
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch, mergeable across
-    partitions) — the 100 TB quantile path.  Sketch internals are
-    engine-specific → rows-only check; tests gate relative error vs
-    the exact percentiles."""
+    """approx_percentile (mergeable quantile sketch) — the 100 TB
+    quantile path.  Sketch internals are engine-specific, so the raw
+    estimates can't hash-match DuckDB; the query emits the EXACT
+    interpolated percentiles (hash-gated, agg_percentiles precedent)
+    plus ``est_within_tol`` — both estimates within 5 % relative error
+    of exact, evaluated in-engine and pinned TRUE by the oracle.  The
+    exact companion is the certification harness; a production run at
+    scale keeps only the sketch."""
     li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("p")
+    e = F.col("e")
+    within = (
+        (F.abs(F.element_at(p, 1) - F.element_at(e, 1)) / F.element_at(e, 1) <= 0.05)
+        & (F.abs(F.element_at(p, 2) - F.element_at(e, 2)) / F.element_at(e, 2) <= 0.05)
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)").alias("p"))
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 1000)").alias("p"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.99D))").alias("e"),
+        )
         .select(
             "l_returnflag",
-            F.element_at("p", 1).alias("approx_median_price"),
-            F.element_at("p", 2).alias("approx_p99_price"),
+            F.round(F.element_at(e, 1), 6).alias("exact_median_price"),
+            F.round(F.element_at(e, 2), 6).alias("exact_p99_price"),
+            within.alias("est_within_tol"),
         )
     )
+
+
+_APPROX_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median_price,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99_price,
+       TRUE AS est_within_tol
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2001,10 +2050,14 @@ def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).alias("version"),
         )
     )
+    # net-new insert keys offset by the next power of 10 ABOVE the live
+    # key range — a fixed constant (the old +1e8) collides with real
+    # o_orderkey around sf≈17 and silently degrades inserts to updates
     ins = (
         o.where(F.col("o_orderkey") % 11 == 0)
+        .crossJoin(F.broadcast(_orderkey_base(o)))
         .select(
-            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            (F.col("o_orderkey") + F.col("keybase")).alias("o_orderkey"),
             F.lit("I").alias("o_orderstatus"),
             F.col("o_totalprice").cast(DECM).alias("price"),
             F.lit(2).alias("version"),
@@ -2019,16 +2072,36 @@ def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UPSERT_ORACLE = """
-WITH snap AS (
+def _orderkey_base(o: DataFrame) -> DataFrame:
+    """1-row frame with ``keybase`` = smallest power of 10 strictly
+    above max(o_orderkey) — the scale-safe namespace for synthesized
+    insert keys (exact in IEEE doubles for any realistic exponent, so
+    Spark and DuckDB agree bit-for-bit)."""
+    return o.agg(
+        F.expr(
+            "CAST(power(10, ceil(log10(max(o_orderkey) + 1))) AS BIGINT)"
+        ).alias("keybase")
+    )
+
+
+#: oracle-side twin of :func:`_orderkey_base`
+_ORACLE_KEYBASE = (
+    "SELECT CAST(power(10, ceil(log10(max(o_orderkey) + 1))) AS BIGINT)"
+    " AS keybase FROM orders"
+)
+
+
+_UPSERT_ORACLE = f"""
+WITH kb AS ({_ORACLE_KEYBASE}),
+snap AS (
   SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(14,2)) AS price, 1 AS version
   FROM orders
 ), upd AS (
   SELECT o_orderkey, 'U', CAST(o_totalprice AS DECIMAL(14,2)) + CAST(100 AS DECIMAL(14,2)), 2
   FROM orders WHERE o_orderkey % 7 = 0
 ), ins AS (
-  SELECT o_orderkey + 100000000, 'I', CAST(o_totalprice AS DECIMAL(14,2)), 2
-  FROM orders WHERE o_orderkey % 11 = 0
+  SELECT o_orderkey + kb.keybase, 'I', CAST(o_totalprice AS DECIMAL(14,2)), 2
+  FROM orders, kb WHERE o_orderkey % 11 = 0
 ), merged AS (
   SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
 ), latest AS (
@@ -2088,12 +2161,22 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _mv(n, s, ss):
         nd = F.col(n).cast("double")
         mean = F.col(s).cast("double") / nd
-        var = (F.col(ss).cast("double") - F.col(s).cast("double") * F.col(s).cast("double") / nd) / (nd - F.lit(1.0))
+        # n=1 leaves (n-1)=0 in the denominator; Spark (NULL / ANSI
+        # DIVIDE_BY_ZERO) and DuckDB (inf) disagree there, so the
+        # variance is explicitly NULL below 2 samples — the
+        # dedup_recall_eval 0/0 guard pattern, mirrored in the oracle.
+        var = F.when(
+            nd > F.lit(1.0),
+            (F.col(ss).cast("double") - F.col(s).cast("double") * F.col(s).cast("double") / nd) / (nd - F.lit(1.0)),
+        )
         return nd, mean, var
 
     na, ma, va = _mv("n_a", "s_a", "ss_a")
     nb, mb, vb = _mv("n_b", "s_b", "ss_b")
-    z = (ma - mb) / F.sqrt(va / na + vb / nb)
+    # two constant arms (zero pooled variance) would be 0/0 — NULL z on
+    # both engines rather than engine-specific inf/NaN
+    denom2 = va / na + vb / nb
+    z = F.when(denom2 > F.lit(0.0), (ma - mb) / F.sqrt(denom2))
     return j.select(
         "n_a",
         "n_b",
@@ -2128,15 +2211,28 @@ j AS (
   FROM (SELECT * FROM stats WHERE arm = 0) a,
        (SELECT * FROM stats WHERE arm = 1) b
 )
+, mv AS (
+  -- n=1 / zero-variance guards mirror the Spark F.when() NULLs: the
+  -- raw form divides by (n-1) and sqrt(0), where the engines disagree
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         CASE WHEN CAST(n_a AS DOUBLE) > 1.0
+              THEN (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+         END AS var_a,
+         CASE WHEN CAST(n_b AS DOUBLE) > 1.0
+              THEN (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+         END AS var_b
+  FROM j
+)
 SELECT n_a, n_b,
-       round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS mean_a,
-       round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS mean_b,
-       round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-              - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-             / sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
-                    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)), 9)
-         AS welch_z
-FROM j
+       round(mean_a, 9) AS mean_a,
+       round(mean_b, 9) AS mean_b,
+       round(CASE WHEN var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0.0
+                  THEN (mean_a - mean_b)
+                       / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+             END, 9) AS welch_z
+FROM mv
 """
 
 
@@ -2227,10 +2323,14 @@ def table_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).alias("version"),
         )
     )
+    # insert keys ride the max-derived power-of-10 namespace (see
+    # _orderkey_base) so they can never collide with snapshot /
+    # update / delete keys at any scale factor
     ins = (
         o.where(F.col("o_orderkey") % 11 == 0)
+        .crossJoin(F.broadcast(_orderkey_base(o)))
         .select(
-            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            (F.col("o_orderkey") + F.col("keybase")).alias("o_orderkey"),
             F.lit("N").alias("o_orderstatus"),
             F.col("o_totalprice").cast(DECM).alias("price"),
             F.lit("I").alias("op"),
@@ -2253,8 +2353,9 @@ def table_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MERGE_CDC_ORACLE = """
-WITH snap AS (
+_MERGE_CDC_ORACLE = f"""
+WITH kb AS ({_ORACLE_KEYBASE}),
+snap AS (
   SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(14,2)) AS price,
          'I' AS op, 1 AS version
   FROM orders
@@ -2266,8 +2367,8 @@ WITH snap AS (
   SELECT o_orderkey, 'D', CAST(0 AS DECIMAL(14,2)), 'D', 2
   FROM orders WHERE o_orderkey % 13 = 0
 ), ins AS (
-  SELECT o_orderkey + 100000000, 'N', CAST(o_totalprice AS DECIMAL(14,2)), 'I', 2
-  FROM orders WHERE o_orderkey % 11 = 0
+  SELECT o_orderkey + kb.keybase, 'N', CAST(o_totalprice AS DECIMAL(14,2)), 'I', 2
+  FROM orders, kb WHERE o_orderkey % 11 = 0
 ), merged AS (
   SELECT * FROM snap UNION ALL SELECT * FROM upd
   UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM ins
@@ -3314,27 +3415,57 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly like the reference's partial counts (map_reduce.cpp:191-236)
     but for a non-additive statistic.
 
-    Sketch bytes are engine-specific → rows-only driver check; the
-    pytest gate bounds the estimate's relative error vs the exact
-    per-region distinct (lgConfigK=14 ⇒ σ ≈ 0.8 %)."""
+    Sketch bytes are engine-specific, so the estimate itself can't
+    hash-match DuckDB; the query emits the EXACT per-region distinct
+    (hash-gated) plus ``est_within_tol`` — the merged estimate within
+    5 % of exact (lgConfigK=14 ⇒ σ ≈ 0.8 %, so 5 % is >6σ), evaluated
+    in-engine and pinned TRUE by the oracle.  The exact companion is
+    the certification harness; the sketch path is what survives at
+    scale."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     per_nation = cust.groupBy("c_nationkey").agg(
         F.hll_sketch_agg("c_custkey", F.lit(14)).alias("sketch")
     )
-    return (
+    merged = (
         per_nation.join(
             F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey
         )
         .groupBy("n_regionkey")
         .agg(F.hll_union_agg("sketch").alias("merged"))
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .select(
-            "r_name",
+            "n_regionkey",
             F.hll_sketch_estimate("merged").alias("approx_customers"),
         )
     )
+    exact = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    )
+    return (
+        merged.join(exact, "n_regionkey")
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select(
+            "r_name",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.05
+            ).alias("est_within_tol"),
+        )
+    )
+
+
+_HLL_MERGE_ORACLE = """
+SELECT r_name, count(DISTINCT c_custkey) AS exact_customers,
+       TRUE AS est_within_tol
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
 
 
 def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3430,8 +3561,11 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = F.col("sx").cast("double") / nd
     my = F.col("sy").cast("double") / nd
     cov = F.col("sxy").cast("double") / nd - mx * my
-    vx = F.col("sxx").cast("double") / nd - mx * mx
-    vy = F.col("syy").cast("double") / nd - my * my
+    # E[x²]−E[x]² cancels catastrophically for near-constant groups and
+    # can land a tiny NEGATIVE variance (sqrt → NaN); clamp at 0 — the
+    # oracle mirrors with greatest(0.0, ...), so parity is preserved
+    vx = F.greatest(F.lit(0.0), F.col("sxx").cast("double") / nd - mx * mx)
+    vy = F.greatest(F.lit(0.0), F.col("syy").cast("double") / nd - my * my)
     corr = cov / (F.sqrt(vx) * F.sqrt(vy))
     return m.select("l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price"))
 
@@ -3450,12 +3584,12 @@ SELECT l_returnflag, n,
        round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-             / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             / (sqrt(greatest(0.0, CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+                * sqrt(greatest(0.0, CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
                        - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 9) AS corr_qty_price
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))), 9) AS corr_qty_price
 FROM m
 """
 
@@ -3695,6 +3829,9 @@ FROM a FULL OUTER JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
 
 #: heavy-hitters sketch size (top-k words over the document corpus)
 TOPK_SKETCH_K = 10
+#: rows emitted (by exact count) — half the sketch width, so the true
+#: head is comfortably inside the candidate set even with sketch noise
+TOPK_EMIT = 5
 
 
 def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3705,15 +3842,25 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized shuffle is not worth it.  Sketches merge
     associatively across partitions like every other partial agg.
 
-    Sketch counts are estimates with engine-specific internals →
-    rows-only driver check; the pytest gate proves the Zipf head is
-    found exactly (top words are far above the sketch's error bound)."""
+    Sketch counts have engine-specific internals (DuckDB has no
+    frequent-items sketch at all), so the raw sketch rows can't be
+    oracled directly.  Instead: the sketch nominates its top-{K}
+    candidates, an exact keyed count verifies them, and the emitted
+    top-{OUT} (by exact count — hash-gated against DuckDB's true
+    top-{OUT}) certifies the sketch FOUND the real head, while
+    ``est_exact`` pins the DataSketches guarantee that items which
+    never left the sketch carry exact counts.  Candidate-then-verify is
+    the same sample-then-trust shape as the dedup/ANN recall harnesses:
+    the sketch is the scale path, the exact join is the certification.
+    The corpus is Zipfian, so the true head sits far above the sketch
+    error bound — a miss would be a real defect, and the driver would
+    see it as a hash-fail."""
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
     )
-    return (
+    cand = (
         toks.agg(F.expr(f"approx_top_k(w, {TOPK_SKETCH_K})").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(
@@ -3721,13 +3868,36 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").alias("approx_count"),
         )
     )
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    verified = exact.join(
+        F.broadcast(cand), exact.w == cand.word
+    ).select("word", "exact_count", "approx_count")
+    top = verified.orderBy(
+        F.desc("exact_count"), F.asc("word")
+    ).limit(TOPK_EMIT)
+    return top.select(
+        "word",
+        "exact_count",
+        (F.col("approx_count") == F.col("exact_count")).alias("est_exact"),
+    )
+
+
+_APPROX_TOPK_ORACLE = f"""
+SELECT w AS word, count(*) AS exact_count, TRUE AS est_exact
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents) t
+WHERE w <> ''
+GROUP BY w
+ORDER BY exact_count DESC, word ASC
+LIMIT {TOPK_EMIT}
+"""
 
 
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
     QuerySpec("agg_distinct", agg_distinct, _AGG_DISTINCT_ORACLE, "exact count-distinct per group"),
-    QuerySpec("agg_approx_distinct", agg_approx_distinct, None, "HLL++ sketch (engine-specific; rows-only + test tolerance)"),
+    QuerySpec("agg_approx_distinct", agg_approx_distinct, _APPROX_DISTINCT_ORACLE, "HLL++ sketch + exact companion (hash-gated exact value; in-engine 5% tolerance pinned TRUE)"),
     QuerySpec("agg_stats", agg_stats, _AGG_STATS_ORACLE, "min/max/avg/stddev from exact moments"),
     QuerySpec("agg_rollup", agg_rollup, _AGG_ROLLUP_ORACLE, "ROLLUP subtotals"),
     QuerySpec("agg_cube", agg_cube, _AGG_CUBE_ORACLE, "CUBE all combinations"),
@@ -3735,7 +3905,7 @@ SPECS = [
     QuerySpec("agg_pivot", agg_pivot, _AGG_PIVOT_ORACLE, "pivot with explicit values"),
     QuerySpec("agg_percentiles", agg_percentiles, _AGG_PERCENTILES_ORACLE, "exact interpolated percentiles"),
     QuerySpec("agg_skew_salted", agg_skew_salted, _AGG_SKEW_ORACLE, "two-stage salted aggregation (skew breaker)"),
-    QuerySpec("agg_approx_quantile", agg_approx_quantile, None, "approx_percentile sketch (rows-only + test tolerance)"),
+    QuerySpec("agg_approx_quantile", agg_approx_quantile, _APPROX_QUANTILE_ORACLE, "approx_percentile sketch + exact companion (hash-gated; 5% tolerance pinned TRUE)"),
     QuerySpec("join_skew_salted", join_skew_salted, _JOIN_SKEW_ORACLE, "salted join for hot keys (explode small side)"),
     QuerySpec("join_dim_broadcast", join_dim_broadcast, _JOIN_DIM_ORACLE, "broadcast dim join chain"),
     QuerySpec("join_fact_fact", join_fact_fact, _JOIN_FACT_ORACLE, "big-big shuffle join"),
@@ -3831,12 +4001,12 @@ SPECS = [
               "cohort LTV triangle: first-order cohorts x month offset, exact revenue"),
     QuerySpec("join_bloom_filter", join_bloom_filter, _BLOOM_JOIN_ORACLE,
               "selective dim filter + fact join (runtime bloom-filter pushdown demo)"),
-    QuerySpec("agg_hll_merge", agg_hll_merge, None,
-              "two-level mergeable HLL sketch rollup (sketch bytes engine-specific; "
-              "rows-only + test tolerance)"),
-    QuerySpec("agg_approx_topk", agg_approx_topk, None,
-              "frequent-items heavy-hitters sketch (approx_top_k; rows-only + "
-              "exact-head test)"),
+    QuerySpec("agg_hll_merge", agg_hll_merge, _HLL_MERGE_ORACLE,
+              "two-level mergeable HLL sketch rollup + exact companion "
+              "(hash-gated exact distinct; 5% tolerance pinned TRUE)"),
+    QuerySpec("agg_approx_topk", agg_approx_topk, _APPROX_TOPK_ORACLE,
+              "frequent-items sketch nominates, exact keyed count verifies "
+              "(hash-gated exact head; DataSketches exact-count guarantee pinned)"),
     QuerySpec("scalar_variant", scalar_variant, _SCALAR_VARIANT_ORACLE,
               "VARIANT parse + typed variant_get extraction over props JSON"),
     QuerySpec("sql_pipe_q6", sql_pipe_q6, _Q6_ORACLE,

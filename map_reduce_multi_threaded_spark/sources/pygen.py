@@ -82,13 +82,25 @@ class WordGenStreamReader(DataSourceStreamReader):
         self.batch = int(options.get("batch", max(1, self.n // 4)))
 
     def initialOffset(self):
+        # fresh-start marker: on a WAL restart Spark SKIPS this call,
+        # so _cur's absence tells latestOffset it's on a recovery path
+        self._cur = 0
         return {"i": 0}
 
     def latestOffset(self):
         # a real source reports "what exists now"; the generator's
         # stream is finite, so the high-water mark walks to n and stays
-        cur = getattr(self, "_cur", 0)
-        self._cur = min(cur + self.batch, self.n)
+        if not hasattr(self, "_cur"):
+            # restart with a fully-committed WAL: Spark calls
+            # latestOffset FIRST (initialOffset and partitions never
+            # ran, so their clamps can't fire) and the committed offset
+            # is unknowable from here — report "everything exists" so
+            # the next planned batch starts exactly at the checkpoint,
+            # instead of idling ceil(committed/batch) empty triggers
+            # while _cur walks up from 0 below the committed offset
+            self._cur = self.n
+        else:
+            self._cur = min(self._cur + self.batch, self.n)
         return {"i": self._cur}
 
     def partitions(self, start, end):

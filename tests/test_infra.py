@@ -294,16 +294,17 @@ def test_two_pass_cumsum_partition_invariant(spark, sf_dir):
 
 def test_no_oracle_specs_obey_output_contract(spark, sf_oracle_dir):
     """Registry-wide output contract, no-oracle half: every spec WITH an
-    oracle passes through ``compare()`` (which now calls
+    oracle passes through ``compare()`` (which calls
     ``check_output_contract`` first), so the only schemas the parity
-    gate never sees are the rows-only sketch queries.  Check them here —
-    together the two paths assert NO registered query exposes a
-    top-level array/map/struct column (the r4 driver-RED class)."""
+    gate never sees are rows-only specs.  Since round 6 the four
+    sketch queries carry exact-companion oracles, so this set is
+    expected EMPTY — the assertion pins that no spec silently loses
+    its oracle, and still contract-checks any future rows-only spec."""
     from map_reduce_multi_threaded_spark.registry import collect_specs
     from tests.oracle_utils import check_output_contract
 
     no_oracle = [s for s in collect_specs() if s.oracle is None]
-    assert no_oracle, "expected the rows-only sketch specs"
+    assert no_oracle == [], [s.name for s in no_oracle]
     for spec in no_oracle:
         check_output_contract(spec.fn(spark, sf_oracle_dir))
 
@@ -361,6 +362,17 @@ def test_wordgen_stream_reader_resumes_from_checkpoint():
     r2 = pygen.WordGenStreamReader({"n": "100", "batch": "10"})
     r2.commit({"i": 70})
     assert r2.latestOffset()["i"] > 70
+    # committed-WAL restart (ADVICE r5): Spark calls latestOffset FIRST
+    # (initialOffset/partitions/commit never ran), so the reader cannot
+    # know the checkpoint — it must report "everything exists" so the
+    # next batch starts at the committed offset instead of idling
+    # ceil(committed/batch) empty triggers below it
+    r3 = pygen.WordGenStreamReader({"n": "100", "batch": "10"})
+    assert r3.latestOffset()["i"] == 100
+    # fresh start still rate-limits: initialOffset marks the instance
+    r4 = pygen.WordGenStreamReader({"n": "100", "batch": "10"})
+    assert r4.initialOffset() == {"i": 0}
+    assert r4.latestOffset()["i"] == 10
 
 
 def test_refsink_commit_sweeps_orphan_temps(tmp_path):
