@@ -82,6 +82,11 @@ HEADLINE = [
     "source_python_datasource",  # custom Python Data Source read path
     "multimodal_arrow_stats",    # mapInArrow byte statistics
     "orders_abc_analysis",  # two-pass range-partitioned Pareto prefix sum
+    "pipeline_budget_select",  # token-budget take-while over the prefix sum
+    "text_zipf_slope",      # Zipf-law fit (global rank + quantized-log fit)
+    "text_feature_hashing", # hashing-trick features (single-exchange)
+    "table_merge_cdc",      # insert/update/delete CDC merge
+    "pipeline_epoch_shuffle",  # reproducible per-epoch corpus permutation
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
@@ -174,8 +179,15 @@ def main() -> None:
     # round-4 time exactly, so a flag that survives 4 runs is real.
     prev = _previous_bench(sf, sf_dir)
     timings: dict[str, float] = {}
+    # Retry transparency (VERDICT r5 #6): the extra-run escape hatch
+    # above can mask persistent borderline drift if only the lucky best
+    # is recorded — keep the FIRST measurement and the run count next
+    # to the best, so a query that needed 4 runs to squeak under the
+    # gate is visible in the committed JSON.
+    run_detail: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         best = float("inf")
+        first = None
         runs = 0
         while runs < 2 or (
             runs < 4
@@ -185,9 +197,17 @@ def main() -> None:
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if first is None:
+                first = elapsed
+            best = min(best, elapsed)
             runs += 1
         timings[name] = round(best, 3)
+        run_detail[name] = {
+            "first_run": round(first, 3),
+            "best": round(best, 3),
+            "n_runs": runs,
+        }
 
     total = round(sum(timings.values()), 3)
     regressions = {
@@ -206,6 +226,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": run_detail,
         "sf": sf,
         "sf_dir": sf_dir,
         "runs_per_query": 2,

@@ -86,12 +86,14 @@ FROM deduped GROUP BY source, lang
 """
 
 
-def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents by BM25 for a fixed term set.
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching the fixed query terms
+    — the shared retrieval stage under :func:`bm25_rank` (top-10 emit)
+    and :func:`rerank_crossencoder` (top-k candidate feed).
 
     tf/df/avgdl from two keyed aggregates; idf uses the standard
     ln((N-df+0.5)/(df+0.5)+1).  Scores rounded to 9 dp before ranking
-    (ln is libm-dependent), tie-broken by doc_id."""
+    (ln is libm-dependent), tie-broken by doc_id downstream."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
@@ -114,13 +116,19 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") * (BM25_K1 + 1)
         / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(score_term), 9).alias("bm25"))
     )
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed term set (see
+    :func:`_bm25_scored` for the scoring determinism contract)."""
+    scored = _bm25_scored(spark, sf_dir)
     # Top-k via orderBy+limit → TakeOrderedAndProject (per-partition heap
     # + tiny driver merge), NOT a global no-partition window (which would
     # funnel every scored doc through one reducer at corpus scale).  The
@@ -133,8 +141,9 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_ORACLE = f"""
-WITH toks AS (
+#: shared retrieval CTE chain (toks → scored), reused by the plain
+#: BM25 oracle and the rerank oracle
+_BM25_CTES = f"""toks AS (
   SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
 ),
 toks_f AS (SELECT * FROM toks WHERE length(term) > 0),
@@ -152,10 +161,118 @@ scored AS (
          ), 9) AS bm25
   FROM tf JOIN df USING (term) JOIN doclen USING (doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
-)
+)"""
+
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
 SELECT rank, doc_id, bm25 FROM (
   SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM scored
 ) WHERE rank <= 10
+"""
+
+
+#: retrieve→rerank parameters: the cheap corpus-scale retrieval stage
+#: hands RERANK_CANDIDATES docs to the expensive per-pair scorer; only
+#: RERANK_TOPN survive.  OCC_CAP bounds the per-term occurrence feature
+#: (a spammy doc repeating a query term must not dominate).
+RERANK_CANDIDATES = 20
+RERANK_TOPN = 10
+RERANK_OCC_CAP = 10
+
+
+def rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve→rerank: BM25 nominates the top-{RERANK_CANDIDATES}
+    candidates at corpus scale, then a cross-encoder-STYLE pairwise
+    scorer re-orders them and emits the top-{RERANK_TOPN} — the
+    two-stage shape of every modern retrieval pipeline (cheap recall
+    stage over everything, expensive precision stage over a bounded
+    candidate set).
+
+    The rerank stage runs in ``mapInPandas`` (Arrow-batched) — exactly
+    where a real cross-encoder would batch (query, document) pairs
+    through a model.  The container has no model, so the scorer is a
+    deterministic lexical stand-in (integer features: capped per-term
+    occurrence count + 1000//first-position bonus) that DuckDB can
+    mirror, keeping the whole two-stage pipeline value-gated; swapping
+    in a real model changes ONE pandas function, none of the plumbing.
+
+    Scale: stage 1 is the bm25_rank plan (keyed aggs + TakeOrdered —
+    no global window); stage 2 touches only the candidate set, joined
+    back to `documents` via a broadcast of {RERANK_CANDIDATES} rows
+    (the corpus side streams, pruned to doc_id+text), so the Python
+    cost is O(k), not O(corpus)."""
+    scored = _bm25_scored(spark, sf_dir)
+    cand = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(RERANK_CANDIDATES)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.join(F.broadcast(cand), "doc_id")
+    terms = BM25_QUERY_TERMS
+    occ_cap = RERANK_OCC_CAP
+
+    def _score(batches):
+        import re
+
+        import pandas as pd
+
+        for pdf in batches:
+            scores = []
+            for text in pdf["text"]:
+                # same tokenization as the retrieval stage: whitespace
+                # split, empties dropped, no case folding
+                lst = [w for w in re.split(r"\s+", text) if w]
+                s = 0
+                for t in terms:
+                    occ = sum(1 for w in lst if w == t)
+                    s += 100 * min(occ, occ_cap)
+                    if occ:
+                        s += 1000 // (lst.index(t) + 1)
+                scores.append(s)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bm25": pdf["bm25"],
+                    "rerank_score": pd.Series(scores, dtype="int64"),
+                }
+            )
+
+    reranked = pairs.mapInPandas(
+        _score, "doc_id bigint, bm25 double, rerank_score bigint"
+    )
+    top = reranked.orderBy(
+        F.desc("rerank_score"), F.asc("doc_id")
+    ).limit(RERANK_TOPN)
+    w = Window.orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "rerank_score", "bm25")
+    )
+
+
+_RERANK_FEATURES = " + ".join(
+    f"(100 * least(len(list_filter(lst, x -> x = '{t}')), {RERANK_OCC_CAP})"
+    f" + CASE WHEN list_position(lst, '{t}') > 0"
+    f"        THEN 1000 // list_position(lst, '{t}') ELSE 0 END)"
+    for t in BM25_QUERY_TERMS
+)
+
+_RERANK_ORACLE = f"""
+WITH {_BM25_CTES},
+cand AS (
+  SELECT doc_id, bm25 FROM scored
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {RERANK_CANDIDATES}
+),
+feat AS (
+  SELECT c.doc_id, c.bm25,
+         CAST({_RERANK_FEATURES} AS BIGINT) AS rerank_score
+  FROM cand c JOIN (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS lst
+    FROM documents) d USING (doc_id)
+)
+SELECT rank, doc_id, rerank_score, bm25 FROM (
+  SELECT *, row_number() OVER (ORDER BY rerank_score DESC, doc_id ASC) AS rank
+  FROM feat
+) WHERE rank <= {RERANK_TOPN}
 """
 
 
@@ -645,6 +762,9 @@ SPECS = [
               "exact-count domain-mixing downsample (md5 rank per source + quota broadcast)"),
     QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
               "BM25 top-10 for a fixed query term set"),
+    QuerySpec("rerank_crossencoder", rerank_crossencoder, _RERANK_ORACLE,
+              "retrieve→rerank: BM25 candidates re-scored pairwise in "
+              "mapInPandas (bounded candidate set, model-swap-ready)"),
     QuerySpec("tfidf_cosine_rank", tfidf_cosine_rank, _TFIDF_COSINE_ORACLE,
               "full-vector tf-idf cosine top-10 (integer-quantized weights, order-free norms)"),
     QuerySpec("pipeline_pack_sequences", pipeline_pack_sequences, _PACK_ORACLE,

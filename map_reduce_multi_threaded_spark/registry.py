@@ -60,17 +60,21 @@ def collect_specs() -> list[QuerySpec]:
     if dupes:
         raise ValueError(f"duplicate query names in registry: {dupes}")
     # Sweep order (the driver checks the first ~50 specs per round, so
-    # ordering decides what gets verified).  Change-aware since round 3:
-    # a green record only counts as "proven" if it is the query's MOST
-    # RECENT record (a later hash-fail demotes it) AND the module
-    # defining the query has not been committed/edited since that
-    # record landed (a rewrite invalidates the old green — round 2
-    # shipped two rewritten dedup queries whose r1 records were stale).
-    # Groups, in sweep order:
+    # ordering decides what gets verified).  Groups, in sweep order:
     #   0. never driver-checked (new queries need a first record),
-    #   1. regressed or changed-since-last-green, oldest green first,
-    #   2. validly proven, oldest green record first.
-    # Stable module order within ties.
+    #   1. newest record is a FAIL (regressions re-verify first),
+    #   2. green — ordered by (oldest green round, changed-first).
+    # Change-awareness (since round 3): a green record is weaker if
+    # anything in the query's import closure was committed/edited after
+    # the record landed (a rewrite invalidates the old green).  Since
+    # round 6 that demotion is a TIEBREAK within the same green round,
+    # not a group ahead of all valid greens: one refactor touching
+    # relational.py (94 queries) would otherwise monopolize the ~50
+    # sweep slots for rounds and starve the cross-module rotation tail,
+    # leaving other modules' oldest records unverified indefinitely.
+    # Age-first bounds time-to-reverify for EVERY query; pytest's
+    # oracle-parity suite (every spec, every run) covers the changed
+    # queries in the meantime.  Stable module order within ties.
     rank = _sweep_rank()
     return sorted(specs, key=lambda s: (*rank(s), names.index(s.name)))
 
@@ -168,6 +172,8 @@ def _sweep_rank(commit_ct_fn=None):
     latest: dict[str, tuple[int, bool]] = {}
     # newest GREEN record per query: {name: round}
     latest_green: dict[str, int] = {}
+    # queries whose newest green was only the weaker rows-only check
+    rows_only_green: set[str] = set()
     round_files: dict[int, str] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -193,6 +199,10 @@ def _sweep_rank(commit_ct_fn=None):
                 latest[name] = (rnd, green)
             if green and latest_green.get(name, -1) < rnd:
                 latest_green[name] = rnd
+                if rec.get("err") == "no_oracle":
+                    rows_only_green.add(name)
+                else:
+                    rows_only_green.discard(name)
 
     mod_files, mod_edges = _module_graph()
     commit_ct_cache: dict[str, int | None] = {}
@@ -243,21 +253,28 @@ def _sweep_rank(commit_ct_fn=None):
         cts = [c for c in (ct_fn(p) for p in paths) if c is not None]
         return max(cts) if cts else None
 
-    def rank(spec: QuerySpec) -> tuple[int, int]:
+    def rank(spec: QuerySpec) -> tuple[int, int, int]:
         rec = latest.get(spec.name)
         if rec is None:
-            return (0, 0)  # never checked
+            return (0, 0, 0)  # never checked
+        if spec.oracle is not None and spec.name in rows_only_green:
+            # the spec gained an oracle AFTER its newest green, which
+            # was only the weaker rows-only check — under the current
+            # contract it has never been hash-verified at all
+            return (0, latest_green.get(spec.name, 0), 0)
         green_round = latest_green.get(spec.name, 0)
         if not rec[1]:
-            return (1, green_round)  # newest record is a fail
+            return (1, green_round, 0)  # newest record is a fail
+        changed = 1  # unchanged sorts after changed within a round
         rec_file = round_files.get(green_round)
         if rec_file:
             mod_ct = _closure_ct(spec.fn.__module__)
             rec_ct = ct_fn(rec_file)
             if mod_ct is not None and rec_ct is not None and mod_ct > rec_ct:
                 # the query or anything it imports was rewritten since
-                # its green record — the old green no longer proves it
-                return (1, green_round)
-        return (2, green_round)
+                # its green record — the old green is weaker, so it
+                # leads its cohort (but does not jump older cohorts)
+                changed = 0
+        return (2, green_round, changed)
 
     return rank

@@ -212,16 +212,24 @@ def test_sweep_demotes_on_helper_module_edit():
 
     by_name = {s.name: s for s in sq.SPECS}
     spec = by_name["stream_tumbling_multibatch"]
-    group, _ = rank(spec)
-    assert group == 1, "helper edit must demote the importing query"
+    group, rnd, changed = rank(spec)
+    assert (group, changed) == (2, 0), "helper edit must mark the importing query changed"
 
     # control: a relational query whose closure excludes windows.py
     # keeps its proven status under the same fake clock
     from map_reduce_multi_threaded_spark.operators import relational
 
     rel_spec = {s.name: s for s in relational.SPECS}["q6_revenue"]
-    rel_group, _ = rank(rel_spec)
-    assert rel_group == 2, "unrelated query must stay proven"
+    rel_group, rel_rnd, rel_changed = rank(rel_spec)
+    assert (rel_group, rel_changed) == (2, 1), "unrelated query must stay proven"
+
+    # rotation-starvation guard (round 6): within the SAME green round
+    # the changed query leads, but an OLDER green always outranks a
+    # newer changed one — one big-module refactor must not monopolize
+    # the ~50 driver sweep slots and starve other modules' old records
+    if rnd == rel_rnd:
+        assert rank(spec) < rank(rel_spec)
+    assert (2, rnd - 1, 1) < rank(spec), "older cohorts outrank changed"
 
 
 def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):

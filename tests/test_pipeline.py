@@ -50,3 +50,46 @@ def test_balance_sources_hits_exact_quotas(spark, sf_oracle_dir):
     for src, n in n_by_src.items():
         rate_num = 1 + int(hashlib.md5(src.encode()).hexdigest()[:15], 16) % P.MIX_RATE_BUCKETS
         assert kept.get(src, 0) == math.ceil(n * rate_num / P.MIX_RATE_BUCKETS)
+
+
+def test_rerank_stays_within_candidates_and_reorders(spark, sf_oracle_dir):
+    """The rerank stage must only ever emit docs the retrieval stage
+    nominated (stage-2 cost is O(k), never O(corpus)), and at sf0.01 it
+    must genuinely CHANGE the ordering vs raw BM25 — a reranker that
+    returns the input order is a no-op, and this pin makes the oracle
+    parity check meaningful rather than vacuous."""
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+
+    cand = {
+        r["doc_id"]
+        for r in P._bm25_scored(spark, sf_oracle_dir)
+        .orderBy("bm25", ascending=False)
+        .limit(P.RERANK_CANDIDATES)
+        .collect()
+    }
+    rr = sorted(
+        P.rerank_crossencoder(spark, sf_oracle_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rr) == P.RERANK_TOPN
+    assert {r["doc_id"] for r in rr} <= cand
+    scores = [r["rerank_score"] for r in rr]
+    assert scores == sorted(scores, reverse=True)
+    bm = [r["doc_id"] for r in sorted(
+        P.bm25_rank(spark, sf_oracle_dir).collect(), key=lambda r: r["rank"])]
+    assert [r["doc_id"] for r in rr] != bm
+
+
+def test_rerank_plan_uses_arrow_batch_stage(spark, sf_dir):
+    """The pairwise scorer must run as an Arrow-batched pandas stage
+    (the model-call slot) fed by a BROADCAST of the bounded candidate
+    set — not a shuffle join, not a row-at-a-time Python UDF."""
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+
+    plan = (
+        P.rerank_crossencoder(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
