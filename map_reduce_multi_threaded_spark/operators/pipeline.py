@@ -753,9 +753,88 @@ FROM per
 """
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the CHANGELOG between two corpus snapshots — the inverse
+    of ``table_merge_cdc`` (which APPLIES a changelog): given crawl N
+    and crawl N+1, emit (doc_id, status ∈ added|removed|changed).
+    This is how a pipeline decides what to re-process after a crawl
+    refresh: only the diff flows downstream (re-embed, re-dedup,
+    re-score), never the unchanged bulk.
+
+    Scale: both snapshots are projected to (doc_id, sha256(text)) in
+    the scan — the full-outer join shuffles 72-byte rows on doc_id,
+    one exchange each side, and 'unchanged' rows (the overwhelming
+    majority of a refresh) are filtered before anything downstream.
+    Simulated crawl N+1: every 13th doc gone, every 7th re-crawled
+    with changed text, every 11th re-appearing under a new id in the
+    max-derived power-of-10 namespace (collision-free at any sf)."""
+    from ..sources.tables import power10_base
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = power10_base(d, "doc_id")
+    v2 = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" [recrawl]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0)
+            .crossJoin(F.broadcast(base))
+            .select(
+                (F.col("doc_id") + F.col("idbase")).alias("doc_id"), "text"
+            )
+        )
+    )
+    h1 = d.select("doc_id", F.sha2("text", 256).alias("h1"))
+    h2 = v2.select("doc_id", F.sha2("text", 256).alias("h2"))
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+    )
+    return (
+        h1.join(h2, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH ib AS (
+  SELECT CAST(power(10, ceil(log10(max(doc_id) + 1))) AS BIGINT) AS idbase
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawl]' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + ib.idbase, text FROM documents, ib WHERE doc_id % 11 = 0
+),
+h1 AS (SELECT doc_id, sha256(text) AS h1 FROM documents),
+h2 AS (SELECT doc_id, sha256(text) AS h2 FROM v2),
+j AS (SELECT doc_id, h1, h2 FROM h1 FULL OUTER JOIN h2 USING (doc_id))
+SELECT doc_id,
+       CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed' END AS status
+FROM j
+WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
+    QuerySpec("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_ORACLE,
+              "crawl-refresh changelog: added/removed/changed via narrow "
+              "hash-projected full-outer join (inverse of table_merge_cdc)"),
     QuerySpec("pipeline_shard_manifest", pipeline_shard_manifest, _shard_manifest_oracle(),
               "deterministic shard assignment + order-free content-checksum manifest"),
     QuerySpec("pipeline_balance_sources", pipeline_balance_sources, _BALANCE_ORACLE,

@@ -68,6 +68,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def power10_base(df: DataFrame, key: str, alias: str = "idbase") -> DataFrame:
+    """1-row frame with ``alias`` = smallest power of 10 strictly above
+    ``max(df[key])`` — a scale-safe namespace for synthesized row ids.
+    A fixed additive constant collides with real keys once the fixture
+    outgrows it (TPC-H o_orderkey crosses 1e8 around sf≈17); a
+    max-derived power of 10 cannot, at any scale factor, and is exact
+    in IEEE doubles for any realistic exponent so Spark and DuckDB
+    agree bit-for-bit.  Oracle-side twin: ``CAST(power(10,
+    ceil(log10(max(<key>) + 1))) AS BIGINT)``."""
+    return df.agg(
+        F.expr(
+            f"CAST(power(10, ceil(log10(max({key}) + 1))) AS BIGINT)"
+        ).alias(alias)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 

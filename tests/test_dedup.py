@@ -190,3 +190,24 @@ def test_lsh_recall_is_total_at_fixture_similarity(spark, sf_oracle_dir):
     assert row["n_true_pairs"] > 0
     assert row["n_found"] == row["n_true_pairs"]
     assert row["recall"] == 1.0
+
+
+def test_dedup_incremental_drops_all_rescrawls_keeps_all_edits(spark, sf_oracle_dir):
+    """Every verbatim re-crawl must be dropped (its hash exists in the
+    corpus) and every edited doc must survive — the batch partitions
+    cleanly into the two synthesized id namespaces, so membership is
+    checkable from the ids alone."""
+    from map_reduce_multi_threaded_spark.operators import dedup as D
+    from tests.oracle_utils import duck_con
+
+    rows = D.dedup_incremental(spark, sf_oracle_dir).collect()
+    con = duck_con(sf_oracle_dir)
+    (idbase,) = con.sql(
+        "SELECT CAST(power(10, ceil(log10(max(doc_id) + 1))) AS BIGINT) FROM documents"
+    ).fetchone()
+    (n_edited,) = con.sql(
+        "SELECT count(*) FROM documents WHERE doc_id % 5 = 0"
+    ).fetchone()
+    # all survivors come from the edited namespace, none from re-crawls
+    assert all(r["doc_id"] >= 2 * idbase for r in rows)
+    assert len(rows) == n_edited

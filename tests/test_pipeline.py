@@ -93,3 +93,24 @@ def test_rerank_plan_uses_arrow_batch_stage(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_snapshot_diff_statuses_match_the_simulated_refresh(spark, sf_oracle_dir):
+    """Status semantics pinned against the refresh rules: removed ⇔
+    dropped 13-multiples, changed ⇔ surviving 7-multiples, added ⇔
+    re-appearances in the new-id namespace; nothing else leaks."""
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+    from tests.oracle_utils import duck_con
+
+    rows = P.corpus_snapshot_diff(spark, sf_oracle_dir).collect()
+    con = duck_con(sf_oracle_dir)
+    (idbase,) = con.sql(
+        "SELECT CAST(power(10, ceil(log10(max(doc_id) + 1))) AS BIGINT) FROM documents"
+    ).fetchone()
+    by = {}
+    for r in rows:
+        by.setdefault(r["status"], set()).add(r["doc_id"])
+    assert all(i % 13 == 0 for i in by["removed"])
+    assert all(i % 7 == 0 and i % 13 != 0 for i in by["changed"])
+    assert all(i >= idbase and (i - idbase) % 11 == 0 for i in by["added"])
+    assert by["removed"] and by["changed"] and by["added"]
