@@ -829,9 +829,138 @@ WHERE h1 IS NULL OR h2 IS NULL OR h1 <> h2
 """
 
 
+#: RAG composition parameters — chunking mirrors text_chunking
+#: (50-token windows, stride 40) and the featurizer mirrors
+#: text_feature_hashing (16 md5 buckets, salt 'feat'); constants are
+#: local so the composition query's import closure stays decoupled
+#: from textstats.
+RAG_CHUNK_TOKENS = 50
+RAG_CHUNK_STRIDE = 40
+RAG_BUCKETS = 16
+RAG_TOPN = 10
+
+
+def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingestion+retrieval composed end-to-end: chunk documents
+    into token windows → hash-embed each chunk (hashing-trick term
+    counts, the no-vocabulary featurizer) → score chunks against the
+    hashed query vector by integer dot product → best chunk per doc →
+    top-{RAG_TOPN} docs.  Like ``pipeline_end_to_end`` for ingest,
+    this exists because stage-at-a-time correctness does not prove the
+    stages COMPOSE (chunk boundaries × feature buckets × tie-breaks);
+    one SQL statement gates the whole chain.
+
+    The embedding is RELATIONAL — (chunk, bucket, count) rows, not
+    arrays — so the dot product is a keyed join + sum, exact in
+    integers.  Hash collisions mean the score counts all tokens
+    landing in the query's buckets, not only query terms: that is the
+    hashing-trick approximation, stated honestly (a real deployment
+    swaps the featurizer for a model embedding and this stage for the
+    kNN operators in similarity.py).
+
+    Scale: chunking is a narrow map (one explode); the per-chunk
+    bucket agg collapses map-side to chunks×{RAG_BUCKETS} rows; the
+    query vector is a ≤{RAG_BUCKETS}-row broadcast; per-doc best is a
+    keyed window; final top-k is TakeOrdered.  One shuffle on
+    (doc, chunk, bucket), one on doc — nothing global ever sorts."""
+    from ..functions.text import md5_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", r"\s+").alias("t"))
+    starts = F.expr(f"sequence(0, size(t) - 1, {RAG_CHUNK_STRIDE})")
+    chunks = t.select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "start"), "t"
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(f"slice(t, start + 1, {RAG_CHUNK_TOKENS})").alias("ctoks"),
+    )
+    ctoks = chunks.select(
+        "doc_id", "chunk_idx", F.explode("ctoks").alias("tok")
+    ).where(F.length("tok") > 0)
+    cvec = (
+        ctoks.select(
+            "doc_id",
+            "chunk_idx",
+            md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"),
+        )
+        .groupBy("doc_id", "chunk_idx", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qv = (
+        spark.createDataFrame([(w,) for w in BM25_QUERY_TERMS], "tok string")
+        .select(md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("qc"))
+    )
+    scored = (
+        cvec.join(F.broadcast(qv), "b")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum(F.col("c") * F.col("qc")).alias("dot"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("dot"), F.asc("chunk_idx")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_doc)).where(
+        F.col("rn") == 1
+    )
+    top = best.orderBy(F.desc("dot"), F.asc("doc_id")).limit(RAG_TOPN)
+    w_rank = Window.orderBy(F.desc("dot"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w_rank)).select(
+        "rank", "doc_id", "chunk_idx", "dot"
+    )
+
+
+def _rag_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    bucket = lambda e: f"{duck_md5_long(e, salt='feat')} % {RAG_BUCKETS}"
+    qlist = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, len(t) - 1, {RAG_CHUNK_STRIDE})) AS start,
+         generate_subscripts(generate_series(0, len(t) - 1, {RAG_CHUNK_STRIDE}), 1) - 1 AS chunk_idx
+  FROM toks
+),
+ctoks AS (
+  SELECT doc_id, chunk_idx,
+         unnest(t[start + 1 : start + {RAG_CHUNK_TOKENS}]) AS tok
+  FROM chunks
+),
+cvec AS (
+  SELECT doc_id, chunk_idx, {bucket('tok')} AS b, count(*) AS c
+  FROM ctoks WHERE length(tok) > 0 GROUP BY 1, 2, 3
+),
+q AS (SELECT unnest([{qlist}]) AS tok),
+qv AS (SELECT {bucket('tok')} AS b, count(*) AS qc FROM q GROUP BY 1),
+scored AS (
+  SELECT doc_id, chunk_idx, CAST(sum(c * qc) AS BIGINT) AS dot
+  FROM cvec JOIN qv USING (b) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, chunk_idx, dot FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY dot DESC, chunk_idx ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT rank, doc_id, chunk_idx, dot FROM (
+  SELECT *, row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS rank
+  FROM best
+) WHERE rank <= {RAG_TOPN}
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
+    QuerySpec("pipeline_rag_end_to_end", pipeline_rag_end_to_end, _rag_oracle(),
+              "composed RAG chain: chunk → hash-embed → integer-dot "
+              "retrieve → best-chunk-per-doc → top-k"),
     QuerySpec("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_ORACLE,
               "crawl-refresh changelog: added/removed/changed via narrow "
               "hash-projected full-outer join (inverse of table_merge_cdc)"),

@@ -114,3 +114,21 @@ def test_snapshot_diff_statuses_match_the_simulated_refresh(spark, sf_oracle_dir
     assert all(i % 7 == 0 and i % 13 != 0 for i in by["changed"])
     assert all(i >= idbase and (i - idbase) % 11 == 0 for i in by["added"])
     assert by["removed"] and by["changed"] and by["added"]
+
+
+def test_rag_composition_is_meaningful(spark, sf_oracle_dir):
+    """The composed chain must produce a real ranking: full top-k,
+    strictly positive integer dots in non-increasing order, and at
+    least one winner that is NOT a doc's first chunk — proving the
+    per-doc best-chunk window genuinely selects within documents
+    rather than degenerating to 'chunk 0 always wins'."""
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+
+    rows = sorted(
+        P.pipeline_rag_end_to_end(spark, sf_oracle_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == P.RAG_TOPN
+    dots = [r["dot"] for r in rows]
+    assert all(d > 0 for d in dots) and dots == sorted(dots, reverse=True)
+    assert any(r["chunk_idx"] > 0 for r in rows)
