@@ -87,6 +87,10 @@ HEADLINE = [
     "text_feature_hashing", # hashing-trick features (single-exchange)
     "table_merge_cdc",      # insert/update/delete CDC merge
     "pipeline_epoch_shuffle",  # reproducible per-epoch corpus permutation
+    "rerank_crossencoder",  # retrieve→rerank with mapInPandas model slot
+    "pipeline_rag_end_to_end",  # composed chunk→embed→retrieve chain
+    "dedup_incremental",    # ingest-batch anti-join vs corpus hash index
+    "corpus_snapshot_diff", # crawl-refresh changelog (hash-projected FOJ)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

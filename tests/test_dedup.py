@@ -211,3 +211,21 @@ def test_dedup_incremental_drops_all_rescrawls_keeps_all_edits(spark, sf_oracle_
     # all survivors come from the edited namespace, none from re-crawls
     assert all(r["doc_id"] >= 2 * idbase for r in rows)
     assert len(rows) == n_edited
+
+
+def test_dedup_incremental_anti_join_is_hash_class(spark, sf_dir):
+    """The batch-vs-corpus anti-join must be a hash-class equi-join on
+    the content hash (broadcast at toy scale via AQE, shuffled hash at
+    corpus scale — the code hints NEITHER, per the no-corpus-broadcast
+    policy); a nested-loop anti would be O(batch x corpus).  The only
+    nested loops allowed are the 1-row scalar idbase crosses."""
+    from map_reduce_multi_threaded_spark.operators import dedup as D
+
+    plan = (
+        D.dedup_incremental(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "LeftAnti" in line:
+            assert "HashJoin" in line, line
+    assert "LeftAnti" in plan, plan

@@ -132,3 +132,25 @@ def test_rag_composition_is_meaningful(spark, sf_oracle_dir):
     dots = [r["dot"] for r in rows]
     assert all(d > 0 for d in dots) and dots == sorted(dots, reverse=True)
     assert any(r["chunk_idx"] > 0 for r in rows)
+
+
+def test_snapshot_diff_prunes_to_id_and_text(spark, sf_dir):
+    """Both snapshot scans must read only (doc_id, text) — the diff is
+    hash-projected in the scan, so lang/source/n_chars never leave
+    parquet — and the diff join itself is a non-nested-loop full outer
+    on doc_id."""
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+
+    plan = (
+        P.corpus_snapshot_diff(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    reads = re.findall(r"ReadSchema: (\S+)", plan)
+    assert reads and all(
+        "lang" not in r and "source" not in r and "n_chars" not in r
+        for r in reads
+    ), reads
+    foj = [l for l in plan.splitlines() if "FullOuter" in l]
+    assert foj and all("NestedLoop" not in l for l in foj), foj
