@@ -1448,6 +1448,24 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
 _EXISTS_SQL = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
@@ -1477,6 +1495,14 @@ def _sql_query(sql: str):
 #: top-10.  Catalyst broadcast-joins the filtered customer side and
 #: TakeOrdereds the limit.
 sql_q3_shipping_priority = _sql_query(_Q3_SQL)
+
+#: TPC-H Q5 (local supplier volume): the classic 6-way star join —
+#: two fact tables against four dimensions with the c_nationkey =
+#: s_nationkey "local" constraint.  Catalyst's join reordering +
+#: broadcast selection is the whole point: region/nation prune first,
+#: the dims broadcast, and only the orders⋈lineitem exchange shuffles.
+#: Exact-decimal revenue; deterministic (revenue DESC, n_name) order.
+sql_q5_local_supplier_volume = _sql_query(_Q5_SQL)
 
 #: EXISTS correlated subquery — Catalyst rewrites to a left-semi join
 #: (the SQL spelling of join_semi).
@@ -3937,6 +3963,8 @@ SPECS = [
     QuerySpec("events_session", events_session, _EVENTS_SESSION_ORACLE, "session windows (batch)"),
     QuerySpec("sql_q3_shipping_priority", sql_q3_shipping_priority, _Q3_SQL,
               "TPC-H Q3 via spark.sql — the identical ANSI string is the oracle"),
+    QuerySpec("sql_q5_local_supplier_volume", sql_q5_local_supplier_volume, _Q5_SQL,
+              "TPC-H Q5 six-way star join (join-reorder + broadcast showcase), shared SQL string"),
     QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,
               "EXISTS correlated subquery (Catalyst left-semi rewrite), shared SQL string"),
     QuerySpec("sql_scalar_subquery", sql_scalar_subquery, _SCALAR_SUBQ_SQL,

@@ -470,3 +470,14 @@ def test_interval_bins_join_is_hash_not_nested_loop(spark, sf_dir):
     plan = _plan(relational.join_interval_bins(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_sql_q5_broadcasts_dims_and_stays_nonvacuous(spark, sf_oracle_dir):
+    """Q5's six-way star must resolve to broadcast joins for the
+    bounded dims (region/nation/supplier after pruning) with at most
+    the fact-fact exchange shuffling, and the fixture date window must
+    keep the query non-vacuous (a 0-row gate proves nothing)."""
+    df = relational.sql_q5_local_supplier_volume(spark, sf_oracle_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert df.count() > 0
