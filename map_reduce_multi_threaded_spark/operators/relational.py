@@ -2099,15 +2099,11 @@ def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _orderkey_base(o: DataFrame) -> DataFrame:
-    """1-row frame with ``keybase`` = smallest power of 10 strictly
-    above max(o_orderkey) — the scale-safe namespace for synthesized
-    insert keys (exact in IEEE doubles for any realistic exponent, so
-    Spark and DuckDB agree bit-for-bit)."""
-    return o.agg(
-        F.expr(
-            "CAST(power(10, ceil(log10(max(o_orderkey) + 1))) AS BIGINT)"
-        ).alias("keybase")
-    )
+    """Insert-key namespace above max(o_orderkey) — see
+    :func:`sources.tables.power10_base` (the shared mechanism)."""
+    from ..sources.tables import power10_base
+
+    return power10_base(o, "o_orderkey", alias="keybase")
 
 
 #: oracle-side twin of :func:`_orderkey_base`
@@ -3878,9 +3874,19 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never left the sketch carry exact counts.  Candidate-then-verify is
     the same sample-then-trust shape as the dedup/ANN recall harnesses:
     the sketch is the scale path, the exact join is the certification.
-    The corpus is Zipfian, so the true head sits far above the sketch
-    error bound — a miss would be a real defect, and the driver would
-    see it as a hash-fail."""
+
+    Determinism, stated honestly: the fixture's word-frequency head is
+    NEAR-UNIFORM (at sf0.01 ranks 4-8 run 937/936/934/934/933, with an
+    exact-count tie at the emit boundary), not steeply Zipfian — the
+    result is deterministic because (a) the fixture vocabulary (~31
+    words) fits entirely inside the sketch's maxItemsTracked, so no
+    item ever leaves and every count is exact, and (b) the
+    (exact_count DESC, word ASC) total order resolves boundary ties
+    identically on both engines.  On a corpus whose vocabulary
+    overflows the sketch, the guarantee degrades to the standard
+    heavy-hitter bound (error ≤ n/maxItemsTracked): the emitted head
+    stays trustworthy only while true head counts clear that bound,
+    which is what ``est_exact`` would then surface as false."""
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))

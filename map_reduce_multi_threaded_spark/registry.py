@@ -257,14 +257,17 @@ def _sweep_rank(commit_ct_fn=None):
         rec = latest.get(spec.name)
         if rec is None:
             return (0, 0, 0)  # never checked
+        green_round = latest_green.get(spec.name, 0)
+        if not rec[1]:
+            # newest record is a FAIL — regressions stay group 1 even
+            # when the stale green was rows-only (a hash-fail is a
+            # stronger signal than "never hash-verified")
+            return (1, green_round, 0)
         if spec.oracle is not None and spec.name in rows_only_green:
             # the spec gained an oracle AFTER its newest green, which
             # was only the weaker rows-only check — under the current
             # contract it has never been hash-verified at all
-            return (0, latest_green.get(spec.name, 0), 0)
-        green_round = latest_green.get(spec.name, 0)
-        if not rec[1]:
-            return (1, green_round, 0)  # newest record is a fail
+            return (0, green_round, 0)
         changed = 1  # unchanged sorts after changed within a round
         rec_file = round_files.get(green_round)
         if rec_file:

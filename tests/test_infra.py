@@ -312,9 +312,12 @@ def test_no_oracle_specs_obey_output_contract(spark, sf_oracle_dir):
     from tests.oracle_utils import check_output_contract
 
     no_oracle = [s for s in collect_specs() if s.oracle is None]
-    assert no_oracle == [], [s.name for s in no_oracle]
+    # contract-check BEFORE the inventory assert, so if a rows-only
+    # spec ever reappears, a schema violation is reported alongside
+    # (not shadowed by) the inventory failure
     for spec in no_oracle:
         check_output_contract(spec.fn(spark, sf_oracle_dir))
+    assert no_oracle == [], [s.name for s in no_oracle]
 
 
 def test_python_datasource_partitioned_and_correct(spark, sf_oracle_dir):
