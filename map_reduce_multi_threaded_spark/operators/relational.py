@@ -1466,6 +1466,24 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
 
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
 _EXISTS_SQL = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
@@ -1503,6 +1521,13 @@ sql_q3_shipping_priority = _sql_query(_Q3_SQL)
 #: the dims broadcast, and only the orders⋈lineitem exchange shuffles.
 #: Exact-decimal revenue; deterministic (revenue DESC, n_name) order.
 sql_q5_local_supplier_volume = _sql_query(_Q5_SQL)
+
+#: TPC-H Q10 (returned-item reporting): selective fact filter
+#: (l_returnflag='R' + one order quarter) joined back to customer and
+#: nation, top-20 lost-revenue customers.  The returnflag predicate
+#: pushes to the lineitem scan; nation broadcasts; TakeOrdered caps
+#: the output.  Quarter starts 1996 (fixture orders begin 1995).
+sql_q10_returned_items = _sql_query(_Q10_SQL)
 
 #: EXISTS correlated subquery — Catalyst rewrites to a left-semi join
 #: (the SQL spelling of join_semi).
@@ -3971,6 +3996,8 @@ SPECS = [
               "TPC-H Q3 via spark.sql — the identical ANSI string is the oracle"),
     QuerySpec("sql_q5_local_supplier_volume", sql_q5_local_supplier_volume, _Q5_SQL,
               "TPC-H Q5 six-way star join (join-reorder + broadcast showcase), shared SQL string"),
+    QuerySpec("sql_q10_returned_items", sql_q10_returned_items, _Q10_SQL,
+              "TPC-H Q10 returned-item top-20 (pushdown + broadcast + TakeOrdered), shared SQL string"),
     QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,
               "EXISTS correlated subquery (Catalyst left-semi rewrite), shared SQL string"),
     QuerySpec("sql_scalar_subquery", sql_scalar_subquery, _SCALAR_SUBQ_SQL,
