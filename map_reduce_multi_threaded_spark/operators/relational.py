@@ -3641,6 +3641,197 @@ FROM m
 """
 
 
+def orders_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast with in-query evaluation: monthly
+    revenue, forecast(m) = revenue(m − 12 months), absolute error —
+    the baseline every production forecast must beat, and the
+    backtest harness that proves it, in one statement.
+
+    The month offset is an explicit self-join on
+    ``add_months(month, −12)`` rather than ``lag(12)`` — lag silently
+    mis-forecasts across calendar gaps (a missing month shifts every
+    later row), the join is correct on any gap structure.  Scale: one
+    keyed agg collapses orders to month cardinality; the self-join
+    runs on that tiny frame (broadcast at any corpus size — months
+    are bounded by the calendar, the canonical legitimately-small
+    side).  Errors are exact decimals until the final double cast."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(money("o_totalprice")).alias("rev_d"))
+    cur, prev = rev.alias("c"), rev.alias("p")
+    return (
+        cur.join(
+            prev, F.col("p.month") == F.add_months(F.col("c.month"), -12)
+        )
+        .select(
+            F.col("c.month").alias("month"),
+            F.col("c.rev_d").cast("double").alias("revenue"),
+            F.col("p.rev_d").cast("double").alias("forecast"),
+            F.abs(F.col("c.rev_d") - F.col("p.rev_d"))
+            .cast("double")
+            .alias("abs_err"),
+        )
+    )
+
+
+_SEASONAL_NAIVE_ORACLE = """
+WITH rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d
+  FROM orders GROUP BY 1
+)
+SELECT c.month,
+       CAST(c.rev_d AS DOUBLE) AS revenue,
+       CAST(p.rev_d AS DOUBLE) AS forecast,
+       CAST(abs(c.rev_d - p.rev_d) AS DOUBLE) AS abs_err
+FROM rev c JOIN rev p ON p.month = c.month - INTERVAL 12 MONTH
+"""
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion-style data-quality validation (the Great-Expectations
+    shape, as a query): each rule emits (rule, observed, threshold,
+    pass) — referential integrity, range conformance, null policy —
+    so a pipeline can gate ingest on ``bool_and(pass)``.  Where
+    :func:`dq_profile` DESCRIBES a table, this VALIDATES it.
+
+    Scale: each rule is one scan-side aggregate (the orphan check is
+    a left-anti count — one keyed shuffle); the union of 1-row frames
+    is free.  Counts are exact bigints, so the gate is bit-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name: str, observed, threshold: int) -> DataFrame:
+        return observed.select(
+            F.lit(name).alias("rule"),
+            F.col("observed").cast("bigint").alias("observed"),
+            F.lit(threshold).cast("bigint").alias("threshold"),
+            (F.col("observed") <= threshold).alias("pass"),
+        )
+
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    qty_range = li.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("observed")
+    )
+    bal_nulls = c.agg(
+        F.sum(F.col("c_acctbal").isNull().cast("long")).alias("observed")
+    )
+    neg_price = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("observed")
+    )
+    return (
+        rule("orders_custkey_references_customer", orphans, 0)
+        .unionByName(rule("lineitem_quantity_in_1_50", qty_range, 0))
+        .unionByName(rule("customer_acctbal_not_null", bal_nulls, 0))
+        .unionByName(rule("orders_totalprice_positive", neg_price, 0))
+    )
+
+
+_DQ_EXPECT_ORACLE = """
+SELECT 'orders_custkey_references_customer' AS rule,
+       CAST(count(*) AS BIGINT) AS observed, CAST(0 AS BIGINT) AS threshold,
+       count(*) <= 0 AS pass
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_quantity_in_1_50',
+       CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT),
+       sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) <= 0
+FROM lineitem
+UNION ALL
+SELECT 'customer_acctbal_not_null',
+       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT),
+       sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) <= 0
+FROM customer
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT),
+       sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) <= 0
+FROM orders
+"""
+
+
+def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (price on quantity) from the same
+    five exact decimal moments as :func:`agg_corr_exact` — slope =
+    cov/var(x), intercept = ȳ − slope·x̄, plus r² — the one-pass
+    mergeable spelling of ``.fit()`` for a univariate linear model.
+    At 100 TB this is how per-segment trend models are fit: one
+    partial-agg pass, O(1) state per group, no ML library needed.
+
+    Determinism: moments are exact decimals; the final combination
+    runs in doubles with the identical op sequence on both engines,
+    9 dp rounding; var(x)=0 groups emit NULL slope/intercept/r2 (the
+    events_ab_test guard pattern) and var clamps at 0 against
+    cancellation (the agg_corr_exact clamp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    vx = F.greatest(F.lit(0.0), F.col("sxx").cast("double") / nd - mx * mx)
+    vy = F.greatest(F.lit(0.0), F.col("syy").cast("double") / nd - my * my)
+    slope = F.when(vx > F.lit(0.0), cov / vx)
+    intercept = my - slope * mx
+    r2 = F.when((vx > F.lit(0.0)) & (vy > F.lit(0.0)), (cov * cov) / (vx * vy))
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+_LINREG_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+         greatest(0.0, CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS vx,
+         greatest(0.0, CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS vy
+  FROM m
+)
+SELECT l_returnflag, n,
+       round(CASE WHEN vx > 0.0 THEN cov / vx END, 9) AS slope,
+       round(my - (CASE WHEN vx > 0.0 THEN cov / vx END) * mx, 9) AS intercept,
+       round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN (cov * cov) / (vx * vy) END, 9) AS r2
+FROM d
+"""
+
+
 #: range partitions for the two-pass Pareto prefix sum — at cluster
 #: scale set this to the executor-core count; the offset table it
 #: produces stays this many rows regardless of input size.
@@ -4088,6 +4279,12 @@ SPECS = [
               "Shannon entropy of per-user event-type distributions (integer-arg ln)"),
     QuerySpec("agg_corr_exact", agg_corr_exact, _CORR_ORACLE,
               "Pearson correlation from exact decimal moments (deterministic corr())"),
+    QuerySpec("agg_linreg_exact", agg_linreg_exact, _LINREG_ORACLE,
+              "per-group OLS slope/intercept/r2 from the same exact moments (one-pass .fit())"),
+    QuerySpec("orders_seasonal_naive", orders_seasonal_naive, _SEASONAL_NAIVE_ORACLE,
+              "seasonal-naive monthly forecast + backtest errors (gap-safe offset self-join)"),
+    QuerySpec("dq_expectations", dq_expectations, _DQ_EXPECT_ORACLE,
+              "assertion-style DQ validation: referential/range/null rules with pass gates"),
     QuerySpec("agg_bitwise", agg_bitwise, _BITWISE_ORACLE,
               "bit_and/or/xor + bool_and/or aggregate family (order-free folds)"),
     QuerySpec("events_attribution", events_attribution, _ATTRIBUTION_ORACLE,

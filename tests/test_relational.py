@@ -481,3 +481,50 @@ def test_sql_q5_broadcasts_dims_and_stays_nonvacuous(spark, sf_oracle_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert df.count() > 0
+
+
+def test_dq_expectations_all_pass_on_pristine_fixture(spark, sf_oracle_dir):
+    """The generated fixture satisfies every expectation (no orphans,
+    quantities in range, no null balances, positive prices) — so the
+    gate must be all-pass with observed == 0, proving the rules are
+    wired to real columns rather than vacuously true."""
+    rows = {r["rule"]: r for r in relational.dq_expectations(spark, sf_oracle_dir).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["pass"] and r["observed"] == 0, r
+
+
+def test_seasonal_naive_errors_are_consistent(spark, sf_oracle_dir):
+    """abs_err must equal |revenue − forecast| exactly (decimal-exact
+    before the double cast), at least one month must have a nonzero
+    error (a zero-error backtest means the join is comparing a month
+    to itself), and every forecastable month appears exactly once."""
+    rows = relational.orders_seasonal_naive(spark, sf_oracle_dir).collect()
+    assert rows
+    months = [r["month"] for r in rows]
+    assert len(months) == len(set(months))
+    assert any(r["abs_err"] > 0 for r in rows)
+    from decimal import Decimal
+
+    for r in rows:
+        # recompute in Decimal: the query computes |rev − fc| EXACTLY
+        # in decimals before the double cast, so a float recomputation
+        # here would differ in the last ulp (observed: ...700000003)
+        exact = abs(
+            Decimal(str(r["revenue"])) - Decimal(str(r["forecast"]))
+        )
+        assert Decimal(str(r["abs_err"])) == exact, r
+
+
+def test_linreg_matches_corr_and_bounds(spark, sf_oracle_dir):
+    """r² must equal corr² (same moments, same clamps) and slope must
+    carry corr's sign — the two queries are views of one statistic."""
+    corr = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in relational.agg_corr_exact(spark, sf_oracle_dir).collect()
+    }
+    for r in relational.agg_linreg_exact(spark, sf_oracle_dir).collect():
+        c = corr[r["l_returnflag"]]
+        assert 0.0 <= r["r2"] <= 1.0
+        assert abs(r["r2"] - c * c) < 1e-6, (r["r2"], c * c)
+        assert (r["slope"] >= 0) == (c >= 0)
