@@ -124,6 +124,47 @@ GROUP BY 1
 """
 
 
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest guard — the streaming twin of the batch
+    ``dedup_incremental``: each micro-batch LEFT-ANTI joins the static
+    processed-ids ledger (here: the even event_ids, standing in for
+    "already ingested in a previous run"), so re-delivered rows are
+    dropped before they reach the aggregation — the idempotent-ingest
+    shape for at-least-once sources (Kafka redelivery, backfill
+    overlap).
+
+    Like the enrichment join, stream-static anti needs NO watermark
+    and keeps NO join state: the ledger is re-planned per batch.  The
+    ledger side carries no broadcast hint — it is corpus-sized by
+    nature (every id ever ingested); at dim scale AQE broadcasts it,
+    at 100 TB it becomes a keyed per-batch join, same code."""
+    import pyspark.sql.functions as F
+
+    ev = W.read_events_stream(spark, sf_dir)
+    seen = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .select("event_id")
+    )
+    fresh = ev.join(seen, "event_id", "left_anti")
+    agg = fresh.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_fresh"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    return W.run_to_memory(agg, "stream_ingest_dedup_sink")
+
+
+_STREAM_INGEST_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_fresh,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s WHERE s.event_id % 2 = 0 AND s.event_id = e.event_id
+)
+GROUP BY event_type
+"""
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min, slide 5) — each event lands in two
     windows; window() generates both without a self-join."""
@@ -395,6 +436,9 @@ FROM events GROUP BY 1, 2
 SPECS = [
     QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_ORACLE,
               "streaming tumbling windows drained through a memory sink"),
+    QuerySpec("stream_ingest_dedup", stream_ingest_dedup, _STREAM_INGEST_DEDUP_ORACLE,
+              "stream-static LEFT-ANTI ingest guard vs the processed-ids ledger "
+              "(stateless idempotent re-delivery dedup)"),
     QuerySpec("stream_ohlc", stream_ohlc, _STREAM_OHLC_ORACLE,
               "streaming OHLC bars via incremental min/max-of-struct picks"),
     QuerySpec("stream_tumbling_multibatch", stream_tumbling_multibatch, _TUMBLING_ORACLE,
