@@ -3590,6 +3590,22 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is how any mergeable second-order statistic (covariance
     matrices for PCA/whitening) is built at 100 TB: one partial-agg
     pass, O(1) state per group."""
+    m, _, _, _, cov, vx, vy = _returnflag_moments(spark, sf_dir)
+    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
+    return m.select("l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price"))
+
+
+def _returnflag_moments(spark: SparkSession, sf_dir: str):
+    """Shared five-moment pipeline under :func:`agg_corr_exact` and
+    :func:`agg_linreg_exact`: per-returnflag exact decimal
+    (n, Σx, Σy, Σxy, Σx², Σy²) over (quantity, price), plus the
+    double-domain combination columns (nd, mx, my, cov, vx, vy).
+    One definition so a precision fix (like the round-5 variance
+    clamp) can never apply to one statistic and miss the other.
+
+    E[x²]−E[x]² cancels catastrophically for near-constant groups and
+    can land a tiny NEGATIVE variance (sqrt → NaN); vx/vy clamp at 0 —
+    the oracles mirror with greatest(0.0, ...), preserving parity."""
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -3608,13 +3624,9 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = F.col("sx").cast("double") / nd
     my = F.col("sy").cast("double") / nd
     cov = F.col("sxy").cast("double") / nd - mx * my
-    # E[x²]−E[x]² cancels catastrophically for near-constant groups and
-    # can land a tiny NEGATIVE variance (sqrt → NaN); clamp at 0 — the
-    # oracle mirrors with greatest(0.0, ...), so parity is preserved
     vx = F.greatest(F.lit(0.0), F.col("sxx").cast("double") / nd - mx * mx)
     vy = F.greatest(F.lit(0.0), F.col("syy").cast("double") / nd - my * my)
-    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
-    return m.select("l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price"))
+    return m, nd, mx, my, cov, vx, vy
 
 
 _CORR_ORACLE = """
@@ -3772,24 +3784,9 @@ def agg_linreg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs in doubles with the identical op sequence on both engines,
     9 dp rounding; var(x)=0 groups emit NULL slope/intercept/r2 (the
     events_ab_test guard pattern) and var clamps at 0 against
-    cancellation (the agg_corr_exact clamp)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(18,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
-        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
-        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    mx = F.col("sx").cast("double") / nd
-    my = F.col("sy").cast("double") / nd
-    cov = F.col("sxy").cast("double") / nd - mx * my
-    vx = F.greatest(F.lit(0.0), F.col("sxx").cast("double") / nd - mx * mx)
-    vy = F.greatest(F.lit(0.0), F.col("syy").cast("double") / nd - my * my)
+    cancellation (see :func:`_returnflag_moments`, shared with
+    agg_corr_exact)."""
+    m, nd, mx, my, cov, vx, vy = _returnflag_moments(spark, sf_dir)
     slope = F.when(vx > F.lit(0.0), cov / vx)
     intercept = my - slope * mx
     r2 = F.when((vx > F.lit(0.0)) & (vy > F.lit(0.0)), (cov * cov) / (vx * vy))

@@ -136,8 +136,12 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Like the enrichment join, stream-static anti needs NO watermark
     and keeps NO join state: the ledger is re-planned per batch.  The
     ledger side carries no broadcast hint — it is corpus-sized by
-    nature (every id ever ingested); at dim scale AQE broadcasts it,
-    at 100 TB it becomes a keyed per-batch join, same code."""
+    nature (every id ever ingested).  Strategy note: stateful
+    streaming plans are NOT wrapped in AdaptiveSparkPlan, so the join
+    strategy comes from STATIC planning — under
+    ``autoBroadcastJoinThreshold`` size estimation the small ledger
+    broadcasts, a 100 TB ledger becomes a keyed per-batch join; tune
+    that threshold (not spark.sql.adaptive.*) for this pattern."""
     import pyspark.sql.functions as F
 
     ev = W.read_events_stream(spark, sf_dir)

@@ -523,8 +523,16 @@ def test_linreg_matches_corr_and_bounds(spark, sf_oracle_dir):
         r["l_returnflag"]: r["corr_qty_price"]
         for r in relational.agg_corr_exact(spark, sf_oracle_dir).collect()
     }
-    for r in relational.agg_linreg_exact(spark, sf_oracle_dir).collect():
+    rows = relational.agg_linreg_exact(spark, sf_oracle_dir).collect()
+    assert set(corr) == {r["l_returnflag"] for r in rows}
+    for r in rows:
         c = corr[r["l_returnflag"]]
+        if r["r2"] is None:
+            # documented NULL path: var(x)=0 ⇒ slope/r2 NULL on both
+            # queries — assert the pairing instead of crashing on a
+            # None comparison, so a fixture change stays diagnosable
+            assert r["slope"] is None and c is None, r
+            continue
         assert 0.0 <= r["r2"] <= 1.0
         assert abs(r["r2"] - c * c) < 1e-6, (r["r2"], c * c)
         assert (r["slope"] >= 0) == (c >= 0)
