@@ -850,19 +850,22 @@ def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages COMPOSE (chunk boundaries × feature buckets × tie-breaks);
     one SQL statement gates the whole chain.
 
-    The embedding is RELATIONAL — (chunk, bucket, count) rows, not
-    arrays — so the dot product is a keyed join + sum, exact in
-    integers.  Hash collisions mean the score counts all tokens
-    landing in the query's buckets, not only query terms: that is the
-    hashing-trick approximation, stated honestly (a real deployment
-    swaps the featurizer for a model embedding and this stage for the
-    kNN operators in similarity.py).
+    The embedding is RELATIONAL — each token carries its hash bucket,
+    and the dot product Σ_b count_b·qc_b is computed in its fused form
+    Σ_tok qc_bucket(tok): the ≤{RAG_BUCKETS}-row query vector
+    broadcast-joins INTO the token stream map-side, so no intermediate
+    (chunk, bucket, count) frame is ever materialized or shuffled —
+    partial aggregation collapses the scored tokens to chunk
+    cardinality before the one (doc, chunk) exchange (plan-asserted).
+    Exact in integers either way.  Hash collisions mean the score
+    counts all tokens landing in the query's buckets, not only query
+    terms: that is the hashing-trick approximation, stated honestly (a
+    real deployment swaps the featurizer for a model embedding and
+    this stage for the kNN operators in similarity.py).
 
-    Scale: chunking is a narrow map (one explode); the per-chunk
-    bucket agg collapses map-side to chunks×{RAG_BUCKETS} rows; the
-    query vector is a ≤{RAG_BUCKETS}-row broadcast; per-doc best is a
-    keyed window; final top-k is TakeOrdered.  One shuffle on
-    (doc, chunk, bucket), one on doc — nothing global ever sorts."""
+    Scale: chunking is a narrow map (one explode); scoring is one
+    keyed shuffle on (doc, chunk); per-doc best is a keyed window on
+    doc; final top-k is TakeOrdered.  Nothing global ever sorts."""
     from ..functions.text import md5_bucket
 
     d = load_table(spark, sf_dir, "documents")
@@ -878,14 +881,10 @@ def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctoks = chunks.select(
         "doc_id", "chunk_idx", F.explode("ctoks").alias("tok")
     ).where(F.length("tok") > 0)
-    cvec = (
-        ctoks.select(
-            "doc_id",
-            "chunk_idx",
-            md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"),
-        )
-        .groupBy("doc_id", "chunk_idx", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    bucketed = ctoks.select(
+        "doc_id",
+        "chunk_idx",
+        md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"),
     )
     qv = (
         spark.createDataFrame([(w,) for w in BM25_QUERY_TERMS], "tok string")
@@ -894,9 +893,9 @@ def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("qc"))
     )
     scored = (
-        cvec.join(F.broadcast(qv), "b")
+        bucketed.join(F.broadcast(qv), "b")
         .groupBy("doc_id", "chunk_idx")
-        .agg(F.sum(F.col("c") * F.col("qc")).alias("dot"))
+        .agg(F.sum("qc").alias("dot"))
     )
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.desc("dot"), F.asc("chunk_idx")

@@ -167,3 +167,23 @@ def test_snapshot_diff_prunes_to_id_and_text(spark, sf_dir):
     ), reads
     foj = [l for l in plan.splitlines() if "FullOuter" in l]
     assert foj and all("NestedLoop" not in l for l in foj), foj
+
+
+def test_rag_scoring_is_single_data_exchange(spark, sf_dir):
+    """The fused dot product must shuffle the scored token stream
+    exactly once, on (doc_id, chunk_idx) — no intermediate
+    (doc, chunk, bucket) frame ever reaches an exchange.  Allowed
+    exchanges: the (doc, chunk) scoring agg, the per-doc window, and
+    the constant-size query-vector agg."""
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+
+    plan = (
+        P.pipeline_rag_end_to_end(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    ex = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(ex) == 3, ex
+    assert not any("chunk_idx" in l and ", b#" in l for l in ex), ex
