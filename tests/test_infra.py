@@ -457,3 +457,24 @@ def test_python_refsink_matches_native_sink(spark, sf_dir, tmp_path):
     assert lines(py_dir, lambda f: f.startswith("Process_")) == sorted(native + native)
     # two-phase commit leaves no orphan temp files behind
     assert not [f for f in os.listdir(py_dir) if f.startswith(".tmp-")]
+
+
+def test_power10_base_strictly_clears_max(spark):
+    """Three queries namespace synthesized ids with power10_base; the
+    contract is keybase > max(key) for ANY key range, including the
+    exact-power-of-10 edge where a naive ceil(log10(max)) would return
+    keybase == max and silently collide."""
+    from map_reduce_multi_threaded_spark.sources.tables import power10_base
+
+    for mx, expected in [
+        (7, 10),
+        (10, 100),          # exact power: must jump to the NEXT power
+        (999, 1000),
+        (1000, 10000),      # exact power again
+        (6_000_000, 10_000_000),
+        (100_000_000, 1_000_000_000),
+    ]:
+        df = spark.range(1, mx + 1).withColumnRenamed("id", "k")
+        (got,) = power10_base(df, "k", alias="base").collect()[0]
+        assert got == expected, (mx, got, expected)
+        assert got > mx
