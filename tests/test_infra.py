@@ -466,15 +466,21 @@ def test_power10_base_strictly_clears_max(spark):
     keybase == max and silently collide."""
     from map_reduce_multi_threaded_spark.sources.tables import power10_base
 
-    for mx, expected in [
+    cases = [
         (7, 10),
         (10, 100),          # exact power: must jump to the NEXT power
         (999, 1000),
         (1000, 10000),      # exact power again
         (6_000_000, 10_000_000),
         (100_000_000, 1_000_000_000),
-    ]:
-        df = spark.range(1, mx + 1).withColumnRenamed("id", "k")
+    ]
+    # 1-row frames: only max(key) matters, no need to materialize ranges
+    for mx, expected in cases:
+        df = spark.createDataFrame([(mx,)], "k long")
         (got,) = power10_base(df, "k", alias="base").collect()[0]
         assert got == expected, (mx, got, expected)
         assert got > mx
+    # one multi-row case proves the max() is over the frame, not a row
+    multi = spark.createDataFrame([(3,), (999,), (42,)], "k long")
+    (got,) = power10_base(multi, "k", alias="base").collect()[0]
+    assert got == 1000
