@@ -56,6 +56,26 @@ def md5_bucket(col: Column, n: int, salt: str = "") -> Column:
     return md5_long(col, salt) % F.lit(n)
 
 
+def py_md5_bucket(value: str, n: int, salt: str = "") -> int:
+    """Driver-side Python mirror of :func:`md5_bucket` (same md5-hex
+    prefix → 60-bit int → ``% n``), for folding SMALL compile-time
+    constants (e.g. a fixed query-term vector) into literal expressions
+    instead of shipping them through ``spark.createDataFrame``.
+
+    Why this exists (round 7): a local-data ``createDataFrame`` builds
+    a Python-RDD-backed relation whose every execution launches
+    ``defaultParallelism`` Python worker tasks — measured 1.4-3.4 s per
+    action for a 3-row frame on the round-7 host (vs 0.2 s for the
+    equivalent JVM stage), recomputed per action and per AQE re-plan.
+    A constant folded driver-side costs zero tasks, zero broadcast,
+    and keeps the scoring expression inside whole-stage codegen.
+    Parity with the Spark expression is pinned by a test.
+    """
+    import hashlib
+
+    return int(hashlib.md5((value + salt).encode()).hexdigest()[:15], 16) % n
+
+
 def duck_md5_long(expr: str, salt: str = "") -> str:
     """DuckDB SQL mirroring :func:`md5_long` for oracle queries."""
     salted = f"({expr}) || '{salt}'" if salt else f"({expr})"

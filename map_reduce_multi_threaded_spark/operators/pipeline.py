@@ -852,11 +852,19 @@ def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The embedding is RELATIONAL — each token carries its hash bucket,
     and the dot product Σ_b count_b·qc_b is computed in its fused form
-    Σ_tok qc_bucket(tok): the ≤{RAG_BUCKETS}-row query vector
-    broadcast-joins INTO the token stream map-side, so no intermediate
-    (chunk, bucket, count) frame is ever materialized or shuffled —
-    partial aggregation collapses the scored tokens to chunk
-    cardinality before the one (doc, chunk) exchange (plan-asserted).
+    Σ_tok qc_bucket(tok): the ≤{RAG_BUCKETS}-entry query vector is a
+    COMPILE-TIME constant, folded driver-side into a literal
+    bucket→count map (`element_at` lookup inside whole-stage codegen),
+    so no intermediate (chunk, bucket, count) frame is ever
+    materialized or shuffled — partial aggregation collapses the
+    scored tokens to chunk cardinality before the one (doc, chunk)
+    exchange (plan-asserted).  Round-7 note: the earlier spelling
+    built the query vector as a 3-row ``spark.createDataFrame`` +
+    broadcast join; that local-data frame is a Python-RDD-backed
+    relation whose every execution launches 32 Python worker tasks
+    (measured 1.4-3.4 s/action on the round-7 host, recomputed per
+    action), which is what BENCH_r06's 8-18 s record was — see
+    docs/BACKLOG.md "RAG bench reconciliation".
     Exact in integers either way.  Hash collisions mean the score
     counts all tokens landing in the query's buckets, not only query
     terms: that is the hashing-trick approximation, stated honestly (a
@@ -866,7 +874,7 @@ def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunking is a narrow map (one explode); scoring is one
     keyed shuffle on (doc, chunk); per-doc best is a keyed window on
     doc; final top-k is TakeOrdered.  Nothing global ever sorts."""
-    from ..functions.text import md5_bucket
+    from ..functions.text import md5_bucket, py_md5_bucket
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.split("text", r"\s+").alias("t"))
@@ -886,14 +894,19 @@ def pipeline_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"),
     )
-    qv = (
-        spark.createDataFrame([(w,) for w in BM25_QUERY_TERMS], "tok string")
-        .select(md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("qc"))
+    # query vector folded driver-side: bucket -> term count, as a
+    # literal map (py_md5_bucket is parity-tested against md5_bucket)
+    qc: dict[int, int] = {}
+    for w in BM25_QUERY_TERMS:
+        b = py_md5_bucket(w, RAG_BUCKETS, salt="feat")
+        qc[b] = qc.get(b, 0) + 1
+    qmap = F.create_map(
+        *[x for k, v in sorted(qc.items())
+          for x in (F.lit(k).cast("long"), F.lit(v).cast("long"))]
     )
     scored = (
-        bucketed.join(F.broadcast(qv), "b")
+        bucketed.withColumn("qc", F.element_at(qmap, F.col("b")))
+        .where(F.col("qc").isNotNull())
         .groupBy("doc_id", "chunk_idx")
         .agg(F.sum("qc").alias("dot"))
     )

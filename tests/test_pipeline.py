@@ -172,9 +172,12 @@ def test_snapshot_diff_prunes_to_id_and_text(spark, sf_dir):
 def test_rag_scoring_is_single_data_exchange(spark, sf_dir):
     """The fused dot product must shuffle the scored token stream
     exactly once, on (doc_id, chunk_idx) — no intermediate
-    (doc, chunk, bucket) frame ever reaches an exchange.  Allowed
-    exchanges: the (doc, chunk) scoring agg, the per-doc window, and
-    the constant-size query-vector agg."""
+    (doc, chunk, bucket) frame ever reaches an exchange, and (round 7)
+    no Python-RDD-backed local relation appears anywhere in the plan
+    (the query vector is a driver-side literal map).  Exchange count is
+    an upper bound, not an exact match (ADVICE r6: a planner/AQE change
+    may legitimately fuse an exchange) — the load-bearing assertions
+    are the negative ones."""
     from map_reduce_multi_threaded_spark.operators import pipeline as P
 
     plan = (
@@ -185,5 +188,39 @@ def test_rag_scoring_is_single_data_exchange(spark, sf_dir):
         line for line in plan.splitlines()
         if "Exchange hashpartitioning" in line
     ]
-    assert len(ex) == 3, ex
+    # (doc, chunk) scoring agg + per-doc window; anything more means a
+    # frame we meant to fuse is shuffling again
+    assert len(ex) <= 2, ex
     assert not any("chunk_idx" in l and ", b#" in l for l in ex), ex
+    # the round-7 regression this test exists to prevent: a local-data
+    # createDataFrame re-entering the plan as a Python RDD scan
+    # (32 Python worker tasks per execution — see BACKLOG)
+    assert "Scan ExistingRDD" not in plan, plan
+
+
+def test_py_md5_bucket_matches_spark(spark):
+    """Driver-side constant folding is only sound if py_md5_bucket is
+    bit-identical to the md5_bucket Column expression."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.functions.text import (
+        md5_bucket,
+        py_md5_bucket,
+    )
+    from map_reduce_multi_threaded_spark.operators.pipeline import (
+        BM25_QUERY_TERMS,
+        RAG_BUCKETS,
+    )
+
+    toks = list(BM25_QUERY_TERMS) + ["", "a", "don't", "ZZZ", "42", "émoji"]
+    rows = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(t) for t in toks])).alias("tok"))
+        .select(
+            "tok",
+            md5_bucket(F.col("tok"), RAG_BUCKETS, salt="feat").alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.b == py_md5_bucket(r.tok, RAG_BUCKETS, salt="feat"), r.tok
