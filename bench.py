@@ -91,6 +91,12 @@ HEADLINE = [
     "pipeline_rag_end_to_end",  # composed chunk→embed→retrieve chain
     "dedup_incremental",    # ingest-batch anti-join vs corpus hash index
     "corpus_snapshot_diff", # crawl-refresh changelog (hash-projected FOJ)
+    "sql_q5_local_supplier_volume",  # TPC-H Q5 6-way star join
+    "sql_q10_returned_items",        # TPC-H Q10 returned-item ranking
+    "agg_linreg_exact",     # one-pass OLS from shared exact moments
+    "orders_seasonal_naive",  # seasonal-naive forecast + gap-safe backtest
+    "dq_expectations",      # assertion-style data-quality gates
+    "stream_ingest_dedup",  # stream-static LEFT-ANTI ingest guard
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
@@ -233,7 +239,10 @@ def main() -> None:
         "runs": run_detail,
         "sf": sf,
         "sf_dir": sf_dir,
-        "runs_per_query": 2,
+        # actual run counts vary 2-4 when the regression-gate retry
+        # fires (ADVICE r6); per-query truth is in runs[*].n_runs
+        "runs_per_query_min": min(d["n_runs"] for d in run_detail.values()),
+        "runs_per_query_max": max(d["n_runs"] for d in run_detail.values()),
     }
     if regressions:
         out["regressions"] = regressions

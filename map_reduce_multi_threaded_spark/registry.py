@@ -75,8 +75,46 @@ def collect_specs() -> list[QuerySpec]:
     # Age-first bounds time-to-reverify for EVERY query; pytest's
     # oracle-parity suite (every spec, every run) covers the changed
     # queries in the meantime.  Stable module order within ties.
+    #
+    # Bounded carve-out (ADVICE r6): pure in-cohort tiebreaking means a
+    # changed query whose green record is RECENT can wait many rounds
+    # for driver re-verification (its cohort sorts last).  Reserve up
+    # to _CHANGED_CARVEOUT sweep slots for queries whose DEFINING
+    # module was edited after their green record and that would
+    # otherwise fall outside the driver's ~_SWEEP_WINDOW-slot sweep —
+    # spliced in right after the never-checked and failed groups.  The
+    # defining-module signal (not the closure signal the tiebreak
+    # uses) keeps the carve-out discriminating when a shared leaf
+    # module edit marks every closure changed; boundedness keeps a
+    # big-module refactor from monopolizing the rotation.
     rank = _sweep_rank()
-    return sorted(specs, key=lambda s: (*rank(s), names.index(s.name)))
+    ordered = sorted(specs, key=lambda s: (*rank(s), names.index(s.name)))
+    urgent = [s for s in ordered if rank(s)[0] < 2]
+    greens = [s for s in ordered if rank(s)[0] >= 2]
+    window = {s.name for s in ordered[:_SWEEP_WINDOW]}
+    candidates = [
+        s for s in greens
+        if s.name not in window and rank.direct_changed(s)
+    ]
+    # newest green first: a query rewritten right after a fresh green
+    # sorts LAST in the age rotation (longest natural wait), while an
+    # old changed query is about to be swept by rotation anyway
+    candidates.sort(key=lambda s: -rank(s)[1])
+    promoted = candidates[:_CHANGED_CARVEOUT]
+    promoted_set = {s.name for s in promoted}
+    return urgent + promoted + [s for s in greens if s.name not in promoted_set]
+
+
+#: Sweep slots per round reserved for changed-since-green queries
+#: (ADVICE r6).  ~16% of the driver's ~50-slot sweep: big enough that a
+#: typical round's rewrites re-verify next sweep, small enough that the
+#: oldest-cohort rotation still dominates.
+_CHANGED_CARVEOUT = 8
+
+#: How many specs the round driver sweeps per round (observed ~50 in
+#: every CORRECTNESS_r*.json); the carve-out only promotes changed
+#: queries that would land OUTSIDE this window.
+_SWEEP_WINDOW = 50
 
 
 def _module_graph() -> tuple[dict[str, str], dict[str, set[str]]]:
@@ -280,4 +318,27 @@ def _sweep_rank(commit_ct_fn=None):
                 changed = 0
         return (2, green_round, changed)
 
+    def direct_changed(spec: QuerySpec) -> bool:
+        """True when the query's DEFINING module file was committed
+        after its newest green record — the sharp per-query rewrite
+        signal the carve-out promotes on.  (The closure signal used by
+        the in-cohort tiebreak goes indiscriminate whenever a shared
+        leaf module changes: one functions/ edit marks all 177 queries
+        changed, which orders cohorts fine but can't SELECT.)"""
+        rec = latest.get(spec.name)
+        if rec is None or not rec[1]:
+            return False  # never-checked / failed are already urgent
+        rec_file = round_files.get(latest_green.get(spec.name, 0))
+        if not rec_file:
+            return False
+        mod = sys.modules.get(spec.fn.__module__)
+        mod_file = mod_files.get(spec.fn.__module__) or getattr(
+            mod, "__file__", None
+        )
+        if not mod_file:
+            return False
+        mod_ct, rec_ct = ct_fn(mod_file), ct_fn(rec_file)
+        return mod_ct is not None and rec_ct is not None and mod_ct > rec_ct
+
+    rank.direct_changed = direct_changed
     return rank

@@ -232,6 +232,64 @@ def test_sweep_demotes_on_helper_module_edit():
     assert (2, rnd - 1, 1) < rank(spec), "older cohorts outrank changed"
 
 
+def test_sweep_carveout_uses_defining_module_signal():
+    """The carve-out's direct_changed predicate (ADVICE r6) must key on
+    the query's DEFINING module only — a shared-helper edit that marks
+    every import closure changed must NOT mark queries direct-changed,
+    otherwise the bounded carve-out loses its ability to select the
+    actually-rewritten queries."""
+    import os
+
+    from map_reduce_multi_threaded_spark.registry import _sweep_rank
+
+    def fake_ct(path: str) -> int:
+        name = os.path.basename(path)
+        if name == "text.py" and f"{os.sep}functions{os.sep}" in path:
+            return 2_000  # shared helper edited after every record
+        if name == "pipeline.py":
+            return 2_000  # one operator module genuinely rewritten
+        return 1_000
+
+    rank = _sweep_rank(commit_ct_fn=fake_ct)
+    from map_reduce_multi_threaded_spark.operators import pipeline, relational
+
+    pip = {s.name: s for s in pipeline.SPECS}["bm25_rank"]
+    rel = {s.name: s for s in relational.SPECS}["q6_revenue"]
+    # both closures include functions/text.py -> both tiebreak-changed
+    assert rank(pip)[2] == 0 and rank(rel)[2] == 0
+    # but only the pipeline query is direct-changed
+    assert rank.direct_changed(pip) is True
+    assert rank.direct_changed(rel) is False
+
+
+def test_sweep_carveout_is_bounded_and_front_loaded():
+    """collect_specs must place at most _CHANGED_CARVEOUT promoted
+    changed-green queries ahead of the age rotation, and every
+    promoted query must be direct-changed (no free riders)."""
+    from map_reduce_multi_threaded_spark.registry import (
+        _CHANGED_CARVEOUT,
+        _sweep_rank,
+        collect_specs,
+    )
+
+    specs = collect_specs()
+    rank = _sweep_rank()
+    # find where the age rotation resumes: the first green spec whose
+    # green round is the global minimum (oldest cohort head)
+    greens = [s for s in specs if rank(s)[0] == 2]
+    oldest = min(rank(s)[1] for s in greens)
+    head = []
+    for s in specs:
+        if rank(s)[0] == 2 and rank(s)[1] == oldest:
+            break
+        head.append(s)
+    promoted = [s for s in head if rank(s)[0] == 2]
+    assert len(promoted) <= _CHANGED_CARVEOUT, [s.name for s in promoted]
+    assert all(rank.direct_changed(s) for s in promoted), [
+        s.name for s in promoted if not rank.direct_changed(s)
+    ]
+
+
 def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
     """Determinism under ANY partitioning is the registry-wide claim:
     rerunning with a different spark.sql.shuffle.partitions must
