@@ -97,6 +97,8 @@ HEADLINE = [
     "orders_seasonal_naive",  # seasonal-naive forecast + gap-safe backtest
     "dq_expectations",      # assertion-style data-quality gates
     "stream_ingest_dedup",  # stream-static LEFT-ANTI ingest guard
+    "multimodal_wav_decode",  # real RIFF chunk-walk parse over Arrow
+    "multimodal_ppm_decode",  # real P6 parse via decode_image dispatch
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -15,9 +15,82 @@ def test_oracle_parity(spark, sf_oracle_dir, spec):
     compare(spec.fn(spark, sf_oracle_dir), spec.oracle, sf_oracle_dir)
 
 
-def test_real_decode_is_marked_stub():
-    with pytest.raises(NotImplementedError, match="pillow"):
-        multimodal.decode_image_real(b"\x89PNG")
+def test_decode_image_dispatch():
+    """P6 decodes natively; compressed magic without pillow is a
+    normal unsupported-format error (the r6 stub is retired)."""
+    from map_reduce_multi_threaded_spark.functions.codecs import (
+        decode_image,
+        encode_ppm,
+    )
+
+    out = decode_image(encode_ppm(bytes(range(48))))
+    assert (out["width"], out["height"], out["n_pixels"]) == (8, 2, 16)
+    with pytest.raises(ValueError, match="unsupported image container"):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """parse_wav must walk chunks by declared size (the fixture plants
+    a LIST chunk between fmt and data), honor the RIFF odd-size pad
+    rule, and compute exact PCM stats."""
+    from map_reduce_multi_threaded_spark.functions.codecs import (
+        WAV_SAMPLE_RATE,
+        encode_wav,
+        parse_wav,
+    )
+
+    samples = bytes([0, 1, 2, 255, 128])
+    for info in (b"even-length..", b"odd-length..."):  # 13 odd, exercises pad
+        out = parse_wav(encode_wav(samples, list_info=info))
+        assert out == {
+            "sample_rate": WAV_SAMPLE_RATE,
+            "n_channels": 1,
+            "bits": 16,
+            "n_samples": 5,
+            "peak": 255,
+            "amp_sum": 0 + 1 + 2 + 255 + 128,
+            "sq_sum": 1 + 4 + 255 * 255 + 128 * 128,
+        }
+    # empty payload: zero samples, stats defined as 0
+    assert parse_wav(encode_wav(b""))["n_samples"] == 0
+    assert parse_wav(encode_wav(b""))["peak"] == 0
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"JUNK" + b[4:], "not a RIFF"),
+        (lambda b: b[:30], "exceeds available"),
+        # flip the PCM format tag (offset: RIFF(12) + 'fmt '+size(8) = 20)
+        (lambda b: b[:20] + b"\x03\x00" + b[22:], "unsupported audio format"),
+    ],
+)
+def test_wav_malformed_inputs(mutate, msg):
+    from map_reduce_multi_threaded_spark.functions.codecs import (
+        encode_wav,
+        parse_wav,
+    )
+
+    with pytest.raises(ValueError, match=msg):
+        parse_wav(mutate(encode_wav(b"abcdef")))
+
+
+def test_ppm_header_edges():
+    """Comment lines, multi-digit dims, truncated raster, 16-bit
+    maxval rejection."""
+    from map_reduce_multi_threaded_spark.functions.codecs import parse_ppm
+
+    raster = bytes(range(30)) * 12  # 360 bytes = 10x12 pixels
+    ppm = b"P6\n# c1\n# c2\n10 12\n# c3\n255\n" + raster
+    out = parse_ppm(ppm)
+    assert (out["width"], out["height"], out["n_pixels"]) == (10, 12, 120)
+    assert out["sum_r"] == sum(raster[0::3])
+    with pytest.raises(ValueError, match="raster truncated"):
+        parse_ppm(b"P6\n2 2\n255\n" + b"\x00" * 11)
+    with pytest.raises(ValueError, match="16-bit"):
+        parse_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="not a P6"):
+        parse_ppm(b"P3\n1 1\n255\n0 0 0")
 
 
 def test_payload_is_binary(spark, sf_dir):
