@@ -316,6 +316,10 @@ def write_foreach_batch(df: DataFrame, path: str, checkpoint: str) -> None:
 #: so it is a module constant, not a buried literal.
 STREAM_STATE_PARTITIONS = 8
 
+#: Per-sink-name micro-batch progress JSON from the last drain
+#: (telemetry only — see run_to_memory).
+RECENT_PROGRESS: dict[str, list[dict]] = {}
+
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table and return
@@ -349,6 +353,18 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
             .start()
         )
         query.awaitTermination()
+        # keep the per-micro-batch progress telemetry (durationMs,
+        # stateOperators commit times) for profiling: the replay-floor
+        # claims in BACKLOG are backed by these numbers, not guesses
+        try:
+            import json as _json
+
+            RECENT_PROGRESS[name] = [
+                p if isinstance(p, dict) else _json.loads(p.json)
+                for p in query.recentProgress
+            ]
+        except Exception:
+            pass  # telemetry must never fail the query
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -53,6 +53,34 @@ def test_approx_quantile_tolerance(spark, sf_oracle_dir):
         assert r["exact_p99_price"] == p99
 
 
+_SKETCH_TOL_COLS = {
+    "agg_approx_distinct": "est_within_tol",
+    "agg_approx_quantile": "est_within_tol",
+    "agg_hll_merge": "est_within_tol",
+    "agg_approx_topk": "est_exact",
+}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+@pytest.mark.parametrize("name", sorted(_SKETCH_TOL_COLS))
+def test_sketch_tolerance_holds_at_every_fixture_sf(spark, name, sf):
+    """VERDICT r6 ask #5: the oracle pins the in-engine tolerance
+    booleans TRUE at the driver's sf0.01 only — certify the sketch
+    rsd/tolerance headroom at the other fixture sizes too, so a
+    mismatch at sf0.001 or sf0.1 can't silently flip the pinned column
+    (which would surface as a hash-parity RED indistinguishable from a
+    correctness regression, ADVICE r6)."""
+    from map_reduce_multi_threaded_spark.registry import collect_specs
+
+    spec = {s.name: s for s in collect_specs()}[name]
+    rows = spec.fn(spark, f"/root/testdata/{sf}").collect()
+    col = _SKETCH_TOL_COLS[name]
+    assert rows and all(r[col] for r in rows), (
+        f"{name} {col} flipped at {sf}: "
+        f"{[r.asDict() for r in rows if not r[col]]}"
+    )
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
