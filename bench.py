@@ -99,6 +99,7 @@ HEADLINE = [
     "stream_ingest_dedup",  # stream-static LEFT-ANTI ingest guard
     "multimodal_wav_decode",  # real RIFF chunk-walk parse over Arrow
     "multimodal_ppm_decode",  # real P6 parse via decode_image dispatch
+    "pipeline_corpus_release",  # composed dedup→split→manifest→gate chain
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -967,6 +967,166 @@ SELECT rank, doc_id, chunk_idx, dot FROM (
 """
 
 
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Ship a training data release" composed end-to-end (VERDICT r6
+    stretch): incremental ingest dedup → train/val/test hash split →
+    per-(split, shard) manifest with order-free content checksums →
+    release-level gate columns — the publication counterpart of
+    ``pipeline_rag_end_to_end``'s retrieval chain.  Stage-at-a-time
+    greens don't prove the stages COMPOSE (the dedup decides which
+    docs each split/shard manifests; a checksum over the wrong corpus
+    passes its own stage and fails here), so one oracle gates the
+    whole chain.
+
+    Stages reuse the exact semantics of their standalone queries:
+    the simulated ingest batch + LEFT-ANTI corpus-hash dedup of
+    :func:`~..operators.dedup.dedup_incremental` (power-of-10 id
+    namespaces), the md5 split buckets of :func:`pipeline_hash_split`,
+    and the XOR-checksum manifest of :func:`pipeline_shard_manifest`.
+    The gate columns are the :func:`~.relational.dq_expectations`
+    shape applied to the release: ``ids_unique`` (namespace collision
+    guard — the r5 CDC bug class) and the batch_kept/batch_dropped
+    accounting that pins the dedup stage's effect.
+
+    Scale: the dedup is one hash-keyed anti-join (hashes move, not
+    documents); split+shard+checksum is one narrow map and one
+    48-group agg; the two 1-row stat frames broadcast.  O(batch)
+    ingest + O(corpus scan) manifest, no global sorts."""
+    from ..functions.text import md5_bucket, md5_long
+    from ..sources.tables import power10_base
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = power10_base(d, "doc_id")
+    redup = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .crossJoin(F.broadcast(base))
+        .select((F.col("doc_id") + F.col("idbase")).alias("doc_id"), "text")
+    )
+    edited = (
+        d.where(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("doc_id") + 2 * F.col("idbase")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" revised")).alias("text"),
+        )
+    )
+    batch = redup.unionByName(edited)
+    corpus_hashes = d.select(
+        F.sha2(F.lower(F.trim("text")), 256).alias("content_hash")
+    ).distinct()
+    novel = (
+        batch.withColumn("content_hash", F.sha2(F.lower(F.trim("text")), 256))
+        .join(corpus_hashes, "content_hash", "left_anti")
+        .select("doc_id", "text")
+    )
+    release = d.unionByName(novel)
+
+    stats = (
+        release.crossJoin(F.broadcast(base))
+        .agg(
+            F.count(F.lit(1)).alias("release_docs"),
+            (F.count(F.lit(1)) == F.countDistinct("doc_id")).alias("ids_unique"),
+            F.sum((F.col("doc_id") >= F.col("idbase")).cast("long")).alias(
+                "batch_kept"
+            ),
+        )
+    )
+    batch_total = d.agg(
+        (
+            F.sum((F.col("doc_id") % 3 == 0).cast("long"))
+            + F.sum((F.col("doc_id") % 5 == 0).cast("long"))
+        ).alias("batch_total")
+    )
+    relstats = (
+        stats.crossJoin(F.broadcast(batch_total))
+        .select(
+            "release_docs",
+            "ids_unique",
+            "batch_kept",
+            (F.col("batch_total") - F.col("batch_kept")).alias("batch_dropped"),
+        )
+    )
+
+    bucket = md5_long(F.col("doc_id"), salt="split") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    manifest = (
+        release.select(
+            split.alias("split"),
+            md5_bucket(F.col("doc_id"), N_SHARDS, salt="shard").alias("shard"),
+            F.length("text").alias("n_chars"),
+            md5_long(F.col("text")).alias("content_h"),
+        )
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("bit_xor(content_h)").alias("content_checksum"),
+        )
+    )
+    return manifest.crossJoin(F.broadcast(relstats))
+
+
+def _corpus_release_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    split_bucket = f"{duck_md5_long('CAST(doc_id AS VARCHAR)', salt='split')} % 100"
+    shard = f"{duck_md5_long('CAST(doc_id AS VARCHAR)', salt='shard')} % {N_SHARDS}"
+    return f"""
+WITH ib AS (
+  SELECT CAST(power(10, ceil(log10(max(doc_id) + 1))) AS BIGINT) AS idbase
+  FROM documents
+),
+batch AS (
+  SELECT doc_id + ib.idbase AS doc_id, text
+  FROM documents, ib WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2 * ib.idbase, text || ' revised'
+  FROM documents, ib WHERE doc_id % 5 = 0
+),
+corpus AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents),
+novel AS (
+  SELECT b.doc_id, b.text FROM batch b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM corpus c WHERE c.h = sha256(lower(trim(b.text))))
+),
+release AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM novel
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS release_docs,
+         count(*) = count(DISTINCT r.doc_id) AS ids_unique,
+         CAST(sum(CASE WHEN r.doc_id >= ib.idbase THEN 1 ELSE 0 END) AS BIGINT)
+           AS batch_kept
+  FROM release r, ib
+),
+bt AS (
+  SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS batch_total
+  FROM documents
+),
+manifest AS (
+  SELECT CASE WHEN {split_bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {split_bucket} < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         {shard} AS shard,
+         count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(bit_xor({duck_md5_long('text')}) AS BIGINT) AS content_checksum
+  FROM release GROUP BY 1, 2
+)
+SELECT m.split, m.shard, m.n_docs, m.total_chars, m.content_checksum,
+       s.release_docs, s.ids_unique, s.batch_kept,
+       bt.batch_total - s.batch_kept AS batch_dropped
+FROM manifest m, stats s, bt
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
@@ -976,6 +1136,10 @@ SPECS = [
     QuerySpec("corpus_snapshot_diff", corpus_snapshot_diff, _SNAPSHOT_DIFF_ORACLE,
               "crawl-refresh changelog: added/removed/changed via narrow "
               "hash-projected full-outer join (inverse of table_merge_cdc)"),
+    QuerySpec("pipeline_corpus_release", pipeline_corpus_release,
+              _corpus_release_oracle(),
+              "composed release chain: ingest dedup → hash split → "
+              "shard manifest → gate columns under one oracle"),
     QuerySpec("pipeline_shard_manifest", pipeline_shard_manifest, _shard_manifest_oracle(),
               "deterministic shard assignment + order-free content-checksum manifest"),
     QuerySpec("pipeline_balance_sources", pipeline_balance_sources, _BALANCE_ORACLE,
