@@ -100,6 +100,7 @@ HEADLINE = [
     "multimodal_wav_decode",  # real RIFF chunk-walk parse over Arrow
     "multimodal_ppm_decode",  # real P6 parse via decode_image dispatch
     "pipeline_corpus_release",  # composed dedup→split→manifest→gate chain
+    "dedup_semantic",       # SemDeDup: k-means-pruned intra-cluster pairs
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

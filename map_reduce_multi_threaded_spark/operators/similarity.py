@@ -833,6 +833,81 @@ FROM best GROUP BY vec_id
 """
 
 
+SEMANTIC_TAU = COSINE_THRESHOLD  # same τ as the near-dup family
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    search for duplicate pairs (cosine ≥ τ) only WITHIN each cluster —
+    the pruning that makes semantic dedup tractable where
+    :func:`embedding_neardup`'s global all-pairs baseline is quadratic
+    in the corpus.  Emits (cluster, vec_a, vec_b, cosine, drop_vec)
+    with drop_vec = the higher id of each duplicate pair — the
+    keep-one-representative policy, deterministic under any
+    partitioning.
+
+    Composes the registered stages: :func:`kmeans_assign`'s 3-Lloyd
+    clustering (broadcast centroids, exact integer centroid sums) and
+    the near-dup family's ordered-fold cosine (bit-identical on both
+    engines).
+
+    Scale: the pair join is KEYED ON CLUSTER — one hash shuffle
+    co-locates each cluster, and the quadratic term is bounded by
+    cluster size, not corpus size (k grows with the corpus to hold
+    cluster cardinality ~constant; SemDeDup runs k≈10⁵ over 5 B
+    embeddings).  A skewed giant cluster is the known failure mode —
+    at production scale you cap or re-split hot clusters (the
+    AQE-skew / salting patterns of the join family apply
+    unchanged)."""
+    assign = kmeans_assign(spark, sf_dir)
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).join(
+        assign, "vec_id"
+    )
+    a = emb.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb_d").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = emb.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb_d").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    sim = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["cluster"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", sim)
+        .where(F.col("cosine") >= SEMANTIC_TAU)
+        .select(
+            "cluster",
+            "vec_a",
+            "vec_b",
+            "cosine",
+            F.col("vec_b").alias("drop_vec"),
+        )
+    )
+
+
+def _semantic_oracle() -> str:
+    base = _kmeans_oracle()
+    ctes = base.rsplit("\nSELECT", 1)[0]  # keep q, c*, s*, a* CTEs
+    return f"""{ctes},
+assign AS (SELECT vec_id, k AS cluster FROM a{KMEANS_ITERS}),
+{_DUCK_NORMS.strip().rstrip()}
+SELECT ca.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) AS cosine,
+       b.vec_id AS drop_vec
+FROM n a JOIN assign ca ON a.vec_id = ca.vec_id
+     JOIN assign cb ON cb.cluster = ca.cluster
+     JOIN n b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {SEMANTIC_TAU}
+"""
+
+
 SPECS = [
     QuerySpec("embedding_pq", embedding_pq, _pq_oracle(),
               "product-quantization codes + exact integer reconstruction error (IVF-PQ compression half)"),
@@ -850,4 +925,7 @@ SPECS = [
               "ANN top-5 via IVF coarse cells with nprobe=2 (cell-partitioned scale path)"),
     QuerySpec("kmeans_assign", kmeans_assign, _kmeans_oracle(),
               "3-iteration cosine k-means over quantized embeddings (broadcast centroids + 64-col keyed agg per iteration)"),
+    QuerySpec("dedup_semantic", dedup_semantic, _semantic_oracle(),
+              "SemDeDup: k-means-pruned intra-cluster cosine≥τ duplicate "
+              "pairs with keep-one policy (cluster-keyed, not corpus-quadratic)"),
 ]

@@ -159,3 +159,29 @@ def test_ann_recall_far_above_chance(spark, sf_oracle_dir):
     assert len(rows) == S.N_QUERIES
     mean = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert mean >= 0.25, [(r["query_id"], r["recall_at_k"]) for r in rows]
+
+
+def test_semantic_dedup_is_subset_of_brute_neardup(spark, sf_oracle_dir):
+    """Cluster pruning can only LOSE cross-cluster pairs, never invent
+    one: every dedup_semantic pair must appear in embedding_neardup's
+    global cosine>=τ truth with the identical cosine, and the pruning
+    must retain a meaningful fraction of it (recall floor, same
+    fixture-regen-robust style as the LSH/IVF recall tests)."""
+    from map_reduce_multi_threaded_spark.operators import similarity as S
+
+    sem = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.dedup_semantic(spark, sf_oracle_dir).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in S.embedding_neardup(spark, sf_oracle_dir).collect()
+    }
+    assert set(sem) <= set(brute), sorted(set(sem) - set(brute))[:5]
+    for pair, cos in sem.items():
+        assert cos == brute[pair], (pair, cos, brute[pair])
+    assert brute, "fixture must contain near-dup pairs for this test"
+    recall = len(sem) / len(brute)
+    # measured 30/50 = 0.6 at sf0.01 (4 clusters over a near-uniform
+    # fixture); chance co-clustering is ~1/k = 0.25
+    assert recall >= 0.35, (len(sem), len(brute))
