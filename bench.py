@@ -101,6 +101,8 @@ HEADLINE = [
     "multimodal_ppm_decode",  # real P6 parse via decode_image dispatch
     "pipeline_corpus_release",  # composed dedup→split→manifest→gate chain
     "dedup_semantic",       # SemDeDup: k-means-pruned intra-cluster pairs
+    "sql_q8_market_share",  # TPC-H Q8 8-way join, nation aliased twice
+    "sql_q14_promo_effect", # TPC-H Q14 conditional revenue share
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

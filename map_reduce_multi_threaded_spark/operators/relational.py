@@ -1484,6 +1484,47 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+_Q8_SQL = """
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+       / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+HAVING sum(volume) > 0
+ORDER BY o_year
+"""
+
+_Q14_SQL = """
+SELECT CAST(100.0 AS DOUBLE)
+       * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(14,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                       ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
 _EXISTS_SQL = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
@@ -1528,6 +1569,22 @@ sql_q5_local_supplier_volume = _sql_query(_Q5_SQL)
 #: pushes to the lineitem scan; nation broadcasts; TakeOrdered caps
 #: the output.  Quarter starts 1996 (fixture orders begin 1995).
 sql_q10_returned_items = _sql_query(_Q10_SQL)
+
+#: TPC-H Q8 (national market share), fixture-adapted literals
+#: (nations are NATION_0..24; p_type is a plain category): the 8-way
+#: join with nation joined TWICE under different roles (customer's
+#: region vs supplier's nation) — the aliasing stress test — feeding a
+#: conditional-share aggregate.  Exact decimal volume sums; the single
+#: double division is the only float op, identical on both engines.
+#: Catalyst broadcast-chains all six dimension sides; only the
+#: lineitem⋈orders exchange shuffles.
+sql_q8_market_share = _sql_query(_Q8_SQL)
+
+#: TPC-H Q14 (promotion effect), fixture-adapted (p_type = 'PROMO',
+#: full-year ship window): selective scan-filtered fact⋈dim join into
+#: a conditional revenue share — one global aggregate row, decimal
+#: sums, one double division.
+sql_q14_promo_effect = _sql_query(_Q14_SQL)
 
 #: EXISTS correlated subquery — Catalyst rewrites to a left-semi join
 #: (the SQL spelling of join_semi).
@@ -4186,6 +4243,10 @@ SPECS = [
               "TPC-H Q5 six-way star join (join-reorder + broadcast showcase), shared SQL string"),
     QuerySpec("sql_q10_returned_items", sql_q10_returned_items, _Q10_SQL,
               "TPC-H Q10 returned-item top-20 (pushdown + broadcast + TakeOrdered), shared SQL string"),
+    QuerySpec("sql_q8_market_share", sql_q8_market_share, _Q8_SQL,
+              "TPC-H Q8 national market share (8-way join, nation aliased twice), shared SQL string"),
+    QuerySpec("sql_q14_promo_effect", sql_q14_promo_effect, _Q14_SQL,
+              "TPC-H Q14 promotion effect (conditional revenue share), shared SQL string"),
     QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,
               "EXISTS correlated subquery (Catalyst left-semi rewrite), shared SQL string"),
     QuerySpec("sql_scalar_subquery", sql_scalar_subquery, _SCALAR_SUBQ_SQL,
