@@ -103,6 +103,8 @@ HEADLINE = [
     "dedup_semantic",       # SemDeDup: k-means-pruned intra-cluster pairs
     "sql_q8_market_share",  # TPC-H Q8 8-way join, nation aliased twice
     "sql_q14_promo_effect", # TPC-H Q14 conditional revenue share
+    "pipeline_split_leakage",  # cross-split contamination audit
+    "pipeline_importance_sample",  # quality-weighted md5 sampling
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -1127,6 +1127,131 @@ FROM manifest m, stats s, bt
 """
 
 
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test SPLIT-LEAKAGE audit — the check every benchmark-safe
+    release runs: content that appears under MULTIPLE doc_ids straddles
+    the id-hash split with probability 1-Σp² (the split hashes the ID,
+    duplicates draw independently), silently leaking training content
+    into test.  Emits one row per leaked content hash with the splits
+    it reached and the doc count.  Run over the PRE-dedup ingest state
+    (documents ∪ the simulated re-crawl batch of
+    :func:`~.dedup.dedup_incremental`, before its anti-join) — the
+    exact situation the audit exists for, and the reason the release
+    chain (:func:`pipeline_corpus_release`) dedups BEFORE splitting.
+
+    Scale: one sha256-keyed shuffle over (hash, split) — the
+    dedup_exact shape; no documents move after the hash projection."""
+    from ..functions.text import md5_long
+    from ..sources.tables import power10_base
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = power10_base(d, "doc_id")
+    recrawl = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .crossJoin(F.broadcast(base))
+        .select((F.col("doc_id") + F.col("idbase")).alias("doc_id"), "text")
+    )
+    corpus = d.unionByName(recrawl)
+    bucket = md5_long(F.col("doc_id"), salt="split") % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    tagged = corpus.select(
+        F.sha2(F.lower(F.trim("text")), 256).alias("content_hash"),
+        split.alias("split"),
+    )
+    return (
+        tagged.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("split")), "|").alias(
+                "splits"
+            ),
+        )
+        .where(F.size(F.split("splits", r"\|")) > 1)
+        .select("content_hash", "n_docs", "splits")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    bucket = f"{duck_md5_long('CAST(doc_id AS VARCHAR)', salt='split')} % 100"
+    return f"""
+WITH ib AS (
+  SELECT CAST(power(10, ceil(log10(max(doc_id) + 1))) AS BIGINT) AS idbase
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + ib.idbase, text FROM documents, ib WHERE doc_id % 3 = 0
+),
+tagged AS (
+  SELECT sha256(lower(trim(text))) AS content_hash,
+         CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN {bucket} < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus
+)
+SELECT content_hash, count(*) AS n_docs,
+       string_agg(DISTINCT split, '|' ORDER BY split) AS splits
+FROM tagged
+GROUP BY content_hash
+HAVING count(DISTINCT split) > 1
+"""
+
+
+#: importance-sampling weight cap: keep probability = min(n_tokens,
+#: IMP_CAP)/IMP_CAP — longer documents kept proportionally more, pure
+#: integer arithmetic so the accept test is bit-exact on both engines.
+IMP_CAP = 80
+
+
+def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document is kept
+    with probability proportional to a quality proxy (token count,
+    capped) — the curation shape behind importance/temperature
+    resampling of web corpora, where higher-quality sources are
+    oversampled rather than hard-filtered.  Differs from
+    :func:`sample_stratified` (fixed per-stratum rates) in that the
+    rate is a PER-DOCUMENT function.
+
+    Determinism without rand(): accept iff
+    ``md5(doc_id,'imp') % {IMP_CAP} < min(n_tokens, {IMP_CAP})`` —
+    integer-only, reproducible across engines, partitionings, and
+    reruns (the same never-rand policy as every sampler here).
+
+    Scale: narrow map + filter, no shuffle at all; the accept
+    decision needs only the row."""
+    from ..functions.text import md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", r"\s+"))
+    w = F.least(n_tokens, F.lit(IMP_CAP))
+    accept = md5_long(F.col("doc_id"), salt="imp") % IMP_CAP < w
+    return (
+        d.select("doc_id", n_tokens.alias("n_tokens"), w.alias("weight"))
+        .where(accept)
+    )
+
+
+def _importance_sample_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    h = duck_md5_long("CAST(doc_id AS VARCHAR)", salt="imp")
+    return f"""
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       least(len(string_split_regex(text, '\\s+')), {IMP_CAP}) AS weight
+FROM documents
+WHERE {h} % {IMP_CAP}
+      < least(len(string_split_regex(text, '\\s+')), {IMP_CAP})
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_end_to_end", pipeline_end_to_end, _PIPELINE_ORACLE,
               "composed quality→dedup→lang→stats pipeline"),
@@ -1140,6 +1265,14 @@ SPECS = [
               _corpus_release_oracle(),
               "composed release chain: ingest dedup → hash split → "
               "shard manifest → gate columns under one oracle"),
+    QuerySpec("pipeline_split_leakage", pipeline_split_leakage,
+              _split_leakage_oracle(),
+              "train/test leakage audit: duplicate content straddling "
+              "the id-hash split (sha256-keyed shuffle)"),
+    QuerySpec("pipeline_importance_sample", pipeline_importance_sample,
+              _importance_sample_oracle(),
+              "per-document quality-weighted deterministic sampling "
+              "(integer md5 accept test, never rand)"),
     QuerySpec("pipeline_shard_manifest", pipeline_shard_manifest, _shard_manifest_oracle(),
               "deterministic shard assignment + order-free content-checksum manifest"),
     QuerySpec("pipeline_balance_sources", pipeline_balance_sources, _BALANCE_ORACLE,
