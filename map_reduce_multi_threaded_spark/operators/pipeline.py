@@ -1021,32 +1021,13 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release = d.unionByName(novel)
 
-    stats = (
-        release.crossJoin(F.broadcast(base))
-        .agg(
-            F.count(F.lit(1)).alias("release_docs"),
-            (F.count(F.lit(1)) == F.countDistinct("doc_id")).alias("ids_unique"),
-            F.sum((F.col("doc_id") >= F.col("idbase")).cast("long")).alias(
-                "batch_kept"
-            ),
-        )
-    )
-    batch_total = d.agg(
-        (
-            F.sum((F.col("doc_id") % 3 == 0).cast("long"))
-            + F.sum((F.col("doc_id") % 5 == 0).cast("long"))
-        ).alias("batch_total")
-    )
-    relstats = (
-        stats.crossJoin(F.broadcast(batch_total))
-        .select(
-            "release_docs",
-            "ids_unique",
-            "batch_kept",
-            (F.col("batch_total") - F.col("batch_kept")).alias("batch_dropped"),
-        )
-    )
-
+    # ONE aggregation pass over the release carries both the manifest
+    # and the release-level stats: split and shard are both functions
+    # of doc_id, so equal doc_ids land in the same (split, shard)
+    # group and the global distinct-id count is the sum of per-group
+    # distincts — the stats roll up FROM the 48-row manifest instead
+    # of re-deriving the release in a second branch (the first
+    # spelling scanned documents 16× across two independent pipelines)
     bucket = md5_long(F.col("doc_id"), salt="split") % 100
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
@@ -1054,20 +1035,55 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     manifest = (
-        release.select(
+        release.crossJoin(F.broadcast(base))
+        .select(
             split.alias("split"),
             md5_bucket(F.col("doc_id"), N_SHARDS, salt="shard").alias("shard"),
             F.length("text").alias("n_chars"),
             md5_long(F.col("text")).alias("content_h"),
+            "doc_id",
+            (F.col("doc_id") >= F.col("idbase")).cast("long").alias("is_batch"),
         )
         .groupBy("split", "shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.expr("bit_xor(content_h)").alias("content_checksum"),
+            F.countDistinct("doc_id").alias("n_ids"),
+            F.sum("is_batch").alias("batch_docs"),
         )
     )
-    return manifest.crossJoin(F.broadcast(relstats))
+    # release-level stats as GLOBAL WINDOW sums over the manifest —
+    # the window funnels to one partition, which is safe here because
+    # manifest cardinality is the constant 3×{N_SHARDS}, not the
+    # corpus; this keeps the whole query ONE pipeline (the agg-branch
+    # spelling re-derived the release per branch: no exchange reuse
+    # materialized even at runtime, measured r7)
+    batch_total = d.agg(
+        (
+            F.sum((F.col("doc_id") % 3 == 0).cast("long"))
+            + F.sum((F.col("doc_id") % 5 == 0).cast("long"))
+        ).alias("batch_total")
+    )
+    w_all = Window.partitionBy()
+    return (
+        manifest.crossJoin(F.broadcast(batch_total))
+        .select(
+            "split",
+            "shard",
+            "n_docs",
+            "total_chars",
+            "content_checksum",
+            F.sum("n_docs").over(w_all).alias("release_docs"),
+            (F.sum("n_docs").over(w_all) == F.sum("n_ids").over(w_all)).alias(
+                "ids_unique"
+            ),
+            F.sum("batch_docs").over(w_all).alias("batch_kept"),
+            (F.col("batch_total") - F.sum("batch_docs").over(w_all)).alias(
+                "batch_dropped"
+            ),
+        )
+    )
 
 
 def _corpus_release_oracle() -> str:
