@@ -96,3 +96,53 @@ def test_ppm_header_edges():
 def test_payload_is_binary(spark, sf_dir):
     df = multimodal.with_payload(spark, sf_dir)
     assert dict(df.dtypes)["payload"] == "binary"
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis round-trip: for arbitrary payload bytes, the RIFF
+    encode→parse stats must equal the pure-Python ground truth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_multi_threaded_spark.functions.codecs import (
+        encode_wav,
+        parse_wav,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300), st.binary(max_size=9))
+    def check(payload, info):
+        out = parse_wav(encode_wav(payload, list_info=b"INFOx" + info))
+        assert out["n_samples"] == len(payload)
+        assert out["peak"] == max(payload, default=0)
+        assert out["amp_sum"] == sum(payload)
+        assert out["sq_sum"] == sum(v * v for v in payload)
+
+    check()
+
+
+def test_ppm_roundtrip_property():
+    """Hypothesis round-trip: encode_ppm→parse_ppm channel sums equal
+    strided byte sums of the unpadded payload for any width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_multi_threaded_spark.functions.codecs import (
+        encode_ppm,
+        parse_ppm,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300), st.integers(min_value=1, max_value=32))
+    def check(rgb, width):
+        out = parse_ppm(encode_ppm(rgb, width=width))
+        row = 3 * width
+        padded = len(rgb) + (-len(rgb)) % row
+        assert out["width"] == width
+        assert out["height"] == padded // row
+        assert out["n_pixels"] == width * (padded // row)
+        assert out["sum_r"] == sum(rgb[0::3])
+        assert out["sum_g"] == sum(rgb[1::3])
+        assert out["sum_b"] == sum(rgb[2::3])
+
+    check()
