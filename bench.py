@@ -105,6 +105,8 @@ HEADLINE = [
     "sql_q14_promo_effect", # TPC-H Q14 conditional revenue share
     "pipeline_split_leakage",  # cross-split contamination audit
     "pipeline_importance_sample",  # quality-weighted md5 sampling
+    "graph_label_propagation",  # sync LPA communities (3 Pregel rounds)
+    "stream_update_counts",  # UPDATE-mode changelog emission
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

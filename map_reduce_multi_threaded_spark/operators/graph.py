@@ -245,6 +245,88 @@ FROM deg GROUP BY 1, 2
 """
 
 
+LPA_ITER = 3
+LPA_TOP = 20
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), made deterministic: init label(v)=v, then each round
+    every node adopts the label with the highest multi-edge-weighted
+    vote among its neighbors, ties broken by smallest label — no
+    random visit order, no async races, so the result is a pure
+    function of the edge list on any engine or partitioning.  Emits
+    the top-{LPA_TOP} communities by size after {LPA_ITER} rounds
+    (sync LPA on a bipartite graph may oscillate rather than converge
+    — fixed rounds make that a feature: the oracle unrolls the exact
+    same {LPA_ITER} steps).
+
+    Scale: each round is one edge⋈label join (shuffle keyed on node)
+    plus one (node, label) vote count and a per-node argmax window —
+    the Pregel shape PageRank above already proves; the label frame is
+    node-cardinality, never materialized wider.  Hub skew treatments
+    (salting the vote count) apply unchanged."""
+    from pyspark.sql import Window
+
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ITER):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(LPA_TOP)
+    )
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """edges AS (
+  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(LPA_ITER):
+        parts.append(f"""v{i + 1} AS (
+  SELECT e.dst AS node, l.label, count(*) AS c
+  FROM edges e JOIN l{i} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+l{i + 1} AS (
+  SELECT node, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM v{i + 1}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT label AS community, count(*) AS n_members
+FROM l{LPA_ITER}
+GROUP BY 1
+ORDER BY n_members DESC, community
+LIMIT {LPA_TOP}
+"""
+    )
+
+
 SPECS = [
     QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(),
               "3-iteration integer PageRank over the part↔supplier graph (join+agg per iteration)"),
@@ -254,4 +336,7 @@ SPECS = [
               "single-source BFS hop levels (frontier loop vs recursive-CTE oracle)"),
     QuerySpec("graph_triangle_count", graph_triangle_count, _triangle_oracle(),
               "triangle count over the near-dup graph (two joins on the a<b orientation)"),
+    QuerySpec("graph_label_propagation", graph_label_propagation, _lpa_oracle(),
+              "deterministic synchronous LPA communities (weighted votes, "
+              "min-label ties, 3 unrolled rounds)"),
 ]

@@ -319,6 +319,60 @@ def stream_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("window_start") <= cutoff)
 
 
+def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling counts in UPDATE output mode over a 4-micro-batch
+    replay — the third output mode (append and complete are covered
+    elsewhere): each trigger emits the CURRENT state of every group
+    touched in that batch, so a window spanning a file boundary
+    appears multiple times in the sink with its count snapshots — the
+    changelog a downstream upsert sink (foreachBatch → keyed store)
+    consumes.  The memory sink accumulates the update rows, making the
+    full emission history oracle-checkable: the staging split is a
+    deterministic function of (ts, event_id) rank, so the oracle
+    reconstructs batch membership from rank boundaries and emits the
+    running cumulative count/sum per touched (window, type, batch) —
+    exact because decimal partial sums are associative.
+
+    Scale: same watermark-bounded tumbling state as stream_tumbling;
+    update mode's emission volume is O(groups touched per batch), the
+    cheapest of the three modes for high-cardinality rollups."""
+    staged, _ = W.stage_events_multibatch(sf_dir, n_files=4, n_sentinels=0)
+    ev = W.read_staged_stream(spark, staged)
+    return W.run_to_memory(
+        W.tumbling_counts(ev.withWatermark("ts", "10 minutes")),
+        "stream_update_sink",
+        output_mode="update",
+    )
+
+
+_UPDATE_COUNTS_ORACLE = """
+WITH ranked AS (
+  SELECT ts, event_type, value,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM events
+),
+tagged AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws, event_type,
+         CAST(value AS DECIMAL(18,4)) AS v,
+         (CASE WHEN r >= (1 * n) // 4 THEN 1 ELSE 0 END
+        + CASE WHEN r >= (2 * n) // 4 THEN 1 ELSE 0 END
+        + CASE WHEN r >= (3 * n) // 4 THEN 1 ELSE 0 END) AS b
+  FROM ranked
+),
+g AS (
+  SELECT ws, event_type, b, count(*) AS c, sum(v) AS sv
+  FROM tagged GROUP BY 1, 2, 3
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(sum(c) OVER w AS BIGINT) AS n_events,
+       CAST(sum(sv) OVER w AS DOUBLE) AS sum_value
+FROM g
+WINDOW w AS (PARTITION BY ws, event_type ORDER BY b)
+"""
+
+
 def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful aggregation — two windowed aggregates in ONE
     streaming query (multiple-stateful-operator support, Spark ≥ 3.4):
@@ -449,6 +503,9 @@ SPECS = [
               "append-mode tumbling windows over a 6-micro-batch replay (watermark-driven emission)"),
     QuerySpec("stream_windowed_rollup", stream_windowed_rollup, _WINDOWED_ROLLUP_ORACLE,
               "chained stateful aggregation: 10-min windows rolled into 30-min inside one query"),
+    QuerySpec("stream_update_counts", stream_update_counts, _UPDATE_COUNTS_ORACLE,
+              "UPDATE-mode tumbling counts: per-batch state snapshots as a "
+              "changelog, oracled from deterministic batch boundaries"),
     QuerySpec("stream_join_left_outer", stream_join_left_outer, _STREAM_LEFT_OUTER_ORACLE,
               "stream-stream LEFT OUTER interval join with watermark-forced null emission"),
     QuerySpec("stream_stateful_counts", stream_stateful_counts, _STATEFUL_ORACLE,
