@@ -107,6 +107,7 @@ HEADLINE = [
     "pipeline_importance_sample",  # quality-weighted md5 sampling
     "graph_label_propagation",  # sync LPA communities (3 Pregel rounds)
     "stream_update_counts",  # UPDATE-mode changelog emission
+    "join_point_in_time",   # SCD2 lookup via as-of carry (one sort)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

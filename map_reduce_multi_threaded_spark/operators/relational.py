@@ -3473,6 +3473,105 @@ WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
 """
 
 
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME lookup against a type-2 dimension — the read side
+    of :func:`table_scd2` and the correctness contract of every
+    feature store: each click event is enriched with the status
+    version (last purchase/error state) that was valid AT the click's
+    timestamp — never a later one (no feature leakage), NULL before
+    the first status.  The dimension is the SCD2 compression of the
+    user's purchase/error sub-stream; the probes are the click
+    sub-stream.
+
+    Implementation is the as-of CARRY pattern, not a range join:
+    status-version starts and probes union into one stream, one sort
+    per user on (ts, tag, event_id) — status rows first on ties, so a
+    probe at exactly a version boundary sees the NEW version, matching
+    the oracle's half-open [valid_from, valid_to) range join — then
+    ``last(ignorenulls)`` carries state/version forward and probes are
+    filtered back out.  ONE sort+exchange, zero row multiplication;
+    a range join would be a nested loop or need binning
+    (:func:`join_interval_bins`).
+
+    Scale: the union is user-keyed; per-user frames are bounded by the
+    user's event history — the same bound as every window query here."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts)").alias("tu"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    status = ev.where(F.col("event_type").isin("purchase", "error"))
+    changes = status.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    vers = changes.select(
+        "user_id",
+        "tu",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+    s = vers.select(
+        "user_id", "tu", F.lit(0).alias("tag"), "event_id", "state", "version"
+    )
+    p = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "tu",
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("int").alias("version"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("tu", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = s.unionByName(p).select(
+        "user_id",
+        "tu",
+        "tag",
+        "event_id",
+        F.last("state", ignorenulls=True).over(wc).alias("status_state"),
+        F.last("version", ignorenulls=True).over(wc).alias("status_version"),
+    )
+    return carried.where(F.col("tag") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("tu").alias("click_tu"),
+        "status_state",
+        "status_version",
+    )
+
+
+_POINT_IN_TIME_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id FROM events
+),
+seq AS (
+  SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev
+  FROM ev WHERE event_type IN ('purchase', 'error')
+),
+changes AS (
+  SELECT user_id, event_type AS state, tu, event_id FROM seq
+  WHERE prev IS NULL OR prev <> event_type
+),
+vers AS (
+  SELECT user_id, state, tu AS vf, lead(tu) OVER w AS vt,
+         CAST(row_number() OVER w AS INTEGER) AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)
+),
+clicks AS (SELECT user_id, tu, event_id FROM ev WHERE event_type = 'click')
+SELECT c.event_id AS click_id, c.user_id, c.tu AS click_tu,
+       v.state AS status_state, v.version AS status_version
+FROM clicks c LEFT JOIN vers v
+  ON c.user_id = v.user_id AND c.tu >= v.vf AND (v.vt IS NULL OR c.tu < v.vt)
+"""
+
+
 def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective dim-side filter + fact join — the RUNTIME ROW-LEVEL
     FILTER showcase: with a filter this selective (one of five order
@@ -4245,6 +4344,8 @@ SPECS = [
               "TPC-H Q10 returned-item top-20 (pushdown + broadcast + TakeOrdered), shared SQL string"),
     QuerySpec("sql_q8_market_share", sql_q8_market_share, _Q8_SQL,
               "TPC-H Q8 national market share (8-way join, nation aliased twice), shared SQL string"),
+    QuerySpec("join_point_in_time", join_point_in_time, _POINT_IN_TIME_ORACLE,
+              "point-in-time SCD2 lookup via the as-of carry pattern (one sort, no range join)"),
     QuerySpec("sql_q14_promo_effect", sql_q14_promo_effect, _Q14_SQL,
               "TPC-H Q14 promotion effect (conditional revenue share), shared SQL string"),
     QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,

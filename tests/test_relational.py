@@ -85,6 +85,15 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_point_in_time_is_carry_not_range_join(spark, sf_dir):
+    """The SCD2 lookup must execute as the as-of carry (union + one
+    user-keyed sort per window pass), never as a nested-loop/cartesian
+    range join — the plan property that makes it scale."""
+    plan = _plan(relational.join_point_in_time(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_broadcast_join_plan(spark, sf_dir):
     """Dimension joins must broadcast — zero shuffles for the join."""
     assert "BroadcastHashJoin" in _plan(relational.join_dim_broadcast(spark, sf_dir))
