@@ -108,6 +108,7 @@ HEADLINE = [
     "graph_label_propagation",  # sync LPA communities (3 Pregel rounds)
     "stream_update_counts",  # UPDATE-mode changelog emission
     "join_point_in_time",   # SCD2 lookup via as-of carry (one sort)
+    "agg_countmin",         # relational Count-Min sketch (4x64 cells)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -4294,6 +4294,142 @@ LIMIT {TOPK_EMIT}
 """
 
 
+#: Count-Min sketch geometry: depth (independent hash rows) × width
+#: (buckets per row).  Sketch size is d×w cells TOTAL — independent of
+#: corpus size — which is the whole point at 100 TB.
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_PROBES = 8
+
+
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005) — the fourth
+    mergeable sketch in the family (HLL count-distinct,
+    approx_percentile, frequent-items): estimate any key's frequency
+    from d×w integer cells.  Spark has no built-in, so the sketch is
+    built RELATIONALLY: each token votes into one bucket per hash row
+    (md5-salted, engine-portable), one keyed agg collapses the stream
+    to the {CM_DEPTH}×{CM_WIDTH} cell table, and estimate(key) =
+    min over rows of cell[i][bucket_i(key)].  Cells are plain BIGINT
+    counts — partial aggregation merges them associatively across
+    partitions exactly like the reference's 1024-bin partial maps
+    (map_reduce.cpp:191-236), which is what makes the sketch
+    distributable.
+
+    Emitted for the top-{CM_PROBES} exact words: exact count, CM
+    estimate, and two contract booleans the oracle pins TRUE —
+    ``est_ge_exact`` (CM never underestimates, structural) and
+    ``est_within_bound`` (overestimate ≤ 2N/w, the standard additive
+    guarantee at these dimensions; certified at all three fixture
+    sfs by the sketch-tolerance sweep test).
+
+    Scale: token stream → {CM_DEPTH}× narrow explode → ONE keyed agg
+    to 256 cells; cells and probes both broadcast (constant size).
+    The exact-count companion exists for certification only — a
+    production run keeps the sketch and drops the exact pass."""
+    from ..functions.text import md5_bucket
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    votes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    md5_bucket(F.col("w"), CM_WIDTH, salt=f"cm{i}").alias("b"),
+                )
+                for i in range(CM_DEPTH)
+            ]
+        )
+    )
+    cells = (
+        toks.select(votes.alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.orderBy(F.desc("exact_count"), F.asc("w")).limit(CM_PROBES)
+    probe_votes = probes.select(
+        "w",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        md5_bucket(F.col("w"), CM_WIDTH, salt=f"cm{i}").alias(
+                            "b"
+                        ),
+                    )
+                    for i in range(CM_DEPTH)
+                ]
+            )
+        ).alias("e"),
+    ).select("w", "exact_count", F.col("e.i").alias("i"), F.col("e.b").alias("b"))
+    est = (
+        probe_votes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        F.col("w").alias("word"),
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_count")).alias("est_ge_exact"),
+        (
+            F.col("cm_estimate")
+            <= F.col("exact_count") + F.expr(f"(2 * n) div {CM_WIDTH}")
+        ).alias("est_within_bound"),
+    )
+
+
+def _countmin_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    def bucket(expr: str, i: int) -> str:
+        return f"{duck_md5_long(expr, salt=f'cm{i}')} % {CM_WIDTH}"
+
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, {bucket('w', i)} AS b, count(*) AS c FROM tf GROUP BY 2"
+        for i in range(CM_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT w, exact_count, {i} AS i, {bucket('w', i)} AS b FROM probes"
+        for i in range(CM_DEPTH)
+    )
+    return f"""
+WITH tf AS (
+  SELECT w FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+                 FROM documents) t
+  WHERE w <> ''
+),
+total AS (SELECT count(*) AS n FROM tf),
+cells AS (
+{cell_rows}
+),
+exact AS (SELECT w, count(*) AS exact_count FROM tf GROUP BY 1),
+probes AS (SELECT w, exact_count FROM exact
+           ORDER BY exact_count DESC, w ASC LIMIT {CM_PROBES}),
+pv AS (
+{probe_rows}
+),
+est AS (
+  SELECT p.w, p.exact_count, min(c.c) AS cm_estimate
+  FROM pv p JOIN cells c ON c.i = p.i AND c.b = p.b
+  GROUP BY 1, 2
+)
+SELECT w AS word, exact_count, cm_estimate,
+       cm_estimate >= exact_count AS est_ge_exact,
+       cm_estimate <= exact_count + (2 * (SELECT n FROM total)) // {CM_WIDTH}
+         AS est_within_bound
+FROM est
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1-shaped agg (bench anchor)"),
     QuerySpec("q6_revenue", q6_revenue, _Q6_ORACLE, "pushdown filter + global sum"),
@@ -4346,6 +4482,9 @@ SPECS = [
               "TPC-H Q8 national market share (8-way join, nation aliased twice), shared SQL string"),
     QuerySpec("join_point_in_time", join_point_in_time, _POINT_IN_TIME_ORACLE,
               "point-in-time SCD2 lookup via the as-of carry pattern (one sort, no range join)"),
+    QuerySpec("agg_countmin", agg_countmin, _countmin_oracle(),
+              "relational Count-Min sketch (4x64 md5 cells) + exact companion; "
+              "never-underestimates and 2N/w bound pinned TRUE"),
     QuerySpec("sql_q14_promo_effect", sql_q14_promo_effect, _Q14_SQL,
               "TPC-H Q14 promotion effect (conditional revenue share), shared SQL string"),
     QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,

@@ -54,10 +54,11 @@ def test_approx_quantile_tolerance(spark, sf_oracle_dir):
 
 
 _SKETCH_TOL_COLS = {
-    "agg_approx_distinct": "est_within_tol",
-    "agg_approx_quantile": "est_within_tol",
-    "agg_hll_merge": "est_within_tol",
-    "agg_approx_topk": "est_exact",
+    "agg_approx_distinct": ["est_within_tol"],
+    "agg_approx_quantile": ["est_within_tol"],
+    "agg_hll_merge": ["est_within_tol"],
+    "agg_approx_topk": ["est_exact"],
+    "agg_countmin": ["est_ge_exact", "est_within_bound"],
 }
 
 
@@ -74,11 +75,12 @@ def test_sketch_tolerance_holds_at_every_fixture_sf(spark, name, sf):
 
     spec = {s.name: s for s in collect_specs()}[name]
     rows = spec.fn(spark, f"/root/testdata/{sf}").collect()
-    col = _SKETCH_TOL_COLS[name]
-    assert rows and all(r[col] for r in rows), (
-        f"{name} {col} flipped at {sf}: "
-        f"{[r.asDict() for r in rows if not r[col]]}"
-    )
+    assert rows
+    for col in _SKETCH_TOL_COLS[name]:
+        assert all(r[col] for r in rows), (
+            f"{name} {col} flipped at {sf}: "
+            f"{[r.asDict() for r in rows if not r[col]]}"
+        )
 
 
 def _plan(df) -> str:
