@@ -57,10 +57,11 @@ def encode_wav(samples: bytes, *, list_info: bytes = b"round7 fixture") -> bytes
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def parse_wav(b: bytes) -> dict:
-    """Parse a RIFF/WAVE container; return
-    ``{sample_rate, n_channels, bits, n_samples, peak, amp_sum, sq_sum}``
-    with the PCM stats as exact ints.  Raises ``ValueError`` on
+def parse_wav_samples(b: bytes) -> tuple[int, int, int, tuple]:
+    """Parse a RIFF/WAVE container down to raw PCM: returns
+    ``(sample_rate, n_channels, bits, samples)`` with samples as exact
+    ints — the decode half shared by :func:`parse_wav` (stats) and any
+    DSP transform (decimation, windowing).  Raises ``ValueError`` on
     malformed/unsupported input."""
     if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -96,15 +97,27 @@ def parse_wav(b: bytes) -> dict:
         raise ValueError(f"only 16-bit PCM supported, got {bits}")
     n = len(data) // 2
     vals = struct.unpack(f"<{n}h", data[: 2 * n])
+    return rate, ch, bits, vals
+
+
+def pcm_stats(vals) -> dict:
+    """Exact integer stats over a PCM sample sequence."""
     return {
-        "sample_rate": rate,
-        "n_channels": ch,
-        "bits": bits,
-        "n_samples": n,
+        "n_samples": len(vals),
         "peak": max((abs(v) for v in vals), default=0),
         "amp_sum": sum(vals),
         "sq_sum": sum(v * v for v in vals),
     }
+
+
+def parse_wav(b: bytes) -> dict:
+    """Parse a RIFF/WAVE container; return
+    ``{sample_rate, n_channels, bits, n_samples, peak, amp_sum, sq_sum}``
+    with the PCM stats as exact ints.  Raises ``ValueError`` on
+    malformed/unsupported input."""
+    rate, ch, bits, vals = parse_wav_samples(b)
+    return {"sample_rate": rate, "n_channels": ch, "bits": bits,
+            **pcm_stats(vals)}
 
 
 PPM_WIDTH = 8  # fixture width; height derives from payload length

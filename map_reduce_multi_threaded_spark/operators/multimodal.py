@@ -364,6 +364,77 @@ FROM s
 """
 
 
+WAV_DECIMATE = 2
+
+
+def wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full media-pipeline shape — decode → DSP transform → stats:
+    parse the synthesized WAV down to raw PCM (the real chunk-walk
+    parser), DECIMATE by {WAV_DECIMATE} (keep every other sample — the
+    integer core of sample-rate conversion), and emit exact stats of
+    the downsampled signal plus its new nominal rate.  The transform
+    stage operates on decoded samples, never on container bytes —
+    the layering a real resampler (polyphase FIR) slots into.
+
+    Scale: identical to wav_decode — chained narrow Arrow maps, zero
+    shuffles, memory bounded by batch size."""
+    import pyarrow as pa
+
+    from ..functions.codecs import encode_wav, parse_wav_samples, pcm_stats
+
+    def encode(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b.column(0).to_pylist(), pa.int64()),
+                    pa.array(
+                        [encode_wav(p) for p in b.column(1).to_pylist()],
+                        pa.binary(),
+                    ),
+                ],
+                ["doc_id", "wav"],
+            )
+
+    def decimate(batches):
+        cols = ["n_samples", "peak", "amp_sum", "sq_sum"]
+        for b in batches:
+            out_rate, stats = [], []
+            for w in b.column(1).to_pylist():
+                rate, _ch, _bits, vals = parse_wav_samples(w)
+                stats.append(pcm_stats(vals[::WAV_DECIMATE]))
+                out_rate.append(rate // WAV_DECIMATE)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(b.column(0).to_pylist(), pa.int64()),
+                 pa.array(out_rate, pa.int64())]
+                + [pa.array([s[c] for s in stats], pa.int64()) for c in cols],
+                ["doc_id", "out_rate"] + cols,
+            )
+
+    wav = with_payload(spark, sf_dir).mapInArrow(encode, "doc_id long, wav binary")
+    return wav.mapInArrow(
+        decimate,
+        "doc_id long, out_rate long, n_samples long, peak long, "
+        "amp_sum long, sq_sum long",
+    )
+
+
+_WAV_DOWNSAMPLE_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text), {WAV_DECIMATE}),
+                        i -> ascii(substr(text, i, 1))) AS v
+  FROM documents
+)
+SELECT doc_id,
+       CAST({8000 // WAV_DECIMATE} AS BIGINT) AS out_rate,
+       CAST(len(v) AS BIGINT) AS n_samples,
+       CAST(coalesce(list_max(v), 0) AS BIGINT) AS peak,
+       CAST(coalesce(list_sum(v), 0) AS BIGINT) AS amp_sum,
+       CAST(coalesce(list_sum(list_transform(v, x -> x * x)), 0) AS BIGINT) AS sq_sum
+FROM s
+"""
+
+
 def ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image container decode: synthesize a binary PPM (P6) per
     document (RGB raster = text bytes, zero-padded to the 8-pixel row
@@ -429,4 +500,7 @@ SPECS = [
               "real RIFF/WAVE chunk-walk parser over synthesized PCM fixtures"),
     QuerySpec("multimodal_ppm_decode", ppm_decode, _PPM_DECODE_ORACLE,
               "real binary-PPM (P6) parser via the decode_image dispatch"),
+    QuerySpec("multimodal_wav_downsample", wav_downsample, _WAV_DOWNSAMPLE_ORACLE,
+              "decode → decimate-by-2 → stats: the full media-transform "
+              "pipeline over real container parsing"),
 ]
