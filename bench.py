@@ -109,6 +109,8 @@ HEADLINE = [
     "stream_update_counts",  # UPDATE-mode changelog emission
     "join_point_in_time",   # SCD2 lookup via as-of carry (one sort)
     "agg_countmin",         # relational Count-Min sketch (4x64 cells)
+    "multimodal_wav_downsample",  # decode→decimate→stats media chain
+    "dq_distribution_drift",  # PSI drift between corpus snapshots
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -1143,6 +1143,138 @@ FROM manifest m, stats s, bt
 """
 
 
+DRIFT_BIN_WIDTH = 64
+DRIFT_BINS = 10
+DRIFT_Q = 1_000_000_000  # PSI contributions quantized to 1e-9
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT detection between two corpus snapshots via
+    the Population Stability Index — the monitoring check that pages a
+    pipeline owner when a crawl refresh shifts the data (here: the
+    document-length distribution, binned fixed-width).  PSI =
+    Σ_bins (p_a − p_b)·ln(p_a/p_b) with Laplace-smoothed bin
+    probabilities (so empty bins are defined); PSI < 0.1 is the
+    conventional "no significant shift" line.  Snapshot 2 reuses
+    :func:`corpus_snapshot_diff`'s crawl-refresh recipe, so the drift
+    this measures is exactly the change that query itemizes.
+
+    Determinism: counts are exact; probabilities divide exact ints as
+    doubles in the same op order on both engines; each bin's
+    contribution is quantized to integer 1e-9 units so the global PSI
+    is an order-free INTEGER sum (a raw double Σ would depend on
+    partition order — the same discipline as the Zipf fit's quantized
+    logs).  The bin spine is generated 0..{DRIFT_BINS}, so bins empty
+    in both snapshots still contribute their (tiny) smoothing term.
+
+    Scale: two keyed {DRIFT_BINS}-group counts + constant-size spine
+    joins; the window sums run over {DRIFT_BINS} rows."""
+    from ..sources.tables import power10_base
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = power10_base(d, "doc_id")
+    v2 = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" [recrawl]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 0)
+            .crossJoin(F.broadcast(base))
+            .select((F.col("doc_id") + F.col("idbase")).alias("doc_id"), "text")
+        )
+    )
+    bin_expr = F.expr(
+        f"CAST(least(length(text) div {DRIFT_BIN_WIDTH}, {DRIFT_BINS - 1}) AS INT)"
+    )
+    fa = d.select(bin_expr.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    fb = v2.select(bin_expr.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    spine = spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(F.broadcast(fa), "bin", "left")
+        .join(F.broadcast(fb), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    w_all = Window.partitionBy()
+    pa = (F.col("n_a") + F.lit(1)).cast("double") / (
+        F.sum("n_a").over(w_all) + F.lit(DRIFT_BINS)
+    ).cast("double")
+    pb = (F.col("n_b") + F.lit(1)).cast("double") / (
+        F.sum("n_b").over(w_all) + F.lit(DRIFT_BINS)
+    ).cast("double")
+    contrib = F.round((pa - pb) * F.log(pa / pb) * DRIFT_Q).cast("long")
+    return (
+        joined.select("bin", "n_a", "n_b", contrib.alias("contrib_e9"))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            "contrib_e9",
+            F.sum("contrib_e9").over(w_all).alias("psi_e9"),
+        )
+    )
+
+
+def _distribution_drift_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+ib AS (
+  SELECT CAST(power(10, ceil(log10(max(doc_id) + 1))) AS BIGINT) AS idbase
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawl]' ELSE text END AS text
+  FROM d WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + ib.idbase, text FROM d, ib WHERE doc_id % 11 = 0
+),
+fa AS (
+  SELECT CAST(least(length(text) // {DRIFT_BIN_WIDTH}, {DRIFT_BINS - 1}) AS INTEGER) AS bin,
+         count(*) AS n_a
+  FROM d GROUP BY 1
+),
+fb AS (
+  SELECT CAST(least(length(text) // {DRIFT_BIN_WIDTH}, {DRIFT_BINS - 1}) AS INTEGER) AS bin,
+         count(*) AS n_b
+  FROM v2 GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(generate_series(0, {DRIFT_BINS - 1})) AS INTEGER) AS bin),
+joined AS (
+  SELECT s.bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM spine s LEFT JOIN fa USING (bin) LEFT JOIN fb USING (bin)
+),
+p AS (
+  SELECT bin, n_a, n_b,
+         CAST(n_a + 1 AS DOUBLE) / CAST(sum(n_a) OVER () + {DRIFT_BINS} AS DOUBLE) AS pa,
+         CAST(n_b + 1 AS DOUBLE) / CAST(sum(n_b) OVER () + {DRIFT_BINS} AS DOUBLE) AS pb
+  FROM joined
+),
+c AS (
+  SELECT bin, n_a, n_b,
+         CAST(round((pa - pb) * ln(pa / pb) * {DRIFT_Q}) AS BIGINT) AS contrib_e9
+  FROM p
+)
+SELECT bin, n_a, n_b, contrib_e9,
+       CAST(sum(contrib_e9) OVER () AS BIGINT) AS psi_e9
+FROM c
+"""
+
+
 def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test SPLIT-LEAKAGE audit — the check every benchmark-safe
     release runs: content that appears under MULTIPLE doc_ids straddles
@@ -1285,6 +1417,10 @@ SPECS = [
               _split_leakage_oracle(),
               "train/test leakage audit: duplicate content straddling "
               "the id-hash split (sha256-keyed shuffle)"),
+    QuerySpec("dq_distribution_drift", dq_distribution_drift,
+              _distribution_drift_oracle(),
+              "PSI drift between corpus snapshots (Laplace-smoothed bins, "
+              "integer-quantized contributions, order-free sum)"),
     QuerySpec("pipeline_importance_sample", pipeline_importance_sample,
               _importance_sample_oracle(),
               "per-document quality-weighted deterministic sampling "
