@@ -46,6 +46,11 @@ _PERF_CONFS = {
     # multimodal): batch transfer instead of row-at-a-time pickling.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Python UDTFs default to row-at-a-time pickle transfer
+    # (BatchEvalPythonUDTF) — opt into the Arrow-batched evaluator so
+    # the table-function path honors the same no-row-eval policy as
+    # every other Python stage (found by tests/test_plan_policy.py).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Partial aggregation pushdown for distinct-style aggregates.
     "spark.sql.optimizer.distinctBeforeIntersect.enabled": "true",
 }

@@ -1,0 +1,101 @@
+"""Registry-wide plan-policy gate (round 7): the SCALE.md ground
+rules, enforced over EVERY registered batch query's physical plan
+rather than asserted per-query.  A new query that sneaks in a
+row-at-a-time Python eval, an unbroadcast cartesian product, or an
+unexplained RDD scan fails here the day it lands.
+
+Streaming queries are exempted from plan building (their fn() drains a
+real replay — they are covered by their own oracle tests); the plan is
+built at sf0.001 so checkpoint-based iteratives stay cheap.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_multi_threaded_spark.registry import collect_specs
+
+SF = "/root/testdata/sf0.001"
+
+#: queries whose fn() executes a streaming drain (module-based)
+_STREAMING_MODULES = {"map_reduce_multi_threaded_spark.streaming.queries"}
+
+#: queries that legitimately contain `Scan ExistingRDD`: iterative
+#: algorithms whose loops localCheckpoint to cut lineage (JVM RDD
+#: scans of checkpointed InternalRows — NOT Python local relations).
+_CHECKPOINT_OK = {
+    "kmeans_assign",
+    "dedup_semantic",      # composes kmeans_assign
+    "dedup_clusters",      # alternating-star CC, per-round checkpoints
+    "dedup_cluster_keep",  # composes dedup_clusters
+    "dedup_minhash_lsh",   # checkpointed shingle table (dedup.py:371)
+    "dedup_recall_eval",   # composes dedup_minhash_lsh
+    "graph_pagerank",      # checkpointed edge list
+    "graph_bfs_levels",
+    "graph_label_propagation",
+    "graph_triangle_count",  # checkpointed oriented edge list
+    # two-pass prefix sum pins its sampled range boundaries with one
+    # eager localCheckpoint (functions/prefix.py:57)
+    "orders_abc_analysis",
+    "pipeline_budget_select",
+    "text_zipf_slope",
+}
+
+
+def _batch_specs():
+    return [
+        s for s in collect_specs()
+        if s.fn.__module__ not in _STREAMING_MODULES
+    ]
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Physical plan text for every registered batch query, built once."""
+    out = {}
+    for s in _batch_specs():
+        out[s.name] = (
+            s.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_no_row_at_a_time_python_eval(plans):
+    """Row-UDF `BatchEvalPython` is the forbidden slow path — every
+    Python stage must be Arrow-batched (ArrowEvalPython, MapInPandas,
+    PythonMapInArrow, FlatMapGroupsInPandas, ...)."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, offenders
+
+
+def test_no_cartesian_product(plans):
+    """A non-broadcast cartesian product is never acceptable — the
+    deliberate bounded cross joins in the suite are all
+    broadcast-side (BroadcastNestedLoopJoin over 1-row/constant
+    frames), which Spark plans without a CartesianProduct node."""
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_rdd_scans_only_in_checkpointed_iteratives(plans):
+    """`Scan ExistingRDD` means data entered the plan outside the
+    optimizer's reach (no pushdown, no stats).  Allowed ONLY for the
+    checkpointed iterative algorithms; anywhere else it is usually a
+    local-data createDataFrame — the Python-RDD stage that caused the
+    round-7 RAG bench incident (docs/BACKLOG.md)."""
+    offenders = [
+        n for n, p in plans.items()
+        if "Scan ExistingRDD" in p and n not in _CHECKPOINT_OK
+    ]
+    assert not offenders, offenders
+
+
+def test_checkpoint_whitelist_is_tight(plans):
+    """The whitelist must not grow stale: every whitelisted query
+    actually exhibits the RDD scan (drop it from the list when it no
+    longer does)."""
+    stale = [
+        n for n in _CHECKPOINT_OK
+        if n in plans and "Scan ExistingRDD" not in plans[n]
+    ]
+    assert not stale, stale
