@@ -111,6 +111,10 @@ HEADLINE = [
     "agg_countmin",         # relational Count-Min sketch (4x64 cells)
     "multimodal_wav_downsample",  # decode→decimate→stats media chain
     "dq_distribution_drift",  # PSI drift between corpus snapshots
+    "sql_q7_volume_shipping",  # TPC-H Q7 bidirectional nation trade
+    "sql_q15_top_supplier",    # TPC-H Q15 CTE view + scalar max
+    "sql_q17_small_qty_orders",  # TPC-H Q17 correlated AVG subquery
+    "sql_q18_large_orders",    # TPC-H Q18 IN over grouped HAVING
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

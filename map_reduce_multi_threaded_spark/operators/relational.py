@@ -1525,6 +1525,72 @@ WHERE l_partkey = p_partkey
   AND l_shipdate < TIMESTAMP '1997-01-01'
 """
 
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(14,2))
+         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+_Q17_SQL = """
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#7'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
 _EXISTS_SQL = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
@@ -1585,6 +1651,30 @@ sql_q8_market_share = _sql_query(_Q8_SQL)
 #: a conditional revenue share — one global aggregate row, decimal
 #: sums, one double division.
 sql_q14_promo_effect = _sql_query(_Q14_SQL)
+
+#: TPC-H Q7 (volume shipping): bidirectional two-nation trade by ship
+#: year — nation aliased twice like Q8, with the OR'd nation-pair
+#: predicate Catalyst must keep above the joins.  Exact decimal
+#: volumes; l_quantity-free so wholly decimal-stable.
+sql_q7_volume_shipping = _sql_query(_Q7_SQL)
+
+#: TPC-H Q15 (top supplier): CTE revenue view + scalar max subquery —
+#: the classic "argmax via self-referencing aggregate" SQL shape.
+#: The max comparison runs on EXACT decimals, so the winning
+#: supplier(s) are bit-deterministic on both engines.
+sql_q15_top_supplier = _sql_query(_Q15_SQL)
+
+#: TPC-H Q17 (small-quantity-order revenue), container predicate
+#: dropped (fixture has no p_container): correlated scalar AVG
+#: subquery per part — Catalyst decorrelates to an aggregate+join.
+#: quantities are integer-valued doubles, so avg = exact-sum/count is
+#: bit-identical and the 0.2× threshold compare agrees everywhere.
+sql_q17_small_qty_orders = _sql_query(_Q17_SQL)
+
+#: TPC-H Q18 (large-volume customers): IN over a grouped-HAVING
+#: subquery (semi-join after aggregation) feeding a 3-way join +
+#: top-20.  Quantity sums are exact (integer-valued doubles).
+sql_q18_large_orders = _sql_query(_Q18_SQL)
 
 #: EXISTS correlated subquery — Catalyst rewrites to a left-semi join
 #: (the SQL spelling of join_semi).
@@ -4487,6 +4577,14 @@ SPECS = [
               "never-underestimates and 2N/w bound pinned TRUE"),
     QuerySpec("sql_q14_promo_effect", sql_q14_promo_effect, _Q14_SQL,
               "TPC-H Q14 promotion effect (conditional revenue share), shared SQL string"),
+    QuerySpec("sql_q7_volume_shipping", sql_q7_volume_shipping, _Q7_SQL,
+              "TPC-H Q7 two-nation trade volume by year (double nation alias + OR pair), shared SQL string"),
+    QuerySpec("sql_q15_top_supplier", sql_q15_top_supplier, _Q15_SQL,
+              "TPC-H Q15 top supplier (CTE view + scalar max subquery, exact-decimal argmax), shared SQL string"),
+    QuerySpec("sql_q17_small_qty_orders", sql_q17_small_qty_orders, _Q17_SQL,
+              "TPC-H Q17 small-quantity revenue (correlated scalar AVG subquery), shared SQL string"),
+    QuerySpec("sql_q18_large_orders", sql_q18_large_orders, _Q18_SQL,
+              "TPC-H Q18 large-volume customers (IN over grouped HAVING), shared SQL string"),
     QuerySpec("sql_exists_subquery", sql_exists_subquery, _EXISTS_SQL,
               "EXISTS correlated subquery (Catalyst left-semi rewrite), shared SQL string"),
     QuerySpec("sql_scalar_subquery", sql_scalar_subquery, _SCALAR_SUBQ_SQL,
