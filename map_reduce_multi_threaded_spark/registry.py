@@ -100,7 +100,16 @@ def collect_specs() -> list[QuerySpec]:
     # sorts LAST in the age rotation (longest natural wait), while an
     # old changed query is about to be swept by rotation anyway
     candidates.sort(key=lambda s: -rank(s)[1])
-    promoted = candidates[:_CHANGED_CARVEOUT]
+    # the carve-out YIELDS to the oldest cohort: promotions use only
+    # the window slack left after the urgent groups and the entire
+    # oldest green cohort (the judge's freshness contract: no newest
+    # record older than rotation allows) — a round that registers many
+    # new queries shrinks the carve-out rather than pushing the oldest
+    # cohort's tail out of the sweep
+    oldest_round = min((rank(s)[1] for s in greens), default=0)
+    oldest_n = sum(1 for s in greens if rank(s)[1] == oldest_round)
+    slack = max(0, _SWEEP_WINDOW - len(urgent) - oldest_n)
+    promoted = candidates[: min(_CHANGED_CARVEOUT, slack)]
     promoted_set = {s.name for s in promoted}
     return urgent + promoted + [s for s in greens if s.name not in promoted_set]
 
