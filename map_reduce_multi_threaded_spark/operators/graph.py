@@ -274,17 +274,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(LPA_ITER):
         votes = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+        # argmax(c DESC, label ASC) as a single-word max_by agg — no
+        # per-partition sort of the vote table (struct compares c
+        # first, then -label, so ties resolve to the SMALLEST label,
+        # matching the oracle's row_number order; labels are node ids
+        # ≥ 2, so negation is safe)
+        labels = votes.groupBy("node").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("label")
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
