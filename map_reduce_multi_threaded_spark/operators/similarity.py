@@ -642,15 +642,18 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= _CENTROID_BASE)
         & (F.col("vec_id") < _CENTROID_BASE + KMEANS_K)
     ).select((F.col("vec_id") - _CENTROID_BASE).alias("k"), F.col("qv").alias("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("k"))
     assign = None
     for it in range(KMEANS_ITERS):
+        # argmax(score DESC, k ASC) as a max_by aggregate instead of a
+        # row_number window: no per-partition sort of the vectors×K
+        # scored frame each iteration (round 7; same rewrite as LPA —
+        # struct compares score then -k, ties to the LOWEST k)
         assign = (
             v.join(F.broadcast(cents))
             .withColumn("score", F.expr(_COSINE_TO_CENT))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "k", "qv")
+            .groupBy("vec_id")
+            .agg(F.expr("max_by(struct(k, qv), struct(score, -k))").alias("a"))
+            .select("vec_id", F.col("a.k").alias("k"), F.col("a.qv").alias("qv"))
         )
         if it < KMEANS_ITERS - 1:
             sums = assign.groupBy("k").agg(
