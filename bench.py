@@ -115,6 +115,7 @@ HEADLINE = [
     "sql_q15_top_supplier",    # TPC-H Q15 CTE view + scalar max
     "sql_q17_small_qty_orders",  # TPC-H Q17 correlated AVG subquery
     "sql_q18_large_orders",    # TPC-H Q18 IN over grouped HAVING
+    "udf_arrow_scalar",        # Spark 4 arrow-optimized scalar UDF
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

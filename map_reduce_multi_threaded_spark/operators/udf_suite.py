@@ -264,9 +264,41 @@ FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
 """
 
 
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ARROW-OPTIMIZED scalar Python UDF (``useArrow=True``):
+    per-row Python logic, Arrow-batched transfer — the middle rung
+    between ``@pandas_udf`` (vectorized numpy) and the row-pickle
+    ``F.udf`` anti-pattern.  Use it when the logic is genuinely
+    per-row Python (a tokenizer call, a parser) but you still refuse
+    the pickle serializer.  Plans as ArrowEvalPython, so it passes the
+    registry-wide no-BatchEvalPython policy gate.
+
+    The function counts whitespace tokens (Python ``str.split`` drops
+    empties, mirrored by the oracle's filtered split) — deliberately
+    SQL-expressible so the Arrow path itself is oracle-gated."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="int", useArrow=True)
+    def n_tokens(text: str) -> int:
+        return len(text.split())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+_UDF_ARROW_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("udaf_weighted_mean", udaf_weighted_mean, _UDAF_ORACLE,
               "pandas grouped-agg UDAF (discount-weighted mean)"),
+    QuerySpec("udf_arrow_scalar", udf_arrow_scalar, _UDF_ARROW_ORACLE,
+              "Spark 4 arrow-optimized scalar Python UDF (useArrow=True)"),
     QuerySpec("udtf_event_gaps", udtf_event_gaps, _UDTF_ORACLE,
               "Python UDTF: per-user inter-event gaps via LATERAL"),
     QuerySpec("grouped_map_zscore", grouped_map_zscore, _GROUPED_MAP_ORACLE,
