@@ -305,6 +305,20 @@ def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
         events_attribution,
         orders_abc_analysis,
     )
+    from map_reduce_multi_threaded_spark.operators.graph import (
+        graph_label_propagation,
+    )
+    from map_reduce_multi_threaded_spark.operators.pipeline import (
+        dq_distribution_drift,
+        pipeline_corpus_release,
+    )
+    from map_reduce_multi_threaded_spark.operators.relational import (
+        agg_countmin,
+        join_point_in_time,
+    )
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        dedup_semantic,
+    )
     from map_reduce_multi_threaded_spark.operators.textstats import text_zipf_slope
 
     fns = [
@@ -314,6 +328,15 @@ def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
         events_attribution,
         events_ab_test,
         text_zipf_slope,
+        # round-7 shapes: max_by argmaxes (LPA, semantic-dedup's
+        # k-means), the manifest+window release chain, integer-min
+        # sketch cells, the as-of carry, and quantized-ln PSI
+        graph_label_propagation,
+        dedup_semantic,
+        pipeline_corpus_release,
+        agg_countmin,
+        join_point_in_time,
+        dq_distribution_drift,
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {f.__name__: sorted(map(tuple, f(spark, sf_dir).collect())) for f in fns}
