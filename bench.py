@@ -116,6 +116,7 @@ HEADLINE = [
     "sql_q17_small_qty_orders",  # TPC-H Q17 correlated AVG subquery
     "sql_q18_large_orders",    # TPC-H Q18 IN over grouped HAVING
     "udf_arrow_scalar",        # Spark 4 arrow-optimized scalar UDF
+    "text_lm_perplexity",      # bigram-LM quality filter (quantized ln)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -737,6 +737,115 @@ GROUP BY doc_id
 """
 
 
+#: negative-log-likelihood quantization for the bigram LM (1e-9 units)
+LM_Q = 1_000_000_000
+
+
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM pseudo-perplexity scoring — the CCNet-style quality
+    filter: each document's mean negative log-likelihood under an
+    add-one-smoothed bigram model FIT ON THE CORPUS ITSELF,
+    P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V).  High NLL flags text the
+    corpus' own statistics find improbable (gibberish, boilerplate,
+    wrong-domain) — the bigram upgrade of
+    :func:`text_rarity_score`'s unigram signal.
+
+    Determinism: counts and V are exact; each bigram's −ln P is
+    quantized to integer 1e-9 units (``round(ln(p)·1e9)`` — the same
+    quantized-libm discipline as the Zipf fit and the PSI drift, both
+    hash-proven cross-engine), so the per-doc NLL is an order-free
+    integer sum; the final mean is one IEEE division of identical
+    operands.
+
+    Scale: bigram explode (narrow) → one (w₁,w₂)-keyed count → a
+    prefix-context rollup → the corpus bigram stream joins back on
+    the SAME keys — vocab-sized tables stay keyed shuffles, never
+    broadcast (SCALE.md rule) — → one doc-keyed agg.  The model is
+    two count tables; scoring is pure joins."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\s+'), x -> length(x) > 0)").alias("t"),
+    )
+    bi = (
+        d.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(t)), "
+                    "i -> struct(element_at(t, i - 1) AS w1, element_at(t, i) AS w2))"
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.w1", "e.w2")
+    )
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = cb.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    vocab = (
+        d.select(F.explode("t").alias("w")).distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    q = F.round(
+        -F.log(
+            (F.col("cb") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double")
+        )
+        * LM_Q
+    ).cast("long")
+    return (
+        bi.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("q", q)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").alias("nll_e9"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_e9",
+            (F.col("nll_e9").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "mean_nll_e9"
+            ),
+        )
+    )
+
+
+_LM_PERPLEXITY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i
+        FROM d WHERE len(t) >= 2)
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+vocab AS (
+  SELECT count(*) AS v FROM (
+    SELECT DISTINCT unnest(t) AS w FROM d
+  )
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(round(-ln(CAST(cb.cb + 1 AS DOUBLE)
+                        / CAST(c1.c1 + vocab.v AS DOUBLE)) * {LM_Q}) AS BIGINT) AS q
+  FROM bi b JOIN cb USING (w1, w2) JOIN c1 USING (w1), vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(q) AS BIGINT) AS nll_e9,
+       CAST(sum(q) AS DOUBLE) / count(*) AS mean_nll_e9
+FROM scored
+GROUP BY doc_id
+"""
+
+
 #: log-quantization scale for the Zipf regression (1e6 = 6 decimal
 #: digits of each ln value survive into the exact integer moments)
 ZIPF_Q = 1_000_000
@@ -892,6 +1001,9 @@ SPECS = [
               "hashing-trick term-frequency features (16 md5 buckets, no vocabulary)"),
     QuerySpec("text_langid", text_langid, _langid_oracle(),
               "marker-stopword language identification"),
+    QuerySpec("text_lm_perplexity", text_lm_perplexity, _LM_PERPLEXITY_ORACLE,
+              "bigram-LM pseudo-perplexity (add-one smoothing, quantized-ln "
+              "integer NLL — the CCNet-style quality filter)"),
     QuerySpec("text_rarity_score", text_rarity_score, _RARITY_ORACLE,
               "integer-exact unigram rarity scoring (perplexity-filter proxy)"),
     QuerySpec("text_vocab_coverage", text_vocab_coverage, _VOCAB_COVERAGE_ORACLE,
