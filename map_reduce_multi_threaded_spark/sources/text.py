@@ -26,7 +26,14 @@ def read_text_dir(spark: SparkSession, path: str, wholetext: bool = False) -> Da
     """Scan a directory of raw text files → one ``value: string`` row
     per line (or per file with ``wholetext``), plus the source file name
     — the reference tracked provenance implicitly via its per-file work
-    units (``map_reduce.cpp:517-529``)."""
+    units (``map_reduce.cpp:517-529``).
+
+    Compressed inputs (``.gz``/``.bz2``/...) decode transparently via
+    Hadoop's codec factory (extension-dispatched) — tested.  Scale
+    note: gzip is NOT splittable, so one ``.gz`` file = one task no
+    matter its size; at 100 TB keep compressed text in many ≤~256 MB
+    files (or use a splittable codec / recompress to parquet) or the
+    scan serializes on the largest member."""
     reader = spark.read.option("wholetext", str(wholetext).lower())
     return reader.text(path).withColumn("file", F.input_file_name())
 

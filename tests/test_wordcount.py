@@ -184,3 +184,24 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     expected = python_reference_counts([ (src / f).read_text() for f in os.listdir(src) ], passes=8)
     expected_lines = sorted(f"<{w}, {c}> " for w, c in expected.items())
     assert sorted(lines) == expected_lines
+
+
+def test_text_dir_reads_gzip_transparently(spark, tmp_path):
+    """S1 generalization: compressed members of a text directory decode
+    via Hadoop's extension-dispatched codec factory, mixing freely with
+    plain files — same counts either way.  (Scale caveat documented in
+    sources/text.py: gzip is not splittable; one .gz = one task.)"""
+    import gzip
+
+    from map_reduce_multi_threaded_spark.operators import wordcount
+
+    (tmp_path / "plain.txt").write_text("alpha beta alpha\n")
+    with gzip.open(tmp_path / "zipped.txt.gz", "wt") as f:
+        f.write("beta gamma\nALPHA!\n")
+    counts = {
+        r["word"]: r["cnt"]
+        for r in wordcount.word_counts_from_text_dir(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert counts == {"alpha": 3, "beta": 2, "gamma": 1}
