@@ -43,3 +43,28 @@ def test_pagerank_mass_sane(spark, sf_oracle_dir):
     assert all(r["rank"] >= graph.BASE for r in rows)
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_maxby_struct_argmax_tiebreak(spark):
+    """The argmax pattern LPA and k-means now share —
+    max_by(payload, struct(score, -k)) — must pick the LOWEST k on
+    exact score ties (the window spelling's (score DESC, k ASC)
+    order).  Pinned on constructed ties, including a negative-score
+    tie and a double-valued score."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [  # (node, k, score)
+            (1, 3, 5.0), (1, 2, 5.0), (1, 4, 1.0),   # tie at 5.0 -> k=2
+            (2, 7, -2.5), (2, 6, -2.5),              # negative tie -> k=6
+            (3, 1, 0.0),                             # singleton
+        ],
+        "node int, k int, score double",
+    )
+    rows = {
+        r["node"]: r["kk"]
+        for r in df.groupBy("node")
+        .agg(F.expr("max_by(k, struct(score, -k))").alias("kk"))
+        .collect()
+    }
+    assert rows == {1: 2, 2: 6, 3: 1}
