@@ -146,3 +146,40 @@ def test_ppm_roundtrip_property():
         assert out["sum_b"] == sum(rgb[2::3])
 
     check()
+
+
+def test_parsers_never_crash_on_arbitrary_bytes():
+    """Web-scale corpora guarantee malformed media: the binary parsers
+    must either return a result or raise ValueError — never
+    struct.error/IndexError/OverflowError or a hang — on ANY byte
+    string (including truncations of valid containers, which hypothesis
+    shrinks toward)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_multi_threaded_spark.functions.codecs import (
+        decode_image,
+        encode_wav,
+        parse_ppm,
+        parse_wav,
+    )
+
+    valid = encode_wav(bytes(range(64)))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(
+        st.binary(max_size=200),
+        # truncations/corruptions of a valid container hit deeper code
+        st.integers(min_value=0, max_value=len(valid)).map(lambda i: valid[:i]),
+        st.tuples(
+            st.integers(min_value=0, max_value=len(valid) - 1), st.binary(min_size=1, max_size=4)
+        ).map(lambda t: valid[: t[0]] + t[1] + valid[t[0] + len(t[1]):]),
+    ))
+    def check(b):
+        for parser in (parse_wav, parse_ppm, decode_image):
+            try:
+                parser(b)
+            except ValueError:
+                pass
+
+    check()
