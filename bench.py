@@ -117,6 +117,7 @@ HEADLINE = [
     "sql_q18_large_orders",    # TPC-H Q18 IN over grouped HAVING
     "udf_arrow_scalar",        # Spark 4 arrow-optimized scalar UDF
     "text_lm_perplexity",      # bigram-LM quality filter (quantized ln)
+    "agg_changelog_maintain",  # retractable incremental view maintenance
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

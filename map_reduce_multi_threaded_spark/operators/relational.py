@@ -3662,6 +3662,92 @@ FROM clicks c LEFT JOIN vers v
 """
 
 
+def agg_changelog_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE incremental view maintenance: keep a per-status
+    (count, revenue) aggregate view current under a CDC changelog with
+    UPDATES and DELETES — without rescanning unchanged rows.  Where
+    :func:`agg_incremental_merge` proves append-only partial merging,
+    this adds the retraction algebra every materialized view needs
+    once deletes exist: an update retracts (−1, −old_price) from its
+    old group and inserts (+1, +new_price) into its new one; a delete
+    only retracts; group cardinalities that reach zero vanish.
+
+    The changelog reuses the :func:`table_merge_cdc` recipe with
+    explicit precedence (every 13th key deleted; else every 7th
+    re-priced +100 into status 'U'; every 11th inserted as 'N' under
+    the power-of-10 namespace).
+
+    THE GATE IS THE SEMANTICS: Spark executes the maintenance path
+    (base aggregate ⊕ delta aggregate, touching only changed rows),
+    while the DuckDB oracle RECOMPUTES the view from the merged table
+    — the hash match proves maintenance ≡ recompute, which is the
+    entire correctness contract of incremental view maintenance.
+
+    Scale: the base aggregate is a status-keyed partial agg of the
+    snapshot (in production it is the stored view, read back); deltas
+    scan only the changed subsets; the final combine joins two
+    status-cardinality frames.  No window, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DECM)
+    base = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(price).alias("s")
+    )
+    changed = F.col("o_orderkey") % 7 == 0
+    deleted = F.col("o_orderkey") % 13 == 0
+    d_del = o.where(deleted).select(
+        "o_orderstatus", F.lit(-1).alias("dc"), (-price).alias("ds")
+    )
+    upd = o.where(changed & ~deleted)
+    d_upd_out = upd.select(
+        "o_orderstatus", F.lit(-1).alias("dc"), (-price).alias("ds")
+    )
+    d_upd_in = upd.select(
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1).alias("dc"),
+        (price + F.lit(100).cast(DECM)).alias("ds"),
+    )
+    d_ins = o.where(F.col("o_orderkey") % 11 == 0).select(
+        F.lit("N").alias("o_orderstatus"), F.lit(1).alias("dc"), price.alias("ds")
+    )
+    deltas = (
+        d_del.unionByName(d_upd_out).unionByName(d_upd_in).unionByName(d_ins)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dc").alias("dcnt"), F.sum("ds").alias("dsum"))
+    )
+    return (
+        base.join(deltas, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("dcnt", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast(DECM))
+                + F.coalesce(F.col("dsum"), F.lit(0).cast(DECM))
+            ).cast("double").alias("total_price"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+
+_CHANGELOG_MAINTAIN_ORACLE = """
+WITH merged AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS st,
+         CAST(o_totalprice AS DECIMAL(14,2))
+         + CASE WHEN o_orderkey % 7 = 0
+                THEN CAST(100 AS DECIMAL(14,2)) ELSE CAST(0 AS DECIMAL(14,2)) END
+           AS price
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT 'N', CAST(o_totalprice AS DECIMAL(14,2))
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT st AS o_orderstatus, count(*) AS n_orders,
+       CAST(sum(price) AS DOUBLE) AS total_price
+FROM merged GROUP BY st
+"""
+
+
 def join_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective dim-side filter + fact join — the RUNTIME ROW-LEVEL
     FILTER showcase: with a filter this selective (one of five order
@@ -4575,6 +4661,10 @@ SPECS = [
     QuerySpec("agg_countmin", agg_countmin, _countmin_oracle(),
               "relational Count-Min sketch (4x64 md5 cells) + exact companion; "
               "never-underestimates and 2N/w bound pinned TRUE"),
+    QuerySpec("agg_changelog_maintain", agg_changelog_maintain,
+              _CHANGELOG_MAINTAIN_ORACLE,
+              "retractable incremental view maintenance: base ⊕ deltas vs "
+              "the oracle's full recompute (maintenance ≡ recompute gate)"),
     QuerySpec("sql_q14_promo_effect", sql_q14_promo_effect, _Q14_SQL,
               "TPC-H Q14 promotion effect (conditional revenue share), shared SQL string"),
     QuerySpec("sql_q7_volume_shipping", sql_q7_volume_shipping, _Q7_SQL,
