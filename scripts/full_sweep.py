@@ -1,0 +1,50 @@
+#!/usr/bin/env python
+"""Full-registry driver-style oracle sweep at one or more scale
+factors — the superset of the round driver's ~50-query sf0.01 gate
+(round-5 lesson: scale-dependent float fragility is invisible at the
+small gate).  Prints one line per (sf, query) failure and a final
+summary; exit code 1 on any failure.
+
+Usage: python scripts/full_sweep.py [sf0.01] [sf0.1] ...
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_reduce_multi_threaded_spark.registry import collect_specs
+from map_reduce_multi_threaded_spark.session import get_spark
+from tests.oracle_utils import compare
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or ["sf0.01", "sf0.1"]
+    spark = get_spark(app_name="full_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = collect_specs()
+    failures = []
+    for sf in sfs:
+        sf_dir = f"/root/testdata/{sf}"
+        t0 = time.perf_counter()
+        for spec in specs:
+            try:
+                compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+            except Exception as exc:  # noqa: BLE001 - report and continue
+                failures.append((sf, spec.name, str(exc)[:200]))
+                print(f"FAIL {sf} {spec.name}: {str(exc)[:200]}", flush=True)
+        print(
+            f"SWEEP {sf}: {len(specs)} queries, "
+            f"{len([f for f in failures if f[0] == sf])} failures, "
+            f"{round(time.perf_counter() - t0, 1)}s",
+            flush=True,
+        )
+    print(f"TOTAL failures: {len(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
