@@ -90,6 +90,34 @@ def test_rdd_scans_only_in_checkpointed_iteratives(plans):
     assert not offenders, offenders
 
 
+def test_exchange_counts_within_budget(plans):
+    """Shuffle-budget regression gate: every batch query's exchange
+    count is bounded by the committed snapshot (tests/plan_budget.json,
+    generated from the round-7 plans).  A change that ADDS a shuffle —
+    new code or a planner upgrade — fails here and forces a conscious
+    decision: fix the plan or re-baseline the budget with the
+    regeneration snippet in the JSON's git history.  Upper bound, not
+    exact match (ADVICE r6): plans that FUSE exchanges pass silently."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
+    with open(path) as f:
+        budget = json.load(f)
+    over = []
+    for name, plan in plans.items():
+        if name not in budget:
+            continue  # new query: add a budget when baselining next
+        n = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        if n > budget[name]:
+            over.append((name, n, budget[name]))
+    assert not over, over
+
+
 def test_checkpoint_whitelist_is_tight(plans):
     """The whitelist must not grow stale: every whitelisted query
     actually exhibits the RDD scan (drop it from the list when it no
