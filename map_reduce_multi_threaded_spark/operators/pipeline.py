@@ -313,7 +313,6 @@ def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE}) AS BIGINT)").alias("w"),
         )
     )
-    norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     qv = (
         df_.where(F.col("term").isin(*BM25_QUERY_TERMS))
         .crossJoin(F.broadcast(n))
@@ -321,20 +320,36 @@ def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.expr(f"CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * {TFIDF_SCALE}) AS BIGINT)").alias("q"),
         )
+        # query-vector norm rides each row via a |query-terms|-row
+        # window, so ONE broadcast of qv carries everything downstream
+        .withColumn(
+            "qn2", F.sum(F.col("q") * F.col("q")).over(Window.partitionBy())
+        )
     )
-    qn = qv.agg(F.sum(F.col("q") * F.col("q")).alias("qn2"))
-    num = (
-        w.join(F.broadcast(qv), "term")
+    # Round 7: document norm, dot-product numerator, and query norm
+    # all come from ONE pass over the weight table (left-broadcast
+    # join; unmatched terms contribute exactly 0 to the integer
+    # numerator), instead of separate norm/num/qn branches that each
+    # re-derived tf⋈df from the scan — the first spelling's physical
+    # plan held 21 exchanges of branch duplication (plan_budget.json
+    # history), this one ~a third of that.  Docs with no query-term
+    # occurrence drop out via the matched flag, exactly the old inner
+    # join's membership.
+    pre = (
+        w.join(F.broadcast(qv), "term", "left")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("w") * F.col("q")).alias("num"))
+        .agg(
+            F.sum(F.col("w") * F.col("w")).alias("n2"),
+            F.sum(F.col("w") * F.coalesce(F.col("q"), F.lit(0))).alias("num"),
+            F.max("qn2").alias("qn2"),
+            F.max(F.col("q").isNotNull().cast("int")).alias("matched"),
+        )
     )
     cosine = F.col("num") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))
     )
-    scored = (
-        num.join(norm, "doc_id")
-        .crossJoin(F.broadcast(qn))
-        .select("doc_id", cosine.alias("cosine"))
+    scored = pre.where(F.col("matched") == 1).select(
+        "doc_id", cosine.alias("cosine")
     )
     top = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(10)
     rank_w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
