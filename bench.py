@@ -118,6 +118,7 @@ HEADLINE = [
     "udf_arrow_scalar",        # Spark 4 arrow-optimized scalar UDF
     "text_lm_perplexity",      # bigram-LM quality filter (quantized ln)
     "agg_changelog_maintain",  # retractable incremental view maintenance
+    "pipeline_mixture_weights",  # data-mixing weights toward target share
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

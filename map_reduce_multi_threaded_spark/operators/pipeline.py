@@ -1158,6 +1158,73 @@ FROM manifest m, stats s, bt
 """
 
 
+MIX_WEIGHT_CAP = 5.0  # oversampling cap: no source repeats >5 epochs
+
+
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-MIXING weights: per source, the sampling weight that moves
+    the corpus toward a UNIFORM token share across sources (weight =
+    target_share / current_share, capped at {MIX_WEIGHT_CAP}×) plus
+    the token allocation that weight implies — the computation behind
+    temperature/target reweighting of training mixtures.  The
+    math-side counterpart of :func:`pipeline_balance_sources` (which
+    physically downsamples to exact quotas): at 100 TB you compute
+    THIS tiny table first and feed it to the sampler/loader.
+
+    Determinism: token counts are exact ints; shares and weights are
+    IEEE divisions of identical operands; the allocation uses
+    ``floor`` (identical on both engines — ``round``'s half-way rule
+    is engine-ambiguous).
+
+    Scale: one narrow map (token count per doc, no explode) + one
+    source-keyed agg; the share/weight windows run over
+    source-cardinality rows (bounded: data sources are curated lists,
+    not corpus-sized)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.expr(r"size(filter(split(text, '\\s+'), x -> length(x) > 0))").alias(
+            "n"
+        ),
+    )
+    per_src = per_doc.groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    w_all = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all).cast(
+        "double"
+    )
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w_all).cast("double")
+    weight = F.least(target / share, F.lit(MIX_WEIGHT_CAP))
+    return per_src.select(
+        "source",
+        "n_tokens",
+        share.alias("share"),
+        weight.alias("weight"),
+        F.floor(weight * F.col("n_tokens").cast("double")).cast("long").alias(
+            "alloc_tokens"
+        ),
+    )
+
+
+_MIXTURE_WEIGHTS_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share,
+       least((1.0 / CAST(count(*) OVER () AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)),
+             {MIX_WEIGHT_CAP}) AS weight,
+       CAST(floor(least((1.0 / CAST(count(*) OVER () AS DOUBLE))
+                        / (CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)),
+                        {MIX_WEIGHT_CAP}) * CAST(n_tokens AS DOUBLE)) AS BIGINT)
+         AS alloc_tokens
+FROM per_src
+"""
+
+
 DRIFT_BIN_WIDTH = 64
 DRIFT_BINS = 10
 DRIFT_Q = 1_000_000_000  # PSI contributions quantized to 1e-9
@@ -1436,6 +1503,10 @@ SPECS = [
               _distribution_drift_oracle(),
               "PSI drift between corpus snapshots (Laplace-smoothed bins, "
               "integer-quantized contributions, order-free sum)"),
+    QuerySpec("pipeline_mixture_weights", pipeline_mixture_weights,
+              _MIXTURE_WEIGHTS_ORACLE,
+              "data-mixing weights toward uniform token share (capped "
+              "target/current ratio + floor allocation)"),
     QuerySpec("pipeline_importance_sample", pipeline_importance_sample,
               _importance_sample_oracle(),
               "per-document quality-weighted deterministic sampling "
