@@ -119,6 +119,7 @@ HEADLINE = [
     "text_lm_perplexity",      # bigram-LM quality filter (quantized ln)
     "agg_changelog_maintain",  # retractable incremental view maintenance
     "pipeline_mixture_weights",  # data-mixing weights toward target share
+    "stream_wordcount",        # the reference S1-S13 as a 2-batch stream
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

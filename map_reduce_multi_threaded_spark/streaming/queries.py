@@ -319,6 +319,68 @@ def stream_tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("window_start") <= cutoff)
 
 
+def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE pipeline (S1-S13) as a STREAM: documents
+    replayed in two micro-batches through the identical tokenize →
+    strip-punct → drop-empty → lowercase chain into a COMPLETE-mode
+    global word count — unbounded keyed aggregation state merging
+    partials across micro-batches, which is precisely the reference's
+    1024-bin partial-map + final-merge shape (map_reduce.cpp:191-438)
+    with batch boundaries where the reference had process boundaries.
+    The two-file staging forces real cross-batch state merge; the
+    batch word-count SQL is the exact oracle.
+
+    Scale: complete-mode state is vocabulary-sized (each key one
+    count), the same footprint as the batch aggregate's hash table;
+    no watermark because word counts have no event time."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from ..functions.text import normalize_token
+    from ..sources.tables import stage_scratch_dir
+    from ..sources.text import tokens_from_text
+
+    staged = stage_scratch_dir(sf_dir, "docs_stream", "documents")
+    marker = os.path.join(staged, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(staged, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        half = t.num_rows // 2
+        for i, chunk in enumerate([t.slice(0, half), t.slice(half)]):
+            p = os.path.join(staged, f"d{i}.parquet")
+            pq.write_table(chunk, p)
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        with open(marker, "w") as f:
+            f.write("ok")
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    counts = (
+        docs.select(F.explode(tokens_from_text(F.col("text"))).alias("tok"))
+        .select(normalize_token(F.col("tok")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return W.run_to_memory(counts, "stream_wordcount_sink", output_mode="complete")
+
+
+_STREAM_WORDCOUNT_ORACLE = """
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')),
+                              '[[:punct:]]', '', 'g')) AS word
+  FROM documents
+)
+WHERE length(word) > 0
+GROUP BY word
+"""
+
+
 def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling counts in UPDATE output mode over a 4-micro-batch
     replay — the third output mode (append and complete are covered
@@ -506,6 +568,9 @@ SPECS = [
     QuerySpec("stream_update_counts", stream_update_counts, _UPDATE_COUNTS_ORACLE,
               "UPDATE-mode tumbling counts: per-batch state snapshots as a "
               "changelog, oracled from deterministic batch boundaries"),
+    QuerySpec("stream_wordcount", stream_wordcount, _STREAM_WORDCOUNT_ORACLE,
+              "the reference's S1-S13 pipeline as a stream: 2-micro-batch "
+              "replay into a complete-mode global word count"),
     QuerySpec("stream_join_left_outer", stream_join_left_outer, _STREAM_LEFT_OUTER_ORACLE,
               "stream-stream LEFT OUTER interval join with watermark-forced null emission"),
     QuerySpec("stream_stateful_counts", stream_stateful_counts, _STATEFUL_ORACLE,
