@@ -232,3 +232,41 @@ def test_dedup_incremental_anti_join_is_hash_class(spark, sf_dir):
             # (O(batch x corpus)) is a defect
             assert "NestedLoop" not in line, line
     assert "LeftAnti" in plan, plan
+
+
+def test_bloom_ingest_no_false_negatives_and_screens(spark, sf_oracle_dir):
+    """Bloom law: a membership sketch may false-positive but NEVER
+    false-negative — every true duplicate must be flagged.  Also pins
+    the fixture semantics (every %3 re-crawl is a dup, every %5 edit
+    is novel) and that the screen passes only a small FP tail."""
+    rows = dedup.dedup_bloom_ingest(spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        if r["is_dup"]:
+            assert r["bloom_flagged"], f"false negative at doc {r['doc_id']}"
+        assert r["false_positive"] == (r["bloom_flagged"] and not r["is_dup"])
+    n_dup = sum(r["is_dup"] for r in rows)
+    n_fp = sum(r["false_positive"] for r in rows)
+    n_novel = len(rows) - n_dup
+    assert n_dup > 0 and n_novel > 0
+    # m = 16n, k = 3 → expected FP ≈ 0.6 %; allow 10× headroom
+    assert n_fp <= max(2, n_novel // 16)
+
+
+def test_boilerplate_strips_exactly_the_chrome(spark, sf_oracle_dir):
+    """Both synthetic chrome lines (global site header + per-source
+    section header) must be dropped from every document and nothing
+    else: the cleaned reassembly hashes back to the ORIGINAL text."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in dedup.dedup_boilerplate(spark, sf_oracle_dir).collect()}
+    orig = load_table(spark, sf_oracle_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    ).collect()
+    assert len(out) == len(orig)
+    for r in orig:
+        got = out[r["doc_id"]]
+        assert got["n_lines"] - got["n_kept"] == 2
+        assert got["kept_hash"] == r["h"]
