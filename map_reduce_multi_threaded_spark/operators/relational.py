@@ -1732,6 +1732,75 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+#: CEP step deadlines: click within 1 h of the view, purchase within
+#: 4 h of the click.
+CEP_STEP1_US = 3_600 * 1_000_000
+CEP_STEP2_US = 4 * 3_600 * 1_000_000
+
+
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match, MATCH_RECOGNIZE / Flink
+    CEP ``next()`` semantics: find every STRICTLY CONTIGUOUS
+    view → click → purchase run per user (no other event of that user
+    in between — unlike :func:`events_funnel`'s any-later-event
+    subsequence), with per-step deadlines on the gaps.
+
+    Two ``lead`` offsets over one (user, time) window express strict
+    contiguity declaratively — no state machine, no UDF; total order
+    within a user is pinned by the (ts, event_id) sort so ties can't
+    flap the match set.
+
+    Scale: one keyed window shuffle on user_id — the same cost as any
+    per-user sort; there are no joins and the match filter is a narrow
+    post-window predicate.  (Flink runs the same pattern with an NFA
+    over keyed state; Spark's batch form is this window, its streaming
+    form would be transformWithState.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    return seq.where(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.unix_micros("ts1") - F.unix_micros("ts") <= CEP_STEP1_US)
+        & (F.unix_micros("ts2") - F.unix_micros("ts1") <= CEP_STEP2_US)
+    ).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.date_format("ts2", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        (F.unix_micros("ts2") - F.unix_micros("ts")).alias("span_us"),
+    )
+
+
+_CEP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type, 1) OVER w AS t1, lead(ts, 1) OVER w AS ts1,
+         lead(event_type, 2) OVER w AS t2, lead(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       strftime(ts2, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       epoch_us(ts2) - epoch_us(ts) AS span_us
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND epoch_us(ts1) - epoch_us(ts) <= {CEP_STEP1_US}
+  AND epoch_us(ts2) - epoch_us(ts1) <= {CEP_STEP2_US}
+"""
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week, with
     the count still active 1 and 2 weeks later.  Two aggregations plus
@@ -4683,6 +4752,9 @@ SPECS = [
               "csv/json/orc ingestion round-trip with exact decimal checksum"),
     QuerySpec("events_funnel", events_funnel, _FUNNEL_ORACLE,
               "ordered signup→view→purchase conversion funnel (min-timestamp semantics)"),
+    QuerySpec("events_cep_pattern", events_cep_pattern, _CEP_ORACLE,
+              "MATCH_RECOGNIZE-style strictly-contiguous view→click→purchase "
+              "runs with per-step deadlines (CEP via lead windows)"),
     QuerySpec("events_retention", events_retention, _RETENTION_ORACLE,
               "weekly cohort retention (epoch-week cohorts, 1- and 2-week horizons)"),
     QuerySpec("events_resample_ffill", events_resample_ffill, _RESAMPLE_ORACLE,

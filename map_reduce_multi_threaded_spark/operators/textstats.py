@@ -552,6 +552,83 @@ HAVING count(*) >= {NGRAM_MIN_SUPPORT}
 """
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's
+    DISTINCT word {N}-grams that occur in NO other document — the
+    inverse of the memorization/duplication audit run over training
+    corpora before release (a low-novelty doc is mostly made of
+    phrases the corpus already contains; candidates for dedup or
+    down-weighting).
+
+    Distinct from :func:`text_decontaminate` (overlap vs a bounded
+    BENCHMARK set, broadcast join) — novelty is corpus-vs-corpus, so
+    the gram frequency table is corpus-sized and both sides meet in
+    keyed shuffles on the gram.
+
+    Scale: exactly the reference word-count shape twice
+    (``map_reduce.cpp:191-236``): one keyed count over grams, one
+    join-back, one per-doc agg.  Counts are exact integers; the one
+    double division is final, rounded to 9 dp so libm can't reorder
+    anything."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
+        )
+        .where(F.expr(f"size(t) >= {DECON_N}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - {n1}), "
+                        "i -> array_join(slice(t, i, {n}), ' '))".format(
+                            n=DECON_N, n1=DECON_N - 1
+                        )
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    freq = toks.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        toks.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") == 1).cast("long")).alias("n_unique"),
+            F.round(
+                F.sum((F.col("n_docs") == 1).cast("long"))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("novelty"),
+        )
+    )
+
+
+_NGRAM_NOVELTY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {DECON_N - 1}),
+                i -> array_to_string(t[i:i + {DECON_N - 1}], ' '))) AS gram
+  FROM toks WHERE len(t) >= {DECON_N}
+),
+freq AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 9) AS novelty
+FROM grams JOIN freq USING (gram)
+GROUP BY doc_id
+"""
+
+
 #: repetition-score n-gram width (word 3-grams, the Gopher/MassiveText
 #: "duplicate n-gram fraction" quality signal).
 REP_N = 3
@@ -1014,6 +1091,9 @@ SPECS = [
               "duplicate n-gram fraction per doc (Gopher repetition signal)"),
     QuerySpec("text_ngram_counts", text_ngram_counts, _NGRAM_COUNTS_ORACLE,
               "corpus n-gram LM counts with support cutoff (the reference generalized)"),
+    QuerySpec("text_ngram_novelty", text_ngram_novelty, _NGRAM_NOVELTY_ORACLE,
+              "per-doc fraction of n-grams unique to the doc (corpus novelty / "
+              "memorization audit)"),
     QuerySpec("text_pii_scrub", text_pii_scrub, _PII_SCRUB_ORACLE,
               "regex PII redaction (URL/email/phone) with count + md5 oracle"),
     QuerySpec("text_rolling_fingerprint", text_rolling_fingerprint, _ROLLING_ORACLE,

@@ -575,3 +575,44 @@ def test_linreg_matches_corr_and_bounds(spark, sf_oracle_dir):
         assert 0.0 <= r["r2"] <= 1.0
         assert abs(r["r2"] - c * c) < 1e-6, (r["r2"], c * c)
         assert (r["slope"] >= 0) == (c >= 0)
+
+
+def test_cep_matches_are_strictly_contiguous(spark, sf_oracle_dir):
+    """Re-derive the CEP matches with a per-user Python scan: every
+    reported run must be three CONSECUTIVE events of that user (no
+    other event in between) meeting the step deadlines, and the scan
+    must find exactly the same match set."""
+    from collections import defaultdict
+
+    from map_reduce_multi_threaded_spark.operators.relational import (
+        CEP_STEP1_US,
+        CEP_STEP2_US,
+        events_cep_pattern,
+    )
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    got = {
+        (r["user_id"], r["view_ts"], r["purchase_ts"], r["span_us"])
+        for r in events_cep_pattern(spark, sf_oracle_dir).collect()
+    }
+    ev = load_table(spark, sf_oracle_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append(r)
+    want = set()
+    for user, rows in per_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b, c in zip(rows, rows[1:], rows[2:]):
+            us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+            if (
+                (a["event_type"], b["event_type"], c["event_type"])
+                == ("view", "click", "purchase")
+                and us(b["ts"]) - us(a["ts"]) <= CEP_STEP1_US
+                and us(c["ts"]) - us(b["ts"]) <= CEP_STEP2_US
+            ):
+                fmt = lambda t: t.strftime("%Y-%m-%d %H:%M:%S.%f")  # noqa: E731
+                want.add((user, fmt(a["ts"]), fmt(c["ts"]), us(c["ts"]) - us(a["ts"])))
+    assert got == want
+    assert want, "sf0.01 fixture should contain at least one CEP match"

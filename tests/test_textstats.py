@@ -88,3 +88,16 @@ def test_ngram_counts_reconcile(spark, sf_oracle_dir):
         SELECT sum(len(t) - {textstats.DECON_N - 1}) FROM toks WHERE len(t) >= {textstats.DECON_N}
     """).fetchall()[0][0]
     assert total == expected_total
+
+
+def test_ngram_novelty_bounds_and_signal(spark, sf_oracle_dir):
+    """Novelty is a fraction in [0,1]; the fixture's 31-word vocabulary
+    guarantees 3-gram collisions, so the corpus must contain BOTH
+    shared grams (novelty < 1 somewhere) and unique grams."""
+    rows = textstats.text_ngram_novelty(spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_grams"]
+        assert abs(r["novelty"] - round(r["n_unique"] / r["n_grams"], 9)) < 1e-12
+    assert any(r["n_unique"] < r["n_grams"] for r in rows)
+    assert any(r["n_unique"] > 0 for r in rows)
