@@ -68,3 +68,41 @@ def test_maxby_struct_argmax_tiebreak(spark):
         .collect()
     }
     assert rows == {1: 2, 2: 6, 3: 1}
+
+
+def test_common_neighbors_vs_python_sets(spark, sf_oracle_dir):
+    """Re-derive every nation-blocked pair score from collected Python
+    neighbor sets — pins the blocking, the a<b orientation, and the
+    integer ppm arithmetic."""
+    from collections import defaultdict
+
+    from map_reduce_multi_threaded_spark.operators.graph import graph_common_neighbors
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    got = {
+        (r["nationkey"], r["supp_a"], r["supp_b"]): (
+            r["n_common"], r["n_union"], r["jacc_ppm"]
+        )
+        for r in graph_common_neighbors(spark, sf_oracle_dir).collect()
+    }
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, sf_oracle_dir, "supplier").collect()
+    }
+    nei = defaultdict(set)
+    for r in load_table(spark, sf_oracle_dir, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    ).collect():
+        nei[r["l_suppkey"]].add(r["l_partkey"])
+    want = {}
+    sks = sorted(nei)
+    for i, sa in enumerate(sks):
+        for sb in sks[i + 1:]:
+            if sup[sa] != sup[sb]:
+                continue
+            common = len(nei[sa] & nei[sb])
+            if common:
+                union = len(nei[sa] | nei[sb])
+                want[(sup[sa], sa, sb)] = (common, union, 1000000 * common // union)
+    assert got == want
+    assert want, "sf0.01 fixture should produce same-nation overlapping pairs"
