@@ -485,6 +485,93 @@ FROM s
 """
 
 
+#: spectrum-analysis geometry: FFT length, sample rate, tone table size
+FFT_N = 512
+FFT_RATE = 8000
+FFT_TONES = 200  # distinct exact-bin test tones (< FFT_N/2 Nyquist bins)
+
+
+def wav_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION — the spectral front end (FFT →
+    dominant frequency) every audio pipeline (MFCC, spectrogram
+    embedding, VAD) starts with, run as a real numpy rFFT inside the
+    Arrow decode path: synthesize one pure sine tone per document
+    (frequency bin ``k = 1 + (doc_id + n_chars) mod {FFT_TONES}``,
+    {FFT_N} samples at {FFT_RATE} Hz), container-encode it through the
+    RIFF/WAVE writer, then DECODE: chunk-walk parse → rfft → magnitude
+    argmax.  The analysis stage sees only container bytes; because
+    each tone sits exactly on an FFT bin, the detected bin has a
+    closed form the SQL oracle pins — the FFT must actually work to
+    reproduce it (leakage, off-by-one binning, or int16 handling bugs
+    all surface as wrong bins).
+
+    Scale: two chained narrow Arrow maps, zero shuffles — numpy's
+    vectorized rfft over {FFT_N}-sample rows batches at
+    ``arrow.maxRecordsPerBatch`` granularity, the same bounded-memory
+    contract as every binary path here."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.codecs import encode_wav, parse_wav_samples
+
+    def encode(batches):
+        for b in batches:
+            docs = b.column(0).to_pylist()
+            chars = b.column(1).to_pylist()
+            wavs = []
+            for doc_id, n_chars in zip(docs, chars):
+                k = 1 + (doc_id + n_chars) % FFT_TONES
+                i = np.arange(FFT_N)
+                # byte-valued samples (encode_wav's contract) riding a
+                # 127.5 DC offset; DC lands in bin 0, which the argmax
+                # skips, and amplitude 127.5 dwarfs the ±0.5 rounding
+                # noise floor (|X_k| = 127.5·N/2 vs ~√(N/12))
+                pcm = np.round(
+                    127.5 + 127.5 * np.sin(2.0 * np.pi * k * i / FFT_N)
+                ).astype(np.uint8)
+                wavs.append(encode_wav(pcm.tobytes()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(docs, pa.int64()), pa.array(wavs, pa.binary())],
+                ["doc_id", "wav"],
+            )
+
+    def analyze(batches):
+        for b in batches:
+            docs = b.column(0).to_pylist()
+            bins, hzs = [], []
+            for w in b.column(1).to_pylist():
+                rate, _ch, _bits, vals = parse_wav_samples(w)
+                mag = np.abs(np.fft.rfft(np.asarray(vals, dtype=np.float64)))
+                dominant = int(np.argmax(mag[1:])) + 1  # skip DC
+                bins.append(dominant)
+                hzs.append(dominant * rate / len(vals))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docs, pa.int64()),
+                    pa.array([FFT_N] * len(docs), pa.int64()),
+                    pa.array(bins, pa.int64()),
+                    pa.array(hzs, pa.float64()),
+                ],
+                ["doc_id", "n_samples", "dominant_bin", "dominant_hz"],
+            )
+
+    tones = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wav = tones.mapInArrow(encode, "doc_id long, wav binary")
+    return wav.mapInArrow(
+        analyze,
+        "doc_id long, n_samples long, dominant_bin long, dominant_hz double",
+    )
+
+
+_WAV_SPECTRUM_ORACLE = f"""
+SELECT doc_id,
+       CAST({FFT_N} AS BIGINT) AS n_samples,
+       CAST(1 + (doc_id + n_chars) % {FFT_TONES} AS BIGINT) AS dominant_bin,
+       CAST((1 + (doc_id + n_chars) % {FFT_TONES}) * {FFT_RATE / FFT_N} AS DOUBLE) AS dominant_hz
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("multimodal_decode_meta", decode_metadata, _DECODE_META_ORACLE,
               "mapInPandas binary decode plumbing (deterministic fake codec)"),
@@ -503,4 +590,7 @@ SPECS = [
     QuerySpec("multimodal_wav_downsample", wav_downsample, _WAV_DOWNSAMPLE_ORACLE,
               "decode → decimate-by-2 → stats: the full media-transform "
               "pipeline over real container parsing"),
+    QuerySpec("multimodal_wav_spectrum", wav_spectrum, _WAV_SPECTRUM_ORACLE,
+              "real numpy rFFT dominant-frequency extraction over "
+              "container-decoded exact-bin tones (closed-form oracle)"),
 ]
