@@ -553,7 +553,127 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: micro-batch count for the CDC-upsert replay (time-ordered quarter
+#: files; boundaries are ``i*n div 4`` of the (ts, event_id) order —
+#: the oracle mirrors them exactly).
+CDC_STREAM_FILES = 4
+
+
+def _cdc_batch_latest(batch_df: DataFrame) -> DataFrame:
+    """Per-micro-batch change-set compaction: latest event per user
+    within the batch (the Debezium-style 'last image wins' reduce)."""
+    import pyspark.sql.functions as F
+
+    return (
+        batch_df.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value", "ts", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("l")
+        )
+        .select("user_id", "l.event_type", "l.value", "l.ts", "l.event_id")
+    )
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the Debezium→lakehouse pattern: a change
+    stream replayed as {CDC_STREAM_FILES} time-ordered micro-batches is
+    upserted into a keyed table via ``foreachBatch``, MERGE-ON-READ
+    style: each batch appends only its compacted change set (latest
+    image per key in the batch, an idempotent per-batch_id partition
+    write), and the read path resolves the latest version per key —
+    exactly how Hudi MOR / Delta CDF consumers materialize a mutable
+    table on an append-only substrate.
+
+    The oracle gates the micro-batch STRUCTURE, not just the final
+    state: ``n_versions`` counts how many batches touched each key,
+    which is only right if the replay cut the stream at the same
+    (ts, event_id) quarter boundaries the staging did.
+
+    Scale: each batch shuffles only its own change set (O(batch) keyed
+    agg + append); nothing ever rewrites the table.  The resolve is
+    one keyed max_by over the log — in production that log IS the
+    table (compaction amortizes it); the localCheckpoint here only
+    pins the harness result before the scratch log is deleted."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    staged, _cutoff = W.stage_events_multibatch(
+        sf_dir, n_files=CDC_STREAM_FILES, n_sentinels=0
+    )
+    ev = W.read_staged_stream(spark, staged)
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="sg_cdc_log_", dir=root)
+    ckpt = tempfile.mkdtemp(prefix="sg_cdc_ckpt_", dir=root)
+    try:
+        W.write_foreach_batch(ev, out, ckpt, transform=_cdc_batch_latest)
+        log = spark.read.parquet(out)
+        return (
+            log.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_versions"),
+                F.max_by(
+                    F.struct("event_type", "value", "ts"),
+                    F.struct("ts", "event_id"),
+                ).alias("l"),
+            )
+            .select(
+                "user_id",
+                "n_versions",
+                F.col("l.event_type").alias("last_type"),
+                F.col("l.value").alias("last_value"),
+                F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_CDC_UPSERT_ORACLE = """
+WITH nn AS (SELECT count(*) AS n FROM events),
+ranked AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS r
+  FROM events
+),
+filed AS (
+  SELECT user_id,
+         CASE WHEN r < 1 * n // 4 THEN 0
+              WHEN r < 2 * n // 4 THEN 1
+              WHEN r < 3 * n // 4 THEN 2
+              ELSE 3 END AS f
+  FROM ranked, nn
+),
+nvers AS (
+  SELECT user_id, count(*) AS n_versions
+  FROM (SELECT DISTINCT user_id, f FROM filed) GROUP BY user_id
+),
+lastd AS (
+  SELECT user_id, event_type, value, ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1
+)
+SELECT l.user_id,
+       CAST(n_versions AS BIGINT) AS n_versions,
+       l.event_type AS last_type,
+       l.value AS last_value,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM lastd l JOIN nvers USING (user_id)
+"""
+
+
 SPECS = [
+    QuerySpec("stream_cdc_upsert", stream_cdc_upsert, _CDC_UPSERT_ORACLE,
+              "foreachBatch merge-on-read upsert of a replayed change "
+              "stream (per-batch change-set compaction; version counts "
+              "gate the micro-batch structure)"),
     QuerySpec("stream_tumbling", stream_tumbling, _TUMBLING_ORACLE,
               "streaming tumbling windows drained through a memory sink"),
     QuerySpec("stream_ingest_dedup", stream_ingest_dedup, _STREAM_INGEST_DEDUP_ORACLE,

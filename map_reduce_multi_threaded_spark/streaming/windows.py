@@ -268,7 +268,12 @@ def dedup_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def write_foreach_batch(df: DataFrame, path: str, checkpoint: str) -> None:
+def write_foreach_batch(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    transform=None,
+) -> None:
     """Production streaming sink shape: ``foreachBatch`` with a
     checkpoint location → exactly-once END-TO-END because the batch
     write is idempotent.  foreachBatch itself is only at-least-once (a
@@ -277,6 +282,12 @@ def write_foreach_batch(df: DataFrame, path: str, checkpoint: str) -> None:
     partition via dynamic partition overwrite — a replayed batch
     rewrites identical data instead of appending a duplicate.
 
+    ``transform`` (optional ``DataFrame -> DataFrame``) runs as an
+    ordinary BATCH transformation on each micro-batch before the write
+    — the hook a per-batch reduce (CDC change-set compaction, upsert
+    staging) plugs into; it must be deterministic per batch for the
+    idempotent-replay claim to hold.
+
     Scale: the batch function receives an ordinary DataFrame — reuse
     any batch writer (partitioned parquet, JDBC upsert, merge) without
     a dedicated streaming connector; whatever it is must stay
@@ -284,6 +295,8 @@ def write_foreach_batch(df: DataFrame, path: str, checkpoint: str) -> None:
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if transform is not None:
+            batch_df = transform(batch_df)
         old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

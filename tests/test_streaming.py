@@ -200,3 +200,29 @@ def test_stream_ohlc_matches_batch_operator(spark, sf_oracle_dir):
         key = (r["event_type"], bucket)
         assert key in batch, key
         assert batch[key] == (r["open"], r["high"], r["low"], r["close"], r["n_trades"])
+
+
+def test_foreach_batch_transform_is_idempotent_on_replay(spark, sf_oracle_dir, tmp_path):
+    """The per-batch transform hook (CDC change-set compaction) must
+    preserve the exactly-once contract: a lost-checkpoint replay
+    re-runs every batch through the transform with the same batch ids
+    and must overwrite identical data, not append."""
+    import shutil
+
+    from map_reduce_multi_threaded_spark.streaming.queries import _cdc_batch_latest
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = W.read_events_stream(spark, sf_oracle_dir)
+    W.write_foreach_batch(src, out, ckpt, transform=_cdc_batch_latest)
+    first = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert first
+    shutil.rmtree(ckpt)
+    src2 = W.read_events_stream(spark, sf_oracle_dir)
+    W.write_foreach_batch(src2, out, ckpt, transform=_cdc_batch_latest)
+    again = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
