@@ -77,3 +77,46 @@ def two_pass_cumsum(
         .withColumn(cum_col, F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def two_pass_cummax(
+    df: DataFrame,
+    value: Column | str,
+    order_cols: list[Column],
+    n_parts: int = DEFAULT_PARTS,
+    cum_col: str = "_cummax",
+) -> DataFrame:
+    """Attach ``cum_col`` (running MAX of ``value`` over the global
+    ``order_cols`` order) to ``df`` — the same Blelloch two-pass
+    decomposition as :func:`two_pass_cumsum` with (max, -∞) replacing
+    (sum, 0): per-partition running max in parallel, then each
+    partition's rows lifted by the max of all STRICTLY EARLIER
+    partitions (an ``n_parts``-row broadcast).  The streaming
+    watermark's high-water-mark computation, as a batch audit.
+
+    Same contracts as cumsum: ``value`` exact-typed, ``order_cols`` a
+    total order, and the one ``localCheckpoint`` pins the sampled
+    range boundaries (see the module docstring for the
+    fault-tolerance caveat)."""
+    value = F.col(value) if isinstance(value, str) else value
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = ranged.groupBy("_pid").agg(F.max(value).alias("_part_max"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part.select(
+        "_pid", F.max("_part_max").over(off_w).alias("_off")
+    )
+    return (
+        ranged.withColumn("_local", F.max(value).over(local_w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, F.greatest(F.col("_local"), F.coalesce(F.col("_off"), F.col("_local"))))
+        .drop("_pid", "_local", "_off")
+    )

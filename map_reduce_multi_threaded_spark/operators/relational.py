@@ -29,6 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..functions.text import duck_md5_long
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -1798,6 +1799,79 @@ FROM seq
 WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
   AND epoch_us(ts1) - epoch_us(ts) <= {CEP_STEP1_US}
   AND epoch_us(ts2) - epoch_us(ts1) <= {CEP_STEP2_US}
+"""
+
+
+#: simulated transport delay bound (0-10 min, md5-derived per event)
+#: and the audit's histogram granularity / cap.
+LATE_JITTER_US = 600 * 1_000_000
+LATE_BUCKET_MIN_CAP = 10
+
+
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit — the batch study every streaming
+    deployment runs BEFORE picking ``withWatermark``'s delay: replay
+    events in ARRIVAL order, track the event-time high-water mark, and
+    histogram how far behind it each event arrives (lateness >
+    chosen-delay ⇒ that event would be dropped).  The fixture's
+    event_id order equals its time order, so arrival is simulated by a
+    deterministic md5 transport delay of 0-10 min per event.
+
+    The high-water mark is a running max over a GLOBAL total order —
+    the single-task ``Window.orderBy`` trap — computed instead with
+    the two-pass Blelloch decomposition
+    (:func:`functions.prefix.two_pass_cummax`): per-range-partition
+    running max in parallel plus an n_parts-row broadcast of earlier
+    partitions' maxima.  Scale: one range exchange + one keyed
+    histogram agg; no task sees more than one range partition."""
+    from ..functions.prefix import two_pass_cummax
+    from ..functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ev_us"),
+        (F.unix_micros("ts") + md5_long(F.col("event_id")) % LATE_JITTER_US).alias(
+            "arr_us"
+        ),
+    )
+    hwm = two_pass_cummax(
+        ev, "ev_us", [F.col("arr_us"), F.col("event_id")], cum_col="hwm_us"
+    )
+    late_s = F.expr("(hwm_us - ev_us) div 1000000")
+    return (
+        hwm.select(
+            F.expr(
+                f"least(((hwm_us - ev_us) div 1000000) div 60, "
+                f"cast({LATE_BUCKET_MIN_CAP} as bigint))"
+            ).alias("late_bucket_min"),
+            late_s.alias("late_s"),
+        )
+        .groupBy("late_bucket_min")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_s").alias("max_late_s"),
+        )
+    )
+
+
+_LATENESS_ORACLE = f"""
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS ev_us,
+         epoch_us(ts) + {duck_md5_long('CAST(event_id AS VARCHAR)')} % {LATE_JITTER_US} AS arr_us
+  FROM events
+),
+h AS (
+  SELECT ev_us,
+         max(ev_us) OVER (ORDER BY arr_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm_us
+  FROM arr
+)
+SELECT CAST(least((hwm_us - ev_us) // 1000000 // 60, {LATE_BUCKET_MIN_CAP}) AS BIGINT)
+         AS late_bucket_min,
+       count(*) AS n_events,
+       CAST(max((hwm_us - ev_us) // 1000000) AS BIGINT) AS max_late_s
+FROM h
+GROUP BY 1
 """
 
 
@@ -4755,6 +4829,9 @@ SPECS = [
     QuerySpec("events_cep_pattern", events_cep_pattern, _CEP_ORACLE,
               "MATCH_RECOGNIZE-style strictly-contiguous view→click→purchase "
               "runs with per-step deadlines (CEP via lead windows)"),
+    QuerySpec("events_lateness_audit", events_lateness_audit, _LATENESS_ORACLE,
+              "watermark-lateness histogram vs the arrival-order high-water "
+              "mark (two-pass distributed running max)"),
     QuerySpec("events_retention", events_retention, _RETENTION_ORACLE,
               "weekly cohort retention (epoch-week cohorts, 1- and 2-week horizons)"),
     QuerySpec("events_resample_ffill", events_resample_ffill, _RESAMPLE_ORACLE,

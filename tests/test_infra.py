@@ -381,6 +381,31 @@ def test_two_pass_cumsum_partition_invariant(spark, sf_dir):
             assert got[k] == (cum, total), (n_parts, k)
 
 
+def test_two_pass_cummax_partition_invariant(spark, sf_dir):
+    """The distributed running max must equal the single-task reference
+    for ANY range-partition count — the property events_lateness_audit
+    rests on (its high-water mark is a global-order cummax)."""
+    from map_reduce_multi_threaded_spark.functions.prefix import two_pass_cummax
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("v")
+    )
+    rows = sorted((r["c_custkey"], r["v"]) for r in c.collect())
+    expected, hwm = {}, None
+    for k, v in rows:
+        hwm = v if hwm is None else max(hwm, v)
+        expected[k] = hwm
+    for n_parts in (1, 3, 16):
+        got = {
+            r["c_custkey"]: r["_cummax"]
+            for r in two_pass_cummax(
+                c, "v", [F.asc("c_custkey")], n_parts=n_parts
+            ).collect()
+        }
+        assert got == expected, n_parts
+
+
 def test_no_oracle_specs_obey_output_contract(spark, sf_oracle_dir):
     """Registry-wide output contract, no-oracle half: every spec WITH an
     oracle passes through ``compare()`` (which calls
