@@ -224,3 +224,58 @@ def test_py_md5_bucket_matches_spark(spark):
     )
     for r in rows:
         assert r.b == py_md5_bucket(r.tok, RAG_BUCKETS, salt="feat"), r.tok
+
+
+def test_corpus_release_gate_algebra(spark, sf_oracle_dir):
+    """End-to-end algebra of the release gates (BACKLOG depth item):
+    the manifest rows must account for the release EXACTLY —
+    batch_kept + batch_dropped = simulated batch size, batch_kept =
+    the novel (edited) docs, release_docs = corpus + kept, ids_unique
+    holds, and the XOR of per-shard checksums equals the XOR over the
+    release computed independently."""
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.functions.text import md5_long
+    from map_reduce_multi_threaded_spark.operators.pipeline import (
+        pipeline_corpus_release,
+    )
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    rows = pipeline_corpus_release(spark, sf_oracle_dir).collect()
+    assert rows
+    d = load_table(spark, sf_oracle_dir, "documents")
+    n_corpus = d.count()
+    n_third = d.where(F.col("doc_id") % 3 == 0).count()
+    n_fifth = d.where(F.col("doc_id") % 5 == 0).count()
+
+    first = rows[0]
+    # release-level columns are window constants: identical on every row
+    for r in rows:
+        assert (
+            r["release_docs"], r["ids_unique"], r["batch_kept"], r["batch_dropped"]
+        ) == (
+            first["release_docs"], first["ids_unique"],
+            first["batch_kept"], first["batch_dropped"],
+        )
+    assert first["ids_unique"] is True
+    assert first["batch_kept"] == n_fifth, "every edited doc is novel"
+    assert first["batch_dropped"] == n_third, "every verbatim re-crawl is a dup"
+    assert first["batch_kept"] + first["batch_dropped"] == n_third + n_fifth
+    assert first["release_docs"] == n_corpus + n_fifth
+    assert first["release_docs"] == sum(r["n_docs"] for r in rows)
+
+    # checksum algebra: XOR over shards == XOR over the release
+    total_xor = reduce(lambda a, b: a ^ b, (r["content_checksum"] for r in rows), 0)
+    base = 10 ** len(str(d.agg(F.max("doc_id")).collect()[0][0]))
+    novel = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2 * base).alias("doc_id"),
+        F.concat("text", F.lit(" revised")).alias("text"),
+    )
+    release = d.select("doc_id", "text").unionByName(novel)
+    # recompute with the same hash the manifest used
+    direct = release.select(md5_long(F.col("text")).alias("h")).agg(
+        F.expr("bit_xor(h)")
+    ).collect()[0][0]
+    assert total_xor == direct
