@@ -120,6 +120,14 @@ HEADLINE = [
     "agg_changelog_maintain",  # retractable incremental view maintenance
     "pipeline_mixture_weights",  # data-mixing weights toward target share
     "stream_wordcount",        # the reference S1-S13 as a 2-batch stream
+    "dedup_bloom_ingest",      # portable md5 Bloom ingest screen
+    "dedup_boilerplate",       # C4-style corpus-frequency line removal
+    "events_cep_pattern",      # strictly-contiguous CEP via lead windows
+    "events_lateness_audit",   # two-pass running-max watermark audit
+    "text_ngram_novelty",      # corpus novelty / memorization audit
+    "graph_common_neighbors",  # nation-blocked Jaccard link prediction
+    "multimodal_wav_spectrum", # numpy rFFT dominant-frequency extraction
+    "stream_cdc_upsert",       # foreachBatch merge-on-read CDC apply
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -553,6 +553,108 @@ FROM events GROUP BY 1, 2
 """
 
 
+#: watermark delay for the late-data-policy replay (5 minutes, half
+#: the 0-10 min simulated transport jitter so real drops occur).
+LATE_WM_DELAY_US = 300 * 1_000_000
+
+
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data policy, actually exercised: replay events in
+    simulated ARRIVAL order (event time + 0-10 min md5 transport
+    jitter, :func:`windows.stage_events_arrival_order`) through a
+    watermarked tumbling aggregation with a 5-minute delay — rows
+    whose window already fell behind the watermark are genuinely
+    DROPPED by the engine, and windows still open at end-of-stream are
+    genuinely withheld.  Every other staged replay here is
+    time-ordered ("nothing is ever late"); this query gates the drop
+    rule itself.
+
+    The oracle re-derives the engine's exact policy from the batch
+    table — including the subtlety (verified against the engine with
+    minimal probes, batch-2 drop metrics) that the LATE-DATA FILTER
+    runs one trigger behind EVICTION: a row in micro-batch b is
+    dropped iff its window END ≤ the watermark of the PREVIOUS batch
+    (ms-floored max event time over files ≤ b−2, minus delay) — a row
+    late w.r.t. the CURRENT watermark but whose window state has not
+    yet been evicted is still merged; emission/eviction then uses the
+    current watermark, and append mode finally emits every window
+    whose end ≤ the terminal watermark (final no-data micro-batch).
+    Matching bit-for-bit means the replay cut points, the ms flooring
+    of event-time stats, the filter-vs-eviction lag, and the boundary
+    comparisons are all right.
+
+    Scale: watermark state is O(open windows × types); the late-drop
+    filter runs pre-shuffle on every executor — this is the mechanism
+    that bounds streaming state at 100 TB, demonstrated rather than
+    asserted."""
+    import pyspark.sql.functions as F
+
+    staged = W.stage_events_arrival_order(sf_dir, n_files=4)
+    ev = W.read_staged_stream(spark, staged)
+    agg = (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return W.run_to_memory(agg, "stream_late_policy_sink", output_mode="append")
+
+
+def _late_policy_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    jitter = f"{duck_md5_long('CAST(event_id AS VARCHAR)')} % {W.LATE_JITTER_US}"
+    wend = "epoch_us(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes')"
+    return f"""
+WITH arr AS (
+  SELECT event_id, event_type, value, ts,
+         epoch_us(ts) + {jitter} AS arr_us
+  FROM events
+),
+nn AS (SELECT count(*) AS n FROM events),
+ranked AS (
+  SELECT arr.*, row_number() OVER (ORDER BY arr_us, event_id) - 1 AS r FROM arr
+),
+filed AS (
+  SELECT ranked.*, CASE WHEN r < 1 * n // 4 THEN 0
+                        WHEN r < 2 * n // 4 THEN 1
+                        WHEN r < 3 * n // 4 THEN 2
+                        ELSE 3 END AS f
+  FROM ranked, nn
+),
+fmax AS (SELECT f, max(epoch_us(ts)) AS mx FROM filed GROUP BY f),
+wmb AS (
+  -- the watermark the late-data filter sees in batch b: one trigger
+  -- BEHIND eviction, i.e. derived from files <= b-2
+  SELECT b.f, (max(w.mx) // 1000 - {LATE_WM_DELAY_US // 1000}) * 1000 AS wm_us
+  FROM (SELECT DISTINCT f FROM filed) b LEFT JOIN fmax w ON w.f < b.f - 1
+  GROUP BY b.f
+),
+kept AS (
+  SELECT filed.* FROM filed JOIN wmb USING (f)
+  WHERE wm_us IS NULL OR {wend} > wm_us
+),
+fw AS (
+  SELECT (max(epoch_us(ts)) // 1000 - {LATE_WM_DELAY_US // 1000}) * 1000 AS fw_us
+  FROM events
+)
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM kept, fw
+WHERE {wend} <= fw_us
+GROUP BY 1, 2
+"""
+
+
 #: micro-batch count for the CDC-upsert replay (time-ordered quarter
 #: files; boundaries are ``i*n div 4`` of the (ts, event_id) order —
 #: the oracle mirrors them exactly).
@@ -670,6 +772,10 @@ FROM lastd l JOIN nvers USING (user_id)
 
 
 SPECS = [
+    QuerySpec("stream_late_data_policy", stream_late_data_policy,
+              _late_policy_oracle(),
+              "watermarked agg over an out-of-order arrival replay: real "
+              "late-row drops + terminal emission frontier, both oracled"),
     QuerySpec("stream_cdc_upsert", stream_cdc_upsert, _CDC_UPSERT_ORACLE,
               "foreachBatch merge-on-read upsert of a replayed change "
               "stream (per-batch change-set compaction; version counts "

@@ -180,6 +180,76 @@ def stage_events_multibatch(
     return out_dir, cutoff
 
 
+#: simulated transport delay bound for the ARRIVAL-ORDER replay:
+#: 0-60 min md5 jitter per event.  Deliberately LARGER than
+#: relational.events_lateness_audit's 10-min model: drops need a row's
+#: jitter to carry it past a FILE boundary by more than the watermark
+#: delay, and with only 4 boundaries over the fixture's span a 10-min
+#: jitter almost never does (measured: 1 drop at sf0.01) — 1 h makes
+#: the drop path genuinely load-bearing at every sf.
+LATE_JITTER_US = 3600 * 1_000_000
+
+
+def stage_events_arrival_order(sf_dir: str, n_files: int = 4) -> str:
+    """Split events.parquet into ``n_files`` files ordered by SIMULATED
+    ARRIVAL time (event time + a deterministic 0-10 min md5 transport
+    delay), so a file-per-trigger replay delivers genuinely
+    OUT-OF-ORDER event times: rows whose event time lags the
+    high-water mark by more than the watermark delay are really
+    dropped by the engine — unlike :func:`stage_events_multibatch`,
+    whose time-ordered files mean nothing is ever late.
+
+    No sentinels: the final no-data micro-batch (noDataMicroBatches)
+    closes every window at or below the terminal watermark; windows
+    above it stay open and are deliberately absent from the result —
+    the oracle models both the per-batch drop rule and that terminal
+    emission frontier.  The staged copy is cached per sf dir."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.text import py_md5_bucket
+    from ..sources.tables import stage_scratch_dir
+
+    out_dir = stage_scratch_dir(
+        sf_dir, f"events_arrival{n_files}j{LATE_JITTER_US // 10**6}", "events"
+    )
+    marker = os.path.join(out_dir, "_STAGED")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    unit = t.schema.field("ts").type.unit
+    # arrival is computed in MICROSECONDS exactly (ns truncates like
+    # both Spark's normalize cast and the oracle's epoch_us) so the
+    # arrival ORDER here is bit-identical to the oracle's
+    ticks = t.column("ts").cast(pa.int64())
+    if unit == "ns":
+        ts_us = pc.divide(ticks, 1000)
+    else:
+        ts_us = pc.multiply(ticks, {"s": 10**6, "ms": 10**3, "us": 1}[unit])
+    jitter = [
+        py_md5_bucket(str(e), LATE_JITTER_US)
+        for e in t.column("event_id").to_pylist()
+    ]
+    arr = pc.add(ts_us, pa.array(jitter, pa.int64()))
+    t = t.append_column("_arr", arr)
+    t = t.take(
+        pc.sort_indices(t, sort_keys=[("_arr", "ascending"), ("event_id", "ascending")])
+    ).drop_columns(["_arr"])
+    n = t.num_rows
+    for i in range(n_files):
+        chunk = t.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
+        path = os.path.join(out_dir, f"f{i:03d}.parquet")
+        pq.write_table(chunk, path, store_schema=True)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    with open(marker, "w") as f:
+        f.write("arrival")
+    return out_dir
+
+
 def read_staged_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     """Stream the staged multi-file replay, one file per micro-batch."""
     import glob

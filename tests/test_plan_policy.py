@@ -39,6 +39,7 @@ _CHECKPOINT_OK = {
     "orders_abc_analysis",
     "pipeline_budget_select",
     "text_zipf_slope",
+    "events_lateness_audit",  # two-pass running max, same range pin
 }
 
 

@@ -226,3 +226,72 @@ def test_foreach_batch_transform_is_idempotent_on_replay(spark, sf_oracle_dir, t
         (r["user_id"], r["event_id"]) for r in spark.read.parquet(out).collect()
     )
     assert again == first
+
+
+def test_late_filter_lags_eviction_by_one_trigger(spark, tmp_path):
+    """Pins the engine semantics stream_late_data_policy's oracle
+    models: a row late w.r.t. the CURRENT watermark but whose window
+    state was not yet evicted is still merged (batch 1 here), while a
+    row arriving after its window was evicted is dropped and counted
+    in numRowsDroppedByWatermark (batch 2) — the late-data filter
+    runs one trigger behind eviction."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = lambda s: s * 10**6  # noqa: E731
+    t0 = 1_700_000_000
+    d = str(tmp_path / "files")
+    os.makedirs(d)
+
+    def mk(path, mtime, ids, tss):
+        t = pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "ts": pa.array([us(t) for t in tss], pa.timestamp("us")),
+        })
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    # f0: on-time row + a row 100 min ahead (watermark -> t0+95min)
+    mk(f"{d}/f0.parquet", 1, [1, 2], [t0, t0 + 6000])
+    # f1: row 200 min ahead AND... processed with wm filter from f(-1):
+    #     a t0+5min row here would still merge (not tested; f2 is the
+    #     decisive case)
+    mk(f"{d}/f1.parquet", 2, [3], [t0 + 12000])
+    # f2: t0+5min row — its window was evicted at the end of batch 1,
+    #     so THIS one must be dropped and counted
+    mk(f"{d}/f2.parquet", 3, [4], [t0 + 300])
+
+    src = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = (
+        src.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.queryName("late_lag_probe")
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in (json.loads(p.json) if not isinstance(p, dict) else p).get(
+            "stateOperators", []
+        )
+    )
+    got = {r["w"].start.strftime("%H:%M"): r["n"] for r in spark.table("late_lag_probe").collect()}
+    assert dropped == 1, f"expected exactly the post-eviction row dropped, got {dropped}"
+    # window of rows 1 (+ NOT 4): emitted once with n=1; row 2's window
+    # closed by the terminal watermark; row 3's window still open
+    assert got == {"22:10": 1, "23:50": 1}, got
