@@ -128,6 +128,9 @@ HEADLINE = [
     "graph_common_neighbors",  # nation-blocked Jaccard link prediction
     "multimodal_wav_spectrum", # numpy rFFT dominant-frequency extraction
     "stream_cdc_upsert",       # foreachBatch merge-on-read CDC apply
+    "stream_late_data_policy", # out-of-order replay, real watermark drops
+    "join_asof_tolerance",     # bounded-staleness as-of (merge_asof tolerance)
+    "pipeline_preference_pairs",  # DPO chosen/rejected pair construction
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -843,6 +843,69 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+#: as-of tolerance: matches staler than this are rejected (the pandas
+#: ``merge_asof(tolerance=...)`` / kdb window-join bound).
+ASOF_TOLERANCE_US = 2 * 3_600 * 1_000_000
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness bound — pandas
+    ``merge_asof(tolerance=2h)`` semantics: each purchase matches the
+    same user's most recent error at-or-before it ONLY if that error
+    is within 2 hours; staler carries are rejected to NULL.  The
+    bound is what production enrichment actually wants (a price/state
+    older than the tolerance is wrong to join, not merely old).
+
+    Same scalable carry as :func:`join_asof` — one (user, time) sort,
+    ``last(ignorenulls)``, zero row multiplication — plus a narrow
+    post-predicate; the tolerance costs nothing.  The oracle applies
+    the same bound to DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp").alias("err_ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+        F.col("ts").alias("err_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        purchases.unionByName(errors)
+        .withColumn("last_err_ts", F.last("err_ts", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+    )
+    stale_us = F.unix_micros("ts") - F.unix_micros("last_err_ts")
+    in_tol = F.col("last_err_ts").isNotNull() & (stale_us <= ASOF_TOLERANCE_US)
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.when(in_tol, F.date_format("last_err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .alias("matched_error_ts"),
+        F.when(in_tol, (stale_us / F.lit(1_000_000)).cast("long")).alias("staleness_s"),
+    )
+
+
+_JOIN_ASOF_TOLERANCE_ORACLE = f"""
+SELECT p.event_id AS event_id, p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       CASE WHEN e.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(e.ts) <= {ASOF_TOLERANCE_US}
+            THEN strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') END AS matched_error_ts,
+       CASE WHEN e.ts IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(e.ts) <= {ASOF_TOLERANCE_US}
+            THEN (epoch_us(p.ts) - epoch_us(e.ts)) // 1000000 END AS staleness_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-in-time as-of join (bidirectional): for each purchase,
     the same user's error closest in time in EITHER direction, ties to
@@ -4771,6 +4834,9 @@ SPECS = [
     QuerySpec("join_full_outer", join_full_outer, _JOIN_FULL_ORACLE, "full outer with null coalesce"),
     QuerySpec("join_range", join_range, _JOIN_RANGE_ORACLE, "equi + range predicate join"),
     QuerySpec("join_asof", join_asof, _JOIN_ASOF_ORACLE, "as-of join via union + carry-forward window"),
+    QuerySpec("join_asof_tolerance", join_asof_tolerance, _JOIN_ASOF_TOLERANCE_ORACLE,
+              "as-of join with a 2h staleness bound (pandas merge_asof "
+              "tolerance semantics) — stale carries rejected to NULL"),
     QuerySpec("topk_per_group", topk_per_group, _TOPK_ORACLE, "window row_number top-k"),
     QuerySpec("window_running", window_running, _WINDOW_RUNNING_ORACLE, "running sum / lag / lead"),
     QuerySpec("window_share", window_share, _WINDOW_SHARE_ORACLE, "partition-total share"),

@@ -279,3 +279,33 @@ def test_corpus_release_gate_algebra(spark, sf_oracle_dir):
         F.expr("bit_xor(h)")
     ).collect()[0][0]
     assert total_xor == direct
+
+
+def test_preference_pairs_are_extreme_and_distinct(spark, sf_oracle_dir):
+    """One pair per source; chosen strictly outscores rejected; both
+    ids really are that source's argmax/argmin under the documented
+    tie-breaks (re-derived from collected scores)."""
+    from collections import defaultdict
+
+    from map_reduce_multi_threaded_spark.operators.pipeline import (
+        pipeline_preference_pairs,
+    )
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    rows = pipeline_preference_pairs(spark, sf_oracle_dir).collect()
+    assert rows
+    assert len({r["source"] for r in rows}) == len(rows)
+    docs = load_table(spark, sf_oracle_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    scores = defaultdict(dict)
+    for d in docs:
+        toks = [t for t in d["text"].split() if t]
+        scores[d["source"]][d["doc_id"]] = len(set(toks))
+    for r in rows:
+        s = scores[r["source"]]
+        assert r["margin"] == r["chosen_score"] - r["rejected_score"] > 0
+        best = max(s.items(), key=lambda kv: (kv[1], -kv[0]))
+        worst = min(s.items(), key=lambda kv: (kv[1], kv[0]))
+        assert (r["chosen_id"], r["chosen_score"]) == (best[0], best[1])
+        assert (r["rejected_id"], r["rejected_score"]) == (worst[0], worst[1])

