@@ -137,10 +137,12 @@ def encode_ppm(rgb: bytes, width: int = PPM_WIDTH) -> bytes:
     return header.encode("ascii") + rgb
 
 
-def parse_ppm(b: bytes) -> dict:
-    """Parse binary PPM (P6); return ``{width, height, maxval,
-    n_pixels, sum_r, sum_g, sum_b}``.  Raises ``ValueError`` on
-    malformed input."""
+def parse_ppm_raster(b: bytes) -> tuple[int, int, int, bytes]:
+    """Parse binary PPM (P6) down to the raw raster: returns
+    ``(width, height, maxval, raster)`` with raster =
+    ``width*height*3`` RGB bytes — the decode half shared by
+    :func:`parse_ppm` (stats) and any pixel-space transform (tiling,
+    cropping).  Raises ``ValueError`` on malformed input."""
     if b[0:2] != b"P6":
         raise ValueError("not a P6 PPM stream")
     pos = 2
@@ -174,6 +176,14 @@ def parse_ppm(b: bytes) -> dict:
     raster = b[pos:pos + n]
     if len(raster) < n:
         raise ValueError("raster truncated")
+    return width, height, maxval, raster
+
+
+def parse_ppm(b: bytes) -> dict:
+    """Parse binary PPM (P6); return ``{width, height, maxval,
+    n_pixels, sum_r, sum_g, sum_b}``.  Raises ``ValueError`` on
+    malformed input."""
+    width, height, maxval, raster = parse_ppm_raster(b)
     return {
         "width": width,
         "height": height,

@@ -485,6 +485,101 @@ FROM s
 """
 
 
+#: tile (patch) geometry: 4×4-pixel patches over the 8-pixel-wide PPM
+#: grid → 2 patch columns; the last patch row may be short.
+TILE_PX = 4
+
+
+def image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch extraction — the ViT/CLIP image-preprocessing step: parse
+    the synthesized P6 PPM down to its raster and cut it into
+    {TILE_PX}×{TILE_PX}-pixel patches, emitting per-patch byte counts
+    and channel-summed intensities (stand-in for per-patch
+    normalization stats / embedding input).  The tile stage operates
+    on DECODED pixels via numpy slicing — the layering a real
+    patchifier (reshape + transpose into model input) slots into; the
+    raster never re-enters SQL, only the per-tile stats do.
+
+    Oracle: raster bytes are the text bytes zero-padded to the 8-pixel
+    row grid, so every patch sum has a closed form over strided
+    character positions; the full patch GRID (including all-padding
+    patches) must match too, which pins the ceil-division geometry.
+
+    Scale: one narrow Arrow map (encode) chained to one narrow Arrow
+    map (decode+tile) — zero shuffles; output is patches per doc, a
+    bounded ~h/4×2 fan-out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.codecs import PPM_WIDTH, encode_ppm, parse_ppm_raster
+
+    def tile(batches):
+        for b in batches:
+            docs, tys, txs, npx, sums = [], [], [], [], []
+            for doc, payload in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                w, h, _mx, raster = parse_ppm_raster(encode_ppm(payload))
+                grid = np.frombuffer(raster, dtype=np.uint8).reshape(h, 3 * w)
+                for ty in range((h + TILE_PX - 1) // TILE_PX):
+                    for tx in range(w // TILE_PX):
+                        patch = grid[
+                            TILE_PX * ty:TILE_PX * (ty + 1),
+                            3 * TILE_PX * tx:3 * TILE_PX * (tx + 1),
+                        ]
+                        docs.append(doc)
+                        tys.append(ty)
+                        txs.append(tx)
+                        npx.append(patch.shape[0] * patch.shape[1] // 3)
+                        sums.append(int(patch.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(docs, pa.int64()),
+                    pa.array(tys, pa.int64()),
+                    pa.array(txs, pa.int64()),
+                    pa.array(npx, pa.int64()),
+                    pa.array(sums, pa.int64()),
+                ],
+                ["doc_id", "tile_y", "tile_x", "n_px", "tile_sum"],
+            )
+
+    assert PPM_WIDTH % TILE_PX == 0
+    return with_payload(spark, sf_dir).mapInArrow(
+        tile,
+        "doc_id long, tile_y long, tile_x long, n_px long, tile_sum long",
+    )
+
+
+_IMAGE_TILES_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+dims AS (SELECT doc_id, n, (n + 23) // 24 AS h FROM s),
+grid AS (
+  SELECT doc_id, h, ty.g AS tile_y, tx.g AS tile_x
+  FROM dims,
+       LATERAL (SELECT unnest(generate_series(0, (h + {TILE_PX - 1}) // {TILE_PX} - 1)) AS g) ty,
+       LATERAL (SELECT unnest(generate_series(0, 1)) AS g) tx
+),
+bytes AS (
+  SELECT doc_id,
+         ((i - 1) // 3 // 8) // {TILE_PX} AS tile_y,
+         (((i - 1) // 3) % 8) // {TILE_PX} AS tile_x,
+         ascii(substr(text, i, 1)) AS v
+  FROM s, unnest(generate_series(1, n)) AS u(i)
+),
+sums AS (
+  SELECT doc_id, tile_y, tile_x, sum(v) AS tile_sum
+  FROM bytes GROUP BY 1, 2, 3
+)
+SELECT g.doc_id, g.tile_y, g.tile_x,
+       CAST({TILE_PX} * least({TILE_PX}, g.h - {TILE_PX} * g.tile_y) AS BIGINT) AS n_px,
+       CAST(coalesce(tile_sum, 0) AS BIGINT) AS tile_sum
+FROM grid g
+LEFT JOIN sums USING (doc_id, tile_y, tile_x)
+"""
+
+
 #: spectrum-analysis geometry: FFT length, sample rate, tone table size
 FFT_N = 512
 FFT_RATE = 8000
@@ -593,4 +688,7 @@ SPECS = [
     QuerySpec("multimodal_wav_spectrum", wav_spectrum, _WAV_SPECTRUM_ORACLE,
               "real numpy rFFT dominant-frequency extraction over "
               "container-decoded exact-bin tones (closed-form oracle)"),
+    QuerySpec("multimodal_image_tiles", image_tiles, _IMAGE_TILES_ORACLE,
+              "ViT-style 4x4 patch extraction over the decoded P6 raster "
+              "(numpy slicing; full patch grid incl. ragged edge oracled)"),
 ]

@@ -1796,6 +1796,102 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+#: windowFunnel horizon: the whole signup→view→purchase chain must
+#: complete within this span of the chain's FIRST step.
+FUNNEL_WINDOW_US = 24 * 3_600 * 1_000_000
+
+
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel``-style time-boxed funnel level: per
+    user, the deepest prefix of signup → view → purchase reachable
+    with strictly increasing timestamps where EVERY step falls within
+    {24 h} of the first step — unlike :func:`events_funnel` (whole
+    corpus, no horizon) or :func:`events_cep_pattern` (strict
+    adjacency), this is the time-boxed subsequence semantics product
+    analytics actually bills as "conversion within a day".
+
+    Greedy-earliest is the standard deterministic spelling: t1 = the
+    user's first signup, t2 = first view after t1 within the horizon,
+    t3 = first purchase after t2 within t1's horizon.  Three keyed
+    min-aggregations joined on user_id — each stage shuffles only its
+    event type's rows, co-partitioned on user_id.
+
+    Caveat (same as ClickHouse's): greedy-earliest is not maximal —
+    an anchor signup can miss a later signup whose window would reach
+    deeper.  The funnel level counts from the FIRST anchor, which is
+    the semantics dashboards expect."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.unix_micros("ts") - F.unix_micros("t1") <= FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.unix_micros("ts") - F.unix_micros("t1") <= FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.join(v.select("user_id", "t2"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("funnel_level"),
+            F.date_format("t1", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("step1_ts"),
+            F.date_format("t2", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("step2_ts"),
+            F.date_format("t3", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("step3_ts"),
+        )
+    )
+
+
+_WINDOW_FUNNEL_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s.t1
+    AND epoch_us(e.ts) - epoch_us(s.t1) <= {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN v USING (user_id) JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t2
+    AND epoch_us(e.ts) - epoch_us(s.t1) <= {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       1 + CASE WHEN v.t2 IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN p.t3 IS NOT NULL THEN 1 ELSE 0 END AS funnel_level,
+       strftime(s.t1, '%Y-%m-%d %H:%M:%S.%f') AS step1_ts,
+       strftime(v.t2, '%Y-%m-%d %H:%M:%S.%f') AS step2_ts,
+       strftime(p.t3, '%Y-%m-%d %H:%M:%S.%f') AS step3_ts
+FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 #: CEP step deadlines: click within 1 h of the view, purchase within
 #: 4 h of the click.
 CEP_STEP1_US = 3_600 * 1_000_000
@@ -4892,6 +4988,9 @@ SPECS = [
               "csv/json/orc ingestion round-trip with exact decimal checksum"),
     QuerySpec("events_funnel", events_funnel, _FUNNEL_ORACLE,
               "ordered signup→view→purchase conversion funnel (min-timestamp semantics)"),
+    QuerySpec("events_window_funnel", events_window_funnel, _WINDOW_FUNNEL_ORACLE,
+              "ClickHouse windowFunnel-style time-boxed funnel level per user "
+              "(greedy-earliest, 24h horizon from the first step)"),
     QuerySpec("events_cep_pattern", events_cep_pattern, _CEP_ORACLE,
               "MATCH_RECOGNIZE-style strictly-contiguous view→click→purchase "
               "runs with per-step deadlines (CEP via lead windows)"),

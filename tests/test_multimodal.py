@@ -183,3 +183,29 @@ def test_parsers_never_crash_on_arbitrary_bytes():
                 pass
 
     check()
+
+
+def test_image_tiles_grid_geometry_and_totals(spark, sf_oracle_dir):
+    """Patch grid covers the padded raster exactly: per doc the patch
+    count is ceil(h/4)*2, n_px sums to the raster pixel count, and
+    tile sums add up to the document's total byte sum (padding adds
+    zero)."""
+    from collections import defaultdict
+
+    from map_reduce_multi_threaded_spark.operators.multimodal import image_tiles
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    per_doc = defaultdict(list)
+    for r in image_tiles(spark, sf_oracle_dir).collect():
+        per_doc[r["doc_id"]].append(r)
+    texts = {
+        r["doc_id"]: r["text"].encode()
+        for r in load_table(spark, sf_oracle_dir, "documents").collect()
+    }
+    assert set(per_doc) == set(texts)
+    for doc, tiles in per_doc.items():
+        raw = texts[doc]
+        h = (len(raw) + 23) // 24
+        assert len(tiles) == ((h + 3) // 4) * 2
+        assert sum(t["n_px"] for t in tiles) == 8 * h
+        assert sum(t["tile_sum"] for t in tiles) == sum(raw)

@@ -645,3 +645,30 @@ def test_asof_tolerance_bounds_and_signal(spark, sf_oracle_dir):
             assert unbounded[r["event_id"]] is None or True  # stale or no carry
         else:
             assert unbounded[r["event_id"]] == r["matched_error_ts"]
+
+
+def test_window_funnel_levels_have_signal_and_box(spark, sf_oracle_dir):
+    """All three funnel depths occur at sf0.01, and every reported
+    chain obeys the ordering + 24h-horizon box."""
+    from datetime import timedelta
+
+    from map_reduce_multi_threaded_spark.operators.relational import (
+        FUNNEL_WINDOW_US,
+        events_window_funnel,
+    )
+
+    rows = events_window_funnel(spark, sf_oracle_dir).collect()
+    levels = {r["funnel_level"] for r in rows}
+    assert levels == {1, 2, 3}, levels
+    horizon = timedelta(microseconds=FUNNEL_WINDOW_US)
+    from datetime import datetime
+
+    parse = lambda s: datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")  # noqa: E731
+    for r in rows:
+        steps = [r["step1_ts"], r["step2_ts"], r["step3_ts"]]
+        present = [parse(s) for s in steps if s is not None]
+        assert len(present) == r["funnel_level"]
+        assert steps[: r["funnel_level"]] == [s for s in steps if s is not None]
+        assert present == sorted(present)
+        if len(present) > 1:
+            assert present[-1] - present[0] <= horizon
