@@ -131,6 +131,8 @@ HEADLINE = [
     "stream_late_data_policy", # out-of-order replay, real watermark drops
     "join_asof_tolerance",     # bounded-staleness as-of (merge_asof tolerance)
     "pipeline_preference_pairs",  # DPO chosen/rejected pair construction
+    "events_window_funnel",    # ClickHouse-style time-boxed funnel levels
+    "multimodal_image_tiles",  # ViT patch extraction over decoded rasters
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
