@@ -40,6 +40,7 @@ _CHECKPOINT_OK = {
     "pipeline_budget_select",
     "text_zipf_slope",
     "events_lateness_audit",  # two-pass running max, same range pin
+    "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
 }
 
 
