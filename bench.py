@@ -133,6 +133,7 @@ HEADLINE = [
     "pipeline_preference_pairs",  # DPO chosen/rejected pair construction
     "events_window_funnel",    # ClickHouse-style time-boxed funnel levels
     "multimodal_image_tiles",  # ViT patch extraction over decoded rasters
+    "dq_k_anonymity",          # k-anonymity privacy audit
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -4335,6 +4335,65 @@ FROM rev c JOIN rev p ON p.month = c.month - INTERVAL 12 MONTH
 """
 
 
+#: k-anonymity threshold and the quasi-identifier char-bucket width.
+K_ANON = 5
+K_ANON_CHARS_BUCKET = 50
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a dataset release runs
+    over its quasi-identifiers: group documents by the QI tuple
+    (lang, source, {50}-char length bucket) and flag every group
+    smaller than k={5}; a row in a small group is re-identifiable by
+    its QI combination alone, so releases either suppress those rows
+    or coarsen the buckets until every group passes.  Reported
+    per-group with the release-level risky-row total alongside (the
+    number that actually gates the release).
+
+    Scale: one keyed aggregation on the QI tuple + a window over the
+    GROUP table (bounded by the QI-combination count, not the corpus)
+    for the release totals — same shape as any rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = (
+        d.select(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / K_ANON_CHARS_BUCKET)
+             * K_ANON_CHARS_BUCKET).alias("chars_bucket"),
+        )
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    w_all = Window.partitionBy()
+    return groups.select(
+        "lang",
+        "source",
+        "chars_bucket",
+        "group_size",
+        (F.col("group_size") >= K_ANON).alias("k_anonymous"),
+        F.sum(F.when(F.col("group_size") < K_ANON, F.col("group_size")).otherwise(0))
+        .over(w_all)
+        .alias("risky_rows_total"),
+    )
+
+
+_DQ_K_ANON_ORACLE = f"""
+WITH groups AS (
+  SELECT lang, source,
+         (n_chars // {K_ANON_CHARS_BUCKET}) * {K_ANON_CHARS_BUCKET} AS chars_bucket,
+         count(*) AS group_size
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source, CAST(chars_bucket AS BIGINT) AS chars_bucket,
+       group_size,
+       group_size >= {K_ANON} AS k_anonymous,
+       CAST(sum(CASE WHEN group_size < {K_ANON} THEN group_size ELSE 0 END)
+            OVER () AS BIGINT) AS risky_rows_total
+FROM groups
+"""
+
+
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assertion-style data-quality validation (the Great-Expectations
     shape, as a query): each rule emits (rule, observed, threshold,
@@ -5083,6 +5142,9 @@ SPECS = [
               "per-group OLS slope/intercept/r2 from the same exact moments (one-pass .fit())"),
     QuerySpec("orders_seasonal_naive", orders_seasonal_naive, _SEASONAL_NAIVE_ORACLE,
               "seasonal-naive monthly forecast + backtest errors (gap-safe offset self-join)"),
+    QuerySpec("dq_k_anonymity", dq_k_anonymity, _DQ_K_ANON_ORACLE,
+              "k-anonymity privacy audit over quasi-identifier groups "
+              "(k=5; per-group flags + release-level risky-row total)"),
     QuerySpec("dq_expectations", dq_expectations, _DQ_EXPECT_ORACLE,
               "assertion-style DQ validation: referential/range/null rules with pass gates"),
     QuerySpec("agg_bitwise", agg_bitwise, _BITWISE_ORACLE,

@@ -672,3 +672,20 @@ def test_window_funnel_levels_have_signal_and_box(spark, sf_oracle_dir):
         assert present == sorted(present)
         if len(present) > 1:
             assert present[-1] - present[0] <= horizon
+
+
+def test_k_anonymity_algebra(spark, sf_oracle_dir):
+    """risky_rows_total is the same constant on every row and equals
+    the sum of below-k group sizes; flags match the threshold."""
+    from map_reduce_multi_threaded_spark.operators.relational import (
+        K_ANON,
+        dq_k_anonymity,
+    )
+
+    rows = dq_k_anonymity(spark, sf_oracle_dir).collect()
+    assert rows
+    risky = sum(r["group_size"] for r in rows if r["group_size"] < K_ANON)
+    for r in rows:
+        assert r["k_anonymous"] == (r["group_size"] >= K_ANON)
+        assert r["risky_rows_total"] == risky
+    assert {True, False} <= {r["k_anonymous"] for r in rows}
