@@ -41,6 +41,7 @@ _CHECKPOINT_OK = {
     "text_zipf_slope",
     "events_lateness_audit",  # two-pass running max, same range pin
     "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
+    "dedup_bloom_ingest",  # pinned corpus hash index + hashed batch
 }
 
 
