@@ -553,14 +553,17 @@ FROM events GROUP BY 1, 2
 """
 
 
-#: watermark delay for the late-data-policy replay (5 minutes, half
-#: the 0-10 min simulated transport jitter so real drops occur).
+#: watermark delay for the late-data-policy replay: 5 minutes, 1/12 of
+#: the 0-60 min simulated transport jitter (windows.LATE_JITTER_US) —
+#: drops need a row's jitter to carry it past a FILE boundary by more
+#: than this delay, so the jitter must dwarf it for real drops to
+#: occur at every sf.
 LATE_WM_DELAY_US = 300 * 1_000_000
 
 
 def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data policy, actually exercised: replay events in
-    simulated ARRIVAL order (event time + 0-10 min md5 transport
+    simulated ARRIVAL order (event time + 0-60 min md5 transport
     jitter, :func:`windows.stage_events_arrival_order`) through a
     watermarked tumbling aggregation with a 5-minute delay — rows
     whose window already fell behind the watermark are genuinely
@@ -587,24 +590,11 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter runs pre-shuffle on every executor — this is the mechanism
     that bounds streaming state at 100 TB, demonstrated rather than
     asserted."""
-    import pyspark.sql.functions as F
-
     staged = W.stage_events_arrival_order(sf_dir, n_files=4)
     ev = W.read_staged_stream(spark, staged)
-    agg = (
-        ev.withWatermark("ts", "5 minutes")
-        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
-        )
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    # the aggregation IS tumbling_counts — only the watermark and the
+    # out-of-order input differ from stream_tumbling
+    agg = W.tumbling_counts(ev.withWatermark("ts", "5 minutes"))
     return W.run_to_memory(agg, "stream_late_policy_sink", output_mode="append")
 
 

@@ -192,8 +192,8 @@ LATE_JITTER_US = 3600 * 1_000_000
 
 def stage_events_arrival_order(sf_dir: str, n_files: int = 4) -> str:
     """Split events.parquet into ``n_files`` files ordered by SIMULATED
-    ARRIVAL time (event time + a deterministic 0-10 min md5 transport
-    delay), so a file-per-trigger replay delivers genuinely
+    ARRIVAL time (event time + a deterministic 0-60 min md5 transport
+    delay, LATE_JITTER_US), so a file-per-trigger replay delivers genuinely
     OUT-OF-ORDER event times: rows whose event time lags the
     high-water mark by more than the watermark delay are really
     dropped by the engine — unlike :func:`stage_events_multibatch`,

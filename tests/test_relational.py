@@ -584,6 +584,8 @@ def test_cep_matches_are_strictly_contiguous(spark, sf_oracle_dir):
     must find exactly the same match set."""
     from collections import defaultdict
 
+    from pyspark.sql import functions as F
+
     from map_reduce_multi_threaded_spark.operators.relational import (
         CEP_STEP1_US,
         CEP_STEP2_US,
@@ -595,25 +597,30 @@ def test_cep_matches_are_strictly_contiguous(spark, sf_oracle_dir):
         (r["user_id"], r["view_ts"], r["purchase_ts"], r["span_us"])
         for r in events_cep_pattern(spark, sf_oracle_dir).collect()
     }
+    # micros and display strings are computed ENGINE-side so the scan
+    # never round-trips timestamps through Python datetimes (float
+    # epoch truncation / host-timezone hazards)
     ev = load_table(spark, sf_oracle_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s"),
+        "event_id",
     ).collect()
     per_user = defaultdict(list)
     for r in ev:
         per_user[r["user_id"]].append(r)
     want = set()
     for user, rows in per_user.items():
-        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        rows.sort(key=lambda r: (r["us"], r["event_id"]))
         for a, b, c in zip(rows, rows[1:], rows[2:]):
-            us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
             if (
                 (a["event_type"], b["event_type"], c["event_type"])
                 == ("view", "click", "purchase")
-                and us(b["ts"]) - us(a["ts"]) <= CEP_STEP1_US
-                and us(c["ts"]) - us(b["ts"]) <= CEP_STEP2_US
+                and b["us"] - a["us"] <= CEP_STEP1_US
+                and c["us"] - b["us"] <= CEP_STEP2_US
             ):
-                fmt = lambda t: t.strftime("%Y-%m-%d %H:%M:%S.%f")  # noqa: E731
-                want.add((user, fmt(a["ts"]), fmt(c["ts"]), us(c["ts"]) - us(a["ts"])))
+                want.add((user, a["s"], c["s"], c["us"] - a["us"]))
     assert got == want
     assert want, "sf0.01 fixture should contain at least one CEP match"
 
@@ -635,16 +642,26 @@ def test_asof_tolerance_bounds_and_signal(spark, sf_oracle_dir):
     for r in matched:
         assert 0 <= r["staleness_s"] <= ASOF_TOLERANCE_US // 1_000_000
     # rejected rows are exactly those whose UNbounded as-of carry was
-    # stale or absent
+    # stale or absent; matched rows agree with the unbounded carry
+    from datetime import datetime
+
     unbounded = {
-        r["event_id"]: r["last_error_ts"]
+        r["event_id"]: (r["last_error_ts"], r["purchase_ts"])
         for r in join_asof(spark, sf_oracle_dir).collect()
     }
+    parse = lambda s: datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")  # noqa: E731
+    tol_s = ASOF_TOLERANCE_US / 1_000_000
+    n_stale = 0
     for r in rows:
+        err, purch = unbounded[r["event_id"]]
         if r["matched_error_ts"] is None:
-            assert unbounded[r["event_id"]] is None or True  # stale or no carry
+            if err is not None:
+                n_stale += 1
+                stale_s = (parse(purch) - parse(err)).total_seconds()
+                assert stale_s > tol_s, (r["event_id"], stale_s)
         else:
-            assert unbounded[r["event_id"]] == r["matched_error_ts"]
+            assert err == r["matched_error_ts"]
+    assert n_stale > 0, "fixture should reject at least one stale carry"
 
 
 def test_window_funnel_levels_have_signal_and_box(spark, sf_oracle_dir):

@@ -290,7 +290,12 @@ def test_late_filter_lags_eviction_by_one_trigger(spark, tmp_path):
             "stateOperators", []
         )
     )
-    got = {r["w"].start.strftime("%H:%M"): r["n"] for r in spark.table("late_lag_probe").collect()}
+    got = {
+        r["ws"]: r["n"]
+        for r in spark.table("late_lag_probe")
+        .select(F.date_format("w.start", "HH:mm").alias("ws"), "n")
+        .collect()
+    }
     assert dropped == 1, f"expected exactly the post-eviction row dropped, got {dropped}"
     # window of rows 1 (+ NOT 4): emitted once with n=1; row 2's window
     # closed by the terminal watermark; row 3's window still open
