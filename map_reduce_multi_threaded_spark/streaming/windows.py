@@ -403,6 +403,11 @@ STREAM_STATE_PARTITIONS = 8
 #: (telemetry only — see run_to_memory).
 RECENT_PROGRESS: dict[str, list[dict]] = {}
 
+#: Per-sink-name executed physical plan text from the last drain —
+#: how the plan-policy gate reaches streaming queries, whose plans
+#: only materialize per micro-batch (no drain-free build path).
+RECENT_PLANS: dict[str, str] = {}
+
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame into an in-memory table and return
@@ -446,6 +451,9 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
                 p if isinstance(p, dict) else _json.loads(p.json)
                 for p in query.recentProgress
             ]
+            RECENT_PLANS[name] = (
+                query._jsq.explainInternal(False)  # noqa: SLF001
+            )
         except Exception:
             pass  # telemetry must never fail the query
     finally:

@@ -130,3 +130,35 @@ def test_checkpoint_whitelist_is_tight(plans):
         if n in plans and "Scan ExistingRDD" not in plans[n]
     ]
     assert not stale, stale
+
+
+def test_streaming_plans_obey_policy(spark):
+    """Extends the plan gate to streaming (BACKLOG depth item):
+    streaming physical plans only exist per micro-batch, so
+    run_to_memory records each drain's executed plan
+    (windows.RECENT_PLANS) and this test drains three representative
+    queries — plain stateful agg, watermarked out-of-order agg,
+    stream-static join — then asserts the same ground rules: no
+    row-at-a-time Python eval, no cartesian product, and the
+    watermark/state operators the semantics require are present."""
+    from map_reduce_multi_threaded_spark.streaming import queries as SQ
+    from map_reduce_multi_threaded_spark.streaming import windows as W
+
+    SQ.stream_tumbling(spark, SF)
+    SQ.stream_late_data_policy(spark, SF)
+    SQ.stream_static_join(spark, SF)
+    plans = {
+        n: W.RECENT_PLANS[n]
+        for n in (
+            "stream_tumbling_sink",
+            "stream_late_policy_sink",
+            "stream_static_join_sink",
+        )
+    }
+    for n, p in plans.items():
+        assert p, n
+        assert "BatchEvalPython" not in p, n
+        assert "CartesianProduct" not in p, n
+        assert "StateStoreSave" in p, n
+    assert "EventTimeWatermark" in plans["stream_late_policy_sink"]
+    assert "BroadcastHashJoin" in plans["stream_static_join_sink"]
