@@ -134,6 +134,7 @@ HEADLINE = [
     "events_window_funnel",    # ClickHouse-style time-boxed funnel levels
     "multimodal_image_tiles",  # ViT patch extraction over decoded rasters
     "dq_k_anonymity",          # k-anonymity privacy audit
+    "dedup_prefix_filter",     # exact PPJoin-style prefix-filtered near-dup
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -270,3 +270,34 @@ def test_boilerplate_strips_exactly_the_chrome(spark, sf_oracle_dir):
         got = out[r["doc_id"]]
         assert got["n_lines"] - got["n_kept"] == 2
         assert got["kept_hash"] == r["h"]
+
+
+def test_prefix_filter_prunes_but_never_misses(spark, sf_oracle_dir):
+    """The prefix filter's two load-bearing properties: its candidate
+    set is a strict SUBSET of the full self-join's (it prunes), yet
+    the verified output equals the all-pairs truth exactly (it never
+    misses a τ-pair)."""
+    import pyspark.sql.functions as F
+
+    sh = dedup.shingles(spark, sf_oracle_dir).localCheckpoint(eager=True)
+    pref = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup._prefix_candidates(spark, sf_oracle_dir, sh).collect()
+    }
+    a, b = sh.alias("a"), sh.alias("b")
+    full = {
+        (r[0], r[1])
+        for r in a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select("a.doc_id", "b.doc_id").distinct().collect()
+    }
+    assert pref < full and len(pref) * 2 < len(full), (len(pref), len(full))
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.dedup_prefix_filter(spark, sf_oracle_dir).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.dedup_ngram_jaccard(spark, sf_oracle_dir).collect()
+    }
+    assert got == want and want

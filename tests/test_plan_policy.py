@@ -42,6 +42,7 @@ _CHECKPOINT_OK = {
     "events_lateness_audit",  # two-pass running max, same range pin
     "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
     "dedup_bloom_ingest",  # pinned corpus hash index + hashed batch
+    "dedup_prefix_filter",  # checkpointed shingle table (3 consumers)
 }
 
 
