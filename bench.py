@@ -135,6 +135,7 @@ HEADLINE = [
     "multimodal_image_tiles",  # ViT patch extraction over decoded rasters
     "dq_k_anonymity",          # k-anonymity privacy audit
     "dedup_prefix_filter",     # exact PPJoin-style prefix-filtered near-dup
+    "events_session_dynamic_gap",  # per-row-gap session windows
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

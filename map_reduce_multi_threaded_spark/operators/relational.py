@@ -1270,6 +1270,48 @@ FROM part WHERE p_type = 'PROMO'
 """
 
 
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` arithmetic (Spark 4 runs ANSI mode by
+    default, where /0 and overflow RAISE): ``try_divide`` /
+    ``try_multiply`` / ``try_add`` / ``try_element_at`` return NULL on
+    the failing rows instead of killing the job — the spelling a
+    pipeline uses when a poison row must not abort a 100 TB pass.
+    Each expression is arranged so BOTH outcomes occur on fixture
+    data (mod-keyed zero divisors, int64-max overflows, out-of-range
+    indices); the oracle reproduces the NULL pattern with explicit
+    CASE guards.
+
+    Scale: narrow map, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    i64max = 9223372036854775807
+    return o.select(
+        "o_orderkey",
+        F.expr("try_divide(o_totalprice, o_orderkey % 3)").alias("td"),
+        F.expr(f"try_multiply({i64max}L, o_orderkey % 3)").alias("tm"),
+        F.expr(f"try_add({i64max}L, o_orderkey % 2)").alias("ta"),
+        # index 1..5: 4 and 5 are out of bounds -> NULL (index 0 is
+        # invalid under try_element_at too, so the key is 1-shifted)
+        F.expr(
+            "try_element_at(array(10L, 20L, 30L), cast(1 + o_orderkey % 5 as int))"
+        ).alias("te"),
+    )
+
+
+_TRY_ARITH_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_orderkey % 3) END AS td,
+       CASE WHEN o_orderkey % 3 = 0 THEN 0
+            WHEN o_orderkey % 3 = 1 THEN 9223372036854775807
+            ELSE NULL END AS tm,
+       CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807
+            ELSE NULL END AS ta,
+       CASE WHEN 1 + o_orderkey % 5 BETWEEN 1 AND 3 THEN (1 + o_orderkey % 5) * 10
+            ELSE NULL END AS te
+FROM orders
+"""
+
+
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
     return li.select(
@@ -1479,6 +1521,69 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-ROW gap (Spark's dynamic
+    ``session_window`` gap expression): conversion-type events
+    (purchase, signup) time out after 10 minutes, browsing events
+    after 30 — the "intent decays faster than browsing" sessionization
+    product analytics actually wants, and a feature most engines lack.
+
+    Semantics under variable gaps are interval-UNION, not
+    consecutive-delta: a session's end is the MAX of ``ts + gap`` over
+    its members, so the oracle's gaps-and-islands flag needs a running
+    max of interval ends (with constant gaps it degenerates to the
+    classic ``lag`` spelling in :func:`events_session`).
+
+    Scale: one keyed shuffle on user_id, state bounded per session —
+    identical cost profile to the fixed-gap form."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_DYNAMIC_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 600000000 ELSE 1800000000 END AS gap_us
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, event_id,
+         max(epoch_us(ts) + gap_us) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g
+),
+f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+              THEN 1 ELSE 0 END AS new_s
+  FROM r
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
 """
 
 
@@ -5005,6 +5110,9 @@ SPECS = [
     QuerySpec("scalar_date", scalar_date, _SCALAR_DATE_ORACLE, "date part extraction"),
     QuerySpec("scalar_string", scalar_string, _SCALAR_STRING_ORACLE, "string function coverage"),
     QuerySpec("scalar_math", scalar_math, _SCALAR_MATH_ORACLE, "math function coverage"),
+    QuerySpec("scalar_try_arith", scalar_try_arith, _TRY_ARITH_ORACLE,
+              "ANSI-safe try_* arithmetic (poison rows -> NULL, not job "
+              "abort; both outcomes exercised per expression)"),
     QuerySpec("scalar_json", scalar_json, _SCALAR_JSON_ORACLE, "JSON extraction (events.props)"),
     QuerySpec("scalar_array", scalar_array, _SCALAR_ARRAY_ORACLE, "array functions (embeddings)"),
     QuerySpec("scalar_array_hof", scalar_array_hof, _SCALAR_ARRAY_HOF_ORACLE, "array higher-order functions (filter/exists/forall/fold)"),
@@ -5012,6 +5120,10 @@ SPECS = [
     QuerySpec("events_tumbling", events_tumbling, _EVENTS_TUMBLING_ORACLE, "tumbling event-time windows (batch)"),
     QuerySpec("events_sliding", events_sliding, _EVENTS_SLIDING_ORACLE, "sliding event-time windows (batch)"),
     QuerySpec("events_session", events_session, _EVENTS_SESSION_ORACLE, "session windows (batch)"),
+    QuerySpec("events_session_dynamic_gap", events_session_dynamic_gap,
+              _SESSION_DYNAMIC_ORACLE,
+              "session windows with a per-row gap expression (interval-union "
+              "semantics; oracle via running-max-of-ends gaps-and-islands)"),
     QuerySpec("sql_q3_shipping_priority", sql_q3_shipping_priority, _Q3_SQL,
               "TPC-H Q3 via spark.sql — the identical ANSI string is the oracle"),
     QuerySpec("sql_q5_local_supplier_volume", sql_q5_local_supplier_volume, _Q5_SQL,
