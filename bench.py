@@ -136,6 +136,7 @@ HEADLINE = [
     "dq_k_anonymity",          # k-anonymity privacy audit
     "dedup_prefix_filter",     # exact PPJoin-style prefix-filtered near-dup
     "events_session_dynamic_gap",  # per-row-gap session windows
+    "sql_dataset_card",        # GROUPING SETS release datasheet
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

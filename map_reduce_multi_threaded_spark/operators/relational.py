@@ -1774,6 +1774,28 @@ WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
 """
 
 
+#: Dataset card / release datasheet: per-source, per-language, and
+#: corpus-level stats in ONE scan via GROUPING SETS — the datasheet
+#: table a training-data release publishes.  Token counts use the
+#: engine-portable space-count arithmetic (the fixture is
+#: single-spaced) so one ANSI string serves both engines; GROUPING()
+#: disambiguates the scopes.
+_DATASET_CARD_SQL = """
+SELECT CASE WHEN GROUPING(source) = 0 THEN 'source'
+            WHEN GROUPING(lang) = 0 THEN 'lang'
+            ELSE 'corpus' END AS scope,
+       coalesce(source, lang, '*') AS key,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+         AS total_tokens,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.tables import register_temp_views
@@ -1826,6 +1848,9 @@ sql_q14_promo_effect = _sql_query(_Q14_SQL)
 #: predicate Catalyst must keep above the joins.  Exact decimal
 #: volumes; l_quantity-free so wholly decimal-stable.
 sql_q7_volume_shipping = _sql_query(_Q7_SQL)
+
+#: see _DATASET_CARD_SQL
+sql_dataset_card = _sql_query(_DATASET_CARD_SQL)
 
 #: TPC-H Q15 (top supplier): CTE revenue view + scalar max subquery —
 #: the classic "argmax via self-referencing aggregate" SQL shape.
@@ -5234,6 +5259,9 @@ SPECS = [
               "VARIANT parse + typed variant_get extraction over props JSON"),
     QuerySpec("sql_pipe_q6", sql_pipe_q6, _Q6_ORACLE,
               "TPC-H Q6 in Spark 4 SQL pipe syntax (oracle = standard spelling)"),
+    QuerySpec("sql_dataset_card", sql_dataset_card, _DATASET_CARD_SQL,
+              "release datasheet: source/lang/corpus stats in one scan via "
+              "GROUPING SETS (one ANSI string is query AND oracle)"),
     QuerySpec("sql_group_by_all", sql_group_by_all, _GROUP_BY_ALL_SQL,
               "GROUP BY ALL (identical SQL text on both engines)"),
     QuerySpec("join_interval_bins", join_interval_bins, _INTERVAL_BINS_ORACLE,

@@ -301,3 +301,37 @@ def test_prefix_filter_prunes_but_never_misses(spark, sf_oracle_dir):
         for r in dedup.dedup_ngram_jaccard(spark, sf_oracle_dir).collect()
     }
     assert got == want and want
+
+
+def test_prefix_filter_law_on_random_sets():
+    """The prefix-length formula itself, property-tested without
+    Spark: for ANY two token sets with Jaccard >= tau under ANY
+    global order, the first |d| - ceil(tau*|d|) + 1 tokens of each
+    (in that order) must intersect — the no-false-negative law
+    dedup_prefix_filter's candidate generation rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tau_num, tau_den = 1, 2  # τ = 0.5, matching JACCARD_THRESHOLD
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        x=st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        y=st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        seed=st.integers(0, 10),
+    )
+    def check(x, y, seed):
+        inter = len(x & y)
+        union = len(x | y)
+        if inter * tau_den < union * tau_num:
+            return  # below threshold: no guarantee claimed
+        # arbitrary deterministic global order (varies with seed)
+        import hashlib
+
+        key = lambda t: hashlib.md5(f"{seed}:{t}".encode()).hexdigest()  # noqa: E731
+        p = lambda d: len(d) - -(-len(d) * tau_num // tau_den) + 1  # noqa: E731
+        px = set(sorted(x, key=key)[: p(x)])
+        py = set(sorted(y, key=key)[: p(y)])
+        assert px & py, (sorted(x), sorted(y), seed)
+
+    check()
