@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_prefix_filter",     # exact PPJoin-style prefix-filtered near-dup
     "events_session_dynamic_gap",  # per-row-gap session windows
     "sql_dataset_card",        # GROUPING SETS release datasheet
+    "events_changepoint_cusum",  # CUSUM change point via two-pass prefixes
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -85,6 +85,7 @@ def two_pass_cummax(
     order_cols: list[Column],
     n_parts: int = DEFAULT_PARTS,
     cum_col: str = "_cummax",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Attach ``cum_col`` (running MAX of ``value`` over the global
     ``order_cols`` order) to ``df`` — the same Blelloch two-pass
@@ -94,29 +95,47 @@ def two_pass_cummax(
     partitions (an ``n_parts``-row broadcast).  The streaming
     watermark's high-water-mark computation, as a batch audit.
 
+    ``group_cols`` (column NAMES) makes the running max restart per
+    group while keeping the same decomposition: the local window and
+    the per-partition maxima are keyed by (partition, group), and the
+    offset table grows to ≤ n_parts × n_groups rows — still a
+    broadcast, so the contract is a MODEST group cardinality (a few
+    thousand; one range exchange regardless).  Range partitioning by
+    the total order guarantees every earlier-in-order row of a group
+    sits in the same or an earlier partition, so per-group offsets
+    need only strictly-earlier partitions, exactly as in the global
+    form.  A per-key ``Window.partitionBy(group)`` would instead put
+    ALL of a group's rows in ONE task — the skew trap this helper
+    exists to avoid when single groups are huge.
+
     Same contracts as cumsum: ``value`` exact-typed, ``order_cols`` a
     total order, and the one ``localCheckpoint`` pins the sampled
     range boundaries (see the module docstring for the
     fault-tolerance caveat)."""
     value = F.col(value) if isinstance(value, str) else value
+    groups = list(group_cols or [])
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
     local_w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *groups)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    part = ranged.groupBy("_pid").agg(F.max(value).alias("_part_max"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    part = ranged.groupBy("_pid", *groups).agg(F.max(value).alias("_part_max"))
+    off_w = (
+        Window.partitionBy(*groups)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = part.select(
-        "_pid", F.max("_part_max").over(off_w).alias("_off")
+        "_pid", *groups, F.max("_part_max").over(off_w).alias("_off")
     )
     return (
         ranged.withColumn("_local", F.max(value).over(local_w))
-        .join(F.broadcast(offsets), "_pid")
+        .join(F.broadcast(offsets), ["_pid", *groups])
         .withColumn(cum_col, F.greatest(F.col("_local"), F.coalesce(F.col("_off"), F.col("_local"))))
         .drop("_pid", "_local", "_off")
     )

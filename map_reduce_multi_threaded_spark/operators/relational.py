@@ -2164,6 +2164,125 @@ GROUP BY 1
 """
 
 
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event_type: for each series
+    (ordered by ts, event_id) compute the one-sided CUSUM statistic
+    against the series' own mean and report the estimated change point
+    — the argmax of the statistic — plus its height.  The monitoring
+    primitive behind drift alarms on training-data telemetry (ingest
+    quality scores, loss curves, per-source token rates).
+
+    The recursion s_i = max(0, s_{i-1} + (x_i - μ)) is not a window
+    aggregate, but its closed form IS two prefix passes:
+    s_i = c_i - min(0, min_{j≤i} c_j) with c = cumsum(x - μ).  Both
+    passes run distributed — and EXACT:
+
+    * μ is never materialized as a lossy double: the series is scaled
+      by its own count, y_i = n·x_i - Σx (decimal — n·(x_i - μ)
+      without the division), and the statistic is un-scaled only in
+      the final per-group projection (one double division on exact
+      inputs, identical in both engines);
+    * per-type totals of y are EXACTLY ZERO by construction, so with
+      (event_type, ts, event_id) as the global order the GLOBAL
+      two-pass cumsum (:func:`functions.prefix.two_pass_cumsum`) is
+      already the per-type cumsum — each type starts where the
+      previous summed to 0: one range exchange, no per-type window;
+    * the per-type running min rides the grouped form of
+      :func:`functions.prefix.two_pass_cummax` (negated), whose
+      offset table is ≤ n_parts × n_types rows — never a
+      one-task-per-type window.
+
+    Scale: two range exchanges + one broadcast-keyed 5-row join + one
+    keyed final agg; no task ever holds a whole event_type.  Decimal
+    headroom: y ≤ n·|x|, cumsum ≤ n²·|x| — DECIMAL(38,6) holds
+    through ~10^12-row types at |x|~10^3 (reference semantics: this
+    generalizes map_reduce.cpp:191-236's partial-aggregation pass to
+    an order-dependent statistic)."""
+    from ..functions.prefix import two_pass_cummax, two_pass_cumsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    y = ev.join(F.broadcast(tot), "event_type").withColumn(
+        "y", F.col("n") * F.col("v") - F.col("s")
+    )
+    order = [F.col("event_type"), F.col("ts_us"), F.col("event_id")]
+    cum = two_pass_cumsum(y, "y", order, cum_col="cum").withColumn(
+        "neg_cum", -F.col("cum")
+    )
+    runmin = two_pass_cummax(
+        cum, "neg_cum", order, cum_col="neg_min", group_cols=["event_type"]
+    ).withColumn(
+        "cusum",
+        F.col("cum") - F.least(-F.col("neg_min"), F.lit(0).cast("decimal(38,6)")),
+    )
+    ord_struct = F.struct(
+        F.col("cusum").alias("c"),
+        (-F.col("ts_us")).alias("nts"),
+        (-F.col("event_id")).alias("nid"),
+    )
+    return (
+        runmin.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_obs"),
+            F.round(F.max("s").cast("double") / F.max("n"), 6).alias("mean_value"),
+            F.max(ord_struct).alias("m"),
+        )
+        .select(
+            "event_type",
+            "n_obs",
+            "mean_value",
+            F.round(F.col("m.c").cast("double") / F.col("n_obs"), 6).alias(
+                "max_cusum"
+            ),
+            (-F.col("m.nts")).alias("change_ts_us"),
+            (-F.col("m.nid")).alias("change_event_id"),
+        )
+    )
+
+
+_CHANGEPOINT_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+),
+tot AS (SELECT event_type, sum(v) AS s, count(*) AS n FROM base GROUP BY event_type),
+y AS (
+  SELECT b.*, t.s, t.n, t.n * b.v - t.s AS yv
+  FROM base b JOIN tot t USING (event_type)
+),
+c AS (
+  SELECT *, sum(yv) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM y
+),
+d AS (
+  SELECT *, cum - least(min(cum) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        CAST(0 AS DECIMAL(38,6))) AS cusum
+  FROM c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cusum DESC, ts_us ASC, event_id ASC) AS rn
+  FROM d
+)
+SELECT event_type, n AS n_obs,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_value,
+       round(CAST(cusum AS DOUBLE) / n, 6) AS max_cusum,
+       ts_us AS change_ts_us,
+       event_id AS change_event_id
+FROM r WHERE rn = 1
+"""
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-seen week, with
     the count still active 1 and 2 weeks later.  Two aggregations plus
@@ -5301,4 +5420,7 @@ SPECS = [
               "deterministic A/B assignment + exact-moment Welch z readout"),
     QuerySpec("basket_lift", basket_lift, _BASKET_LIFT_ORACLE,
               "association-rule support/confidence/lift over the top co-occurring pairs"),
+    QuerySpec("events_changepoint_cusum", events_changepoint_cusum, _CHANGEPOINT_ORACLE,
+              "CUSUM change-point estimate per event series via exact "
+              "count-scaled two-pass prefix sums (no per-type window)"),
 ]

@@ -314,6 +314,7 @@ def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
     )
     from map_reduce_multi_threaded_spark.operators.relational import (
         agg_countmin,
+        events_changepoint_cusum,
         join_point_in_time,
     )
     from map_reduce_multi_threaded_spark.operators.similarity import (
@@ -337,6 +338,9 @@ def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
         agg_countmin,
         join_point_in_time,
         dq_distribution_drift,
+        # round-8 shape: grouped two-pass running min under the
+        # count-scaled CUSUM (two chained range exchanges)
+        events_changepoint_cusum,
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {f.__name__: sorted(map(tuple, f(spark, sf_dir).collect())) for f in fns}
@@ -401,6 +405,38 @@ def test_two_pass_cummax_partition_invariant(spark, sf_dir):
             r["c_custkey"]: r["_cummax"]
             for r in two_pass_cummax(
                 c, "v", [F.asc("c_custkey")], n_parts=n_parts
+            ).collect()
+        }
+        assert got == expected, n_parts
+
+
+def test_two_pass_cummax_grouped_partition_invariant(spark, sf_dir):
+    """The GROUPED running max (events_changepoint_cusum's per-type
+    running min, negated) must restart at every group boundary and
+    equal the single-task reference for ANY range-partition count —
+    including counts that split a group across partitions."""
+    from map_reduce_multi_threaded_spark.functions.prefix import two_pass_cummax
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_nationkey").alias("v")
+    )
+    rows = sorted(
+        (r["c_mktsegment"], r["c_custkey"], r["v"]) for r in c.collect()
+    )
+    expected, hwm = {}, {}
+    for g, k, v in rows:
+        hwm[g] = v if g not in hwm else max(hwm[g], v)
+        expected[k] = hwm[g]
+    for n_parts in (1, 3, 16):
+        got = {
+            r["c_custkey"]: r["_cummax"]
+            for r in two_pass_cummax(
+                c,
+                "v",
+                [F.asc("c_mktsegment"), F.asc("c_custkey")],
+                n_parts=n_parts,
+                group_cols=["c_mktsegment"],
             ).collect()
         }
         assert got == expected, n_parts

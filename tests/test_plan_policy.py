@@ -40,6 +40,7 @@ _CHECKPOINT_OK = {
     "pipeline_budget_select",
     "text_zipf_slope",
     "events_lateness_audit",  # two-pass running max, same range pin
+    "events_changepoint_cusum",  # chained cumsum + grouped running min, two range pins
     "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
     "dedup_bloom_ingest",  # pinned corpus hash index + hashed batch
     "dedup_prefix_filter",  # checkpointed shingle table (3 consumers)
