@@ -138,6 +138,7 @@ HEADLINE = [
     "events_session_dynamic_gap",  # per-row-gap session windows
     "sql_dataset_card",        # GROUPING SETS release datasheet
     "events_changepoint_cusum",  # CUSUM change point via two-pass prefixes
+    "sql_q22_sleeping_customers",  # TPC-H Q22 adaptation (anti-join + scalar subqueries)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -1773,6 +1773,38 @@ FROM orders
 WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
 """
 
+#: TPC-H Q22 (global sales opportunity), fixture-adapted twice: the
+#: fixture customer has no c_phone, so the country-code grouping
+#: becomes the nation dimension; and because every fixture customer
+#: has lifetime orders, "never ordered" becomes "no order since
+#: 2001-01-01" (dormant through the fixture's final seven months,
+#: ~19 % of customers) — the anti-join is date-filtered, not vacuous.
+#: Otherwise the exact Q22 shape: above-average positive-balance
+#: customers with no (recent) orders — uncorrelated scalar AVG
+#: subquery + NOT EXISTS anti-join.  The average threshold is applied
+#: WITHOUT a lossy division: c_acctbal * count > sum, exact decimal on
+#: both engines, so no row can flip on an avg() ulp.  Catalyst plans
+#: the two customer-side subqueries as scalar broadcasts, the NOT
+#: EXISTS as a left-anti shuffle keyed on custkey (the date predicate
+#: pushed to the orders scan), and nation broadcasts — the anti-join
+#: is the only fact-scale exchange.
+_Q22_SQL = """
+SELECT n_name,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, nation
+WHERE c_nationkey = n_nationkey
+  AND CAST(c_acctbal AS DECIMAL(12,2))
+      * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+         WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
 
 #: Dataset card / release datasheet: per-source, per-language, and
 #: corpus-level stats in ONE scan via GROUPING SETS — the datasheet
@@ -1878,6 +1910,10 @@ sql_exists_subquery = _sql_query(_EXISTS_SQL)
 #: filter; max() (not avg) keeps the threshold order-insensitive and
 #: therefore bit-deterministic on doubles.
 sql_scalar_subquery = _sql_query(_SCALAR_SUBQ_SQL)
+
+#: TPC-H Q22 fixture adaptation — see _Q22_SQL for the dialect and
+#: exactness notes (multiplied-out average, anti-join, nation dim).
+sql_q22_sleeping_customers = _sql_query(_Q22_SQL)
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5423,4 +5459,7 @@ SPECS = [
     QuerySpec("events_changepoint_cusum", events_changepoint_cusum, _CHANGEPOINT_ORACLE,
               "CUSUM change-point estimate per event series via exact "
               "count-scaled two-pass prefix sums (no per-type window)"),
+    QuerySpec("sql_q22_sleeping_customers", sql_q22_sleeping_customers, _Q22_SQL,
+              "TPC-H Q22 (nation for missing c_phone): above-average balances "
+              "with no orders — exact multiplied-out AVG + anti-join, shared SQL string"),
 ]
