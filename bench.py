@@ -139,6 +139,7 @@ HEADLINE = [
     "sql_dataset_card",        # GROUPING SETS release datasheet
     "events_changepoint_cusum",  # CUSUM change point via two-pass prefixes
     "sql_q22_sleeping_customers",  # TPC-H Q22 adaptation (anti-join + scalar subqueries)
+    "rerank_mmr",              # MMR diversity rerank over bounded candidates
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

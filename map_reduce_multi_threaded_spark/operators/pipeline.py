@@ -276,6 +276,181 @@ SELECT rank, doc_id, rerank_score, bm25 FROM (
 """
 
 
+#: MMR diversification parameters.  LAMBDA_C is spelled as its own
+#: literal (NOT 1-LAMBDA: 1-0.7 = 0.30000000000000004 in IEEE — the
+#: oracle's 0.3 literal must be the bit-identical coefficient).
+MMR_LAMBDA = 0.7
+MMR_LAMBDA_C = 0.3
+MMR_TOPN = 8
+
+
+def rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance reranking (Carbonell & Goldstein
+    1998): BM25 nominates {RERANK_CANDIDATES} candidates at corpus
+    scale, then a greedy pass picks {MMR_TOPN} maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    diversity stage RAG retrieval uses so the context window isn't k
+    copies of the same passage.
+
+    Diversity is token-set Jaccard between candidates, computed as
+    KEYED joins over the candidate-pruned token table (the 20-row
+    candidate frame broadcasts into the corpus scan; the term
+    self-join touches only candidate tokens).  The greedy selection is
+    inherently sequential in k, so it runs in ONE applyInPandas group
+    over the dense ≤k² pair frame — Python cost O(k²), independent of
+    corpus size, the same bounded-candidate contract as
+    :func:`rerank_crossencoder`.  Determinism: rel and jac are both
+    rounded to 9 dp before the greedy pass, scores are IEEE products
+    of identical doubles on both engines, ties break by doc_id; the
+    DuckDB oracle unrolls the same greedy argmax as one chained CTE
+    per step."""
+    scored = _bm25_scored(spark, sf_dir)
+    # Both small frames are PINNED (eager localCheckpoint): cand is
+    # referenced four times and ctoks three times below, and without
+    # the pin each reference re-executes the whole BM25 retrieval
+    # subtree (measured: 51 exchanges vs 10 pinned) — the same
+    # pinned-intermediate pattern as the dedup shingle tables.
+    cand = (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RERANK_CANDIDATES)
+        .withColumnRenamed("bm25", "rel")
+        .localCheckpoint()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ctoks = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ctoks.alias("x")
+        .join(
+            ctoks.alias("y"),
+            (F.col("x.term") == F.col("y.term"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c1 = cand.select(F.col("doc_id").alias("a"), F.col("rel").alias("rel_a"))
+    c2 = cand.select(F.col("doc_id").alias("b"))
+    cnt0 = F.coalesce(F.col("cnt"), F.lit(0))
+    pairs = (
+        c1.join(F.broadcast(c2), F.col("a") != F.col("b"))
+        .join(inter, ["a", "b"], "left")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))), "a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))), "b")
+        .select(
+            "a",
+            "rel_a",
+            "b",
+            F.round(
+                cnt0.cast("double") / (F.col("na") + F.col("nb") - cnt0), 9
+            ).alias("jac"),
+        )
+    )
+
+    lam, lam_c, topn = MMR_LAMBDA, MMR_LAMBDA_C, MMR_TOPN
+
+    def _greedy(pdf):
+        import pandas as pd
+
+        rel, sim = {}, {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a] = r.rel_a
+            sim[(r.a, r.b)] = r.jac
+        remaining = sorted(rel)
+        selected, rows = [], []
+        while remaining and len(selected) < topn:
+            best = None
+            for d in remaining:
+                ms = max((sim[(d, s)] for s in selected), default=0.0)
+                score = lam * rel[d] - lam_c * ms
+                key = (score, -d)
+                if best is None or key > best[0]:
+                    best = (key, d, score)
+            _, d, score = best
+            selected.append(d)
+            remaining.remove(d)
+            # mmr_score is reported UNROUNDED: it is the same IEEE
+            # product/difference of identical doubles on both engines
+            # (bit-identical), while round-to-9 would re-introduce
+            # divergence at half-way boundaries (observed at sf0.1:
+            # Python banker's vs DuckDB half-away on ...0375)
+            rows.append((len(selected), d, rel[d], score))
+        return pd.DataFrame(
+            rows, columns=["rank", "doc_id", "rel", "mmr_score"]
+        )
+
+    return (
+        pairs.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda pdf: _greedy(pdf),
+            "rank int, doc_id bigint, rel double, mmr_score double",
+        )
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs — one (ms, pick, sel)
+    triple per selection step, each argmax ordered by the identical
+    IEEE expression the pandas pass computes."""
+    # AS MATERIALIZED is load-bearing: sel{k} is referenced 3× by step
+    # k+1, so DuckDB's default CTE inlining would expand the chain
+    # EXPONENTIALLY (and re-open the parquet scan at every leaf —
+    # observed as an fd exhaustion, not just slowness).
+    steps = []
+    for k in range(2, MMR_TOPN + 1):
+        steps.append(f"""ms{k} AS MATERIALIZED (
+  SELECT p.a AS doc_id, max(p.jac) AS m FROM pairs p
+  WHERE p.b IN (SELECT doc_id FROM sel{k - 1}) GROUP BY p.a
+),
+pick{k} AS MATERIALIZED (
+  SELECT c.doc_id, c.rel, {k} AS rank,
+         {MMR_LAMBDA} * c.rel - {MMR_LAMBDA_C} * m.m AS mmr_score
+  FROM cand c JOIN ms{k} m ON m.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{k - 1})
+  ORDER BY {MMR_LAMBDA} * c.rel - {MMR_LAMBDA_C} * m.m DESC, c.doc_id ASC
+  LIMIT 1
+),
+sel{k} AS MATERIALIZED (SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k})""")
+    chained = ",\n".join(steps)
+    return f"""
+WITH {_BM25_CTES},
+cand AS MATERIALIZED (
+  SELECT doc_id, bm25 AS rel FROM scored
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {RERANK_CANDIDATES}
+),
+ctoks AS MATERIALIZED (
+  SELECT DISTINCT t.doc_id, t.term FROM toks_f t JOIN cand c ON t.doc_id = c.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS cnt
+  FROM ctoks x JOIN ctoks y ON x.term = y.term AND x.doc_id <> y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT c1.doc_id AS a, c1.rel AS rel_a, c2.doc_id AS b,
+         round(CAST(coalesce(i.cnt, 0) AS DOUBLE)
+               / (s1.n + s2.n - coalesce(i.cnt, 0)), 9) AS jac
+  FROM cand c1 JOIN cand c2 ON c1.doc_id <> c2.doc_id
+  LEFT JOIN inter i ON i.a = c1.doc_id AND i.b = c2.doc_id
+  JOIN sz s1 ON s1.doc_id = c1.doc_id
+  JOIN sz s2 ON s2.doc_id = c2.doc_id
+),
+sel1 AS (
+  SELECT doc_id, rel, 1 AS rank, {MMR_LAMBDA} * rel AS mmr_score
+  FROM cand ORDER BY rel DESC, doc_id ASC LIMIT 1
+),
+{chained}
+SELECT rank, doc_id, rel, mmr_score FROM sel{MMR_TOPN}
+"""
+
+
 TFIDF_SCALE = 1000  # tf-idf weights quantized to 1e-3
 
 
@@ -1586,6 +1761,10 @@ SPECS = [
               "exact-count domain-mixing downsample (md5 rank per source + quota broadcast)"),
     QuerySpec("bm25_rank", bm25_rank, _BM25_ORACLE,
               "BM25 top-10 for a fixed query term set"),
+    QuerySpec("rerank_mmr", rerank_mmr, _mmr_oracle(),
+              "MMR diversity reranking: BM25 nominates, greedy "
+              "λ·rel − (1−λ)·max-Jaccard selection over the bounded "
+              "candidate set (oracle = unrolled per-step argmax CTEs)"),
     QuerySpec("rerank_crossencoder", rerank_crossencoder, _RERANK_ORACLE,
               "retrieve→rerank: BM25 candidates re-scored pairwise in "
               "mapInPandas (bounded candidate set, model-swap-ready)"),

@@ -85,6 +85,51 @@ def test_rerank_stays_within_candidates_and_reorders(spark, sf_oracle_dir):
     assert [r["doc_id"] for r in rr] != bm
 
 
+def test_mmr_diversifies_within_candidates(spark, sf_oracle_dir):
+    """MMR must (a) pick only nominated candidates (stage-2 cost
+    bounded by k), (b) lead with the single most relevant doc — λ·rel
+    dominates an empty selected set — and (c) actually buy diversity:
+    the mean pairwise token-Jaccard of its picks must not exceed that
+    of the pure-relevance top-{MMR_TOPN}, else λ or the similarity
+    metric silently stopped mattering and oracle parity is vacuous."""
+    from itertools import combinations
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.operators import pipeline as P
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    cand_rows = (
+        P._bm25_scored(spark, sf_oracle_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(P.RERANK_CANDIDATES)
+        .collect()
+    )
+    cand = {r["doc_id"] for r in cand_rows}
+    by_rel = [r["doc_id"] for r in cand_rows[: P.MMR_TOPN]]
+    mmr = sorted(P.rerank_mmr(spark, sf_oracle_dir).collect(), key=lambda r: r["rank"])
+    assert len(mmr) == P.MMR_TOPN
+    picks = [r["doc_id"] for r in mmr]
+    assert set(picks) <= cand
+    assert picks[0] == by_rel[0]
+
+    texts = {
+        r["doc_id"]: set(r["text"].split())
+        for r in load_table(spark, sf_oracle_dir, "documents")
+        .where(F.col("doc_id").isin(*cand))
+        .collect()
+    }
+
+    def mean_jac(ids):
+        js = [
+            len(texts[a] & texts[b]) / len(texts[a] | texts[b])
+            for a, b in combinations(ids, 2)
+        ]
+        return sum(js) / len(js)
+
+    assert mean_jac(picks) <= mean_jac(by_rel) + 1e-12, (picks, by_rel)
+
+
 def test_rerank_plan_uses_arrow_batch_stage(spark, sf_dir):
     """The pairwise scorer must run as an Arrow-batched pandas stage
     (the model-call slot) fed by a BROADCAST of the bounded candidate

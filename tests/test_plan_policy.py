@@ -44,6 +44,7 @@ _CHECKPOINT_OK = {
     "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
     "dedup_bloom_ingest",  # pinned corpus hash index + hashed batch
     "dedup_prefix_filter",  # checkpointed shingle table (3 consumers)
+    "rerank_mmr",  # pinned candidate + candidate-token frames (4/3 consumers)
 }
 
 
