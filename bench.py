@@ -140,6 +140,7 @@ HEADLINE = [
     "events_changepoint_cusum",  # CUSUM change point via two-pass prefixes
     "sql_q22_sleeping_customers",  # TPC-H Q22 adaptation (anti-join + scalar subqueries)
     "rerank_mmr",              # MMR diversity rerank over bounded candidates
+    "knn_scalar_quant",        # symmetric int8 SQ top-k (exact integer dot)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

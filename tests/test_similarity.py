@@ -161,6 +161,26 @@ def test_ann_recall_far_above_chance(spark, sf_oracle_dir):
     assert mean >= 0.25, [(r["query_id"], r["recall_at_k"]) for r in rows]
 
 
+def test_scalar_quant_recall_near_exact(spark, sf_oracle_dir):
+    """Symmetric int8 SQ searches the FULL corpus — unlike LSH/IVF it
+    prunes nothing, so its only error source is 8-bit quantization
+    noise and recall must be near-exact (measured 0.96-0.98 across all
+    three fixtures; the asymmetric per-dim variant this replaced
+    measured 0.02-0.06 — chance).  A large drop means the quantizer
+    regressed to a non-rank-safe form, which the oracle parity test
+    alone cannot see (it would faithfully mirror the wrong ranking)."""
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(spark, sf_oracle_dir).collect()
+    }
+    sq_rows = similarity.knn_scalar_quant(spark, sf_oracle_dir).collect()
+    sq = {(r["query_id"], r["neighbor_id"]) for r in sq_rows}
+    assert len(brute & sq) / len(brute) >= 0.8, len(brute & sq) / len(brute)
+    # int8 bound: every code in [-127, 126] so |dot| <= 64 * 127^2
+    assert all(abs(r["approx_dot"]) <= 64 * 127 * 127 for r in sq_rows)
+    assert all(-1.001 <= r["cosine"] <= 1.001 for r in sq_rows)
+
+
 def test_semantic_dedup_is_subset_of_brute_neardup(spark, sf_oracle_dir):
     """Cluster pruning can only LOSE cross-cluster pairs, never invent
     one: every dedup_semantic pair must appear in embedding_neardup's
