@@ -141,6 +141,7 @@ HEADLINE = [
     "sql_q22_sleeping_customers",  # TPC-H Q22 adaptation (anti-join + scalar subqueries)
     "rerank_mmr",              # MMR diversity rerank over bounded candidates
     "knn_scalar_quant",        # symmetric int8 SQ top-k (exact integer dot)
+    "join_bucketed_colocated", # zero-exchange SMJ over bucketBy-staged facts
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -2653,6 +2653,88 @@ def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUCKET_JOIN_N = 8  # bucket count; both sides MUST match for co-location
+
+
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-exchange big-big join :func:`join_fact_fact`'s
+    docstring promises at 100 TB, delivered: orders and lineitem are
+    staged ONCE as bucketed+sorted tables ({BUCKET_JOIN_N} buckets on
+    the orderkey, `bucketBy().sortBy().saveAsTable()`), and the join
+    then reads co-located buckets — a sort-merge join with NO Exchange
+    on either fact side (plan-asserted; the only shuffle left is the
+    final small rollup re-key).  At 100 TB the bucketed layout is paid
+    once at ingest and every subsequent orderkey join/agg rides it
+    free, which is the difference between re-shuffling both fact
+    tables per query and none.
+
+    Staging follows :func:`source_partition_prune`'s cached-scratch
+    contract (content-fingerprinted dir, marker file); because bucket
+    metadata lives in the session catalog — not the files — a session
+    that finds the files already staged re-registers them with CREATE
+    TABLE ... CLUSTERED BY ... LOCATION, which is metadata-only.
+
+    Both merge hints pin the SMJ so the demo can't silently degrade to
+    a broadcast join at toy scale."""
+    import os
+
+    from ..sources.tables import stage_scratch_dir
+
+    base = stage_scratch_dir(sf_dir, "bucketed", "orders", "lineitem")
+    handles = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        # table identifiers may not contain '.'; the staged dir is
+        # already fingerprint-unique, so key the name on its basename
+        name = f"bkt_{tbl}_{os.path.basename(base).split('-')[-1]}"
+        path = os.path.join(base, tbl)
+        marker = os.path.join(base, f"_WRITTEN_{tbl}")
+        if not spark.catalog.tableExists(name):
+            df = load_table(spark, sf_dir, tbl)
+            if os.path.exists(marker):
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {BUCKET_JOIN_N} BUCKETS LOCATION '{path}'"
+                )
+            else:
+                (
+                    df.write.bucketBy(BUCKET_JOIN_N, key)
+                    .sortBy(key)
+                    .option("path", path)
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+                with open(marker, "w") as f:
+                    f.write("ok")
+        handles[tbl] = spark.table(name)
+    o, li = handles["orders"], handles["lineitem"]
+    rev = money("l_extendedprice") * ratio_complement("l_discount")
+    return (
+        o.hint("merge")
+        .join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_expr(rev, "revenue"),
+            F.sum(F.col("l_quantity").cast(DECM)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o_orderstatus, l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, l_returnflag
+"""
+
+
 _PRUNE_IN_LIST = ", ".join(f"'{t}'" for t in PRUNE_KEEP_TYPES)
 
 _PARTITION_PRUNE_ORACLE = f"""
@@ -5462,4 +5544,7 @@ SPECS = [
     QuerySpec("sql_q22_sleeping_customers", sql_q22_sleeping_customers, _Q22_SQL,
               "TPC-H Q22 (nation for missing c_phone): above-average balances "
               "with no orders — exact multiplied-out AVG + anti-join, shared SQL string"),
+    QuerySpec("join_bucketed_colocated", join_bucketed_colocated, _BUCKETED_JOIN_ORACLE,
+              "zero-exchange fact-fact sort-merge join over bucketBy-staged "
+              "tables (co-located bucket reads, plan-asserted)"),
 ]

@@ -101,6 +101,24 @@ def test_broadcast_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(relational.join_dim_broadcast(spark, sf_dir))
 
 
+def test_bucketed_join_is_zero_exchange_smj(spark, sf_dir):
+    """The whole point of join_bucketed_colocated: both fact scans must
+    read co-located buckets (Bucketed: true) into a sort-merge join
+    with NO exchange on either side — the only shuffle in the plan is
+    the final small rollup re-key.  A broadcast fallback or a plain
+    shuffled SMJ would pass the oracle and silently lose the demo."""
+    plan = _plan(relational.join_bucketed_colocated(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    n_ex = (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+    assert n_ex == 1, plan
+
+
 def test_filter_pushdown_plan(spark, sf_dir):
     """q6's predicates must reach the parquet scan."""
     plan = _plan(relational.q6_revenue(spark, sf_dir))
