@@ -142,6 +142,7 @@ HEADLINE = [
     "rerank_mmr",              # MMR diversity rerank over bounded candidates
     "knn_scalar_quant",        # symmetric int8 SQ top-k (exact integer dot)
     "join_bucketed_colocated", # zero-exchange SMJ over bucketBy-staged facts
+    "sql_collated_wordcount",  # engine-collation case folding (UTF8_LCASE)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

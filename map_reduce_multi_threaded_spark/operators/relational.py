@@ -2653,6 +2653,80 @@ def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLATE_TOPK = 20
+
+
+def sql_collated_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count under ENGINE collation semantics (Spark 4
+    ``UTF8_LCASE`` vs DuckDB ``NOCASE``) — the reference lowercases
+    every token as an explicit scalar step (map_reduce.cpp:160-171,
+    S7); SQL engines can instead make case-insensitivity a property of
+    the COMPARISON, so grouping, joins and DISTINCT all fold case with
+    no data rewrite.  The fixture text is already lowercase, which
+    would make a collated group-by a vacuous gate — so the query first
+    injects deterministic case noise (upper() on an md5 coin flip per
+    token occurrence, the same engineered-perturbation pattern as
+    events_lateness_audit's transport delay) and the collation must
+    merge the variants back: counts equal the plain lowercase counts,
+    which the oracle pins.
+
+    Determinism: the group key is the collated variant, but every
+    OUTPUT column is binary — min(variant) under binary comparison is
+    the representative (min among case-variants is well-defined;
+    min under the collation itself would be an engine-arbitrary pick
+    among collation-equal strings).  Scale: identical shape to
+    wordcount — one keyed agg + TakeOrdered top-{COLLATE_TOPK}."""
+    from ..functions.text import md5_long
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "term")
+        )
+        .where(F.length("term") > 0)
+    )
+    coin = md5_long(F.concat_ws(":", "doc_id", "pos", "term")) % 2 == F.lit(0)
+    noisy = d.withColumn(
+        "variant", F.when(coin, F.upper("term")).otherwise(F.col("term"))
+    )
+    return (
+        noisy.groupBy(F.expr("variant COLLATE UTF8_LCASE").alias("k"))
+        .agg(F.min("variant").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .select("rep", "n")
+        .orderBy(F.desc("n"), F.asc("rep"))
+        .limit(COLLATE_TOPK)
+    )
+
+
+def _collated_wordcount_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    coin = duck_md5_long(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(pos - 1 AS VARCHAR) || ':' || term"
+    )
+    # 2-arg list_transform lambda (value, 1-based index) is the
+    # DuckDB-1.0-compatible ordinal unnest (no WITH ORDINALITY, no
+    # lateral generate_series over a column there)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, s.pos AS pos, s.term AS term
+  FROM (SELECT doc_id,
+               unnest(list_transform(string_split_regex(text, '\\s+'),
+                      (x, i) -> {{'term': x, 'pos': i}})) AS s
+        FROM documents) u
+),
+noisy AS (
+  SELECT CASE WHEN {coin} % 2 = 0 THEN upper(term) ELSE term END AS variant
+  FROM toks WHERE length(term) > 0
+)
+SELECT min(variant) AS rep, count(*) AS n
+FROM noisy
+GROUP BY variant COLLATE NOCASE
+ORDER BY n DESC, rep ASC
+LIMIT {COLLATE_TOPK}
+"""
+
+
 BUCKET_JOIN_N = 8  # bucket count; both sides MUST match for co-location
 
 
@@ -5547,4 +5621,8 @@ SPECS = [
     QuerySpec("join_bucketed_colocated", join_bucketed_colocated, _BUCKETED_JOIN_ORACLE,
               "zero-exchange fact-fact sort-merge join over bucketBy-staged "
               "tables (co-located bucket reads, plan-asserted)"),
+    QuerySpec("sql_collated_wordcount", sql_collated_wordcount, _collated_wordcount_oracle(),
+              "case-insensitive word count via engine collation "
+              "(UTF8_LCASE vs NOCASE) over md5-injected case noise — "
+              "S7's lowercase step as comparison semantics"),
 ]

@@ -101,6 +101,32 @@ def test_broadcast_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(relational.join_dim_broadcast(spark, sf_dir))
 
 
+def test_collated_wordcount_equals_lowercase_counts(spark, sf_oracle_dir):
+    """The collation must undo exactly the injected case noise: the
+    (lower(rep), n) multiset has to equal a plain lower()-grouped word
+    count's top slice — if UTF8_LCASE folded more than case (or the
+    noise injection leaked into counts) this diverges."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    got = {
+        (r["rep"].lower(), r["n"])
+        for r in relational.sql_collated_wordcount(spark, sf_oracle_dir).collect()
+    }
+    plain = (
+        load_table(spark, sf_oracle_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy(F.lower("term").alias("rep"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("rep"))
+        .limit(relational.COLLATE_TOPK)
+        .collect()
+    )
+    assert got == {(r["rep"], r["n"]) for r in plain}
+
+
 def test_bucketed_join_is_zero_exchange_smj(spark, sf_dir):
     """The whole point of join_bucketed_colocated: both fact scans must
     read co-located buckets (Bucketed: true) into a sort-merge join
