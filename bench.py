@@ -143,6 +143,8 @@ HEADLINE = [
     "knn_scalar_quant",        # symmetric int8 SQ top-k (exact integer dot)
     "join_bucketed_colocated", # zero-exchange SMJ over bucketBy-staged facts
     "sql_collated_wordcount",  # engine-collation case folding (UTF8_LCASE)
+    "source_schema_evolution", # mergeSchema two-generation read
+    "table_compaction_small_files",  # 64->4 small-file compaction, values gated
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -2809,6 +2809,136 @@ GROUP BY o_orderstatus, l_returnflag
 """
 
 
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet batches written at different
+    pipeline generations — batch 0 (even orderkeys) with the original
+    four columns, batch 1 (odd orderkeys) with a NEW o_urgent flag —
+    read back as ONE table via ``mergeSchema``, the old rows NULL for
+    the new column.  Every long-lived ingest hits this (a crawler adds
+    a field, three years of history doesn't), and the failure mode
+    mergeSchema guards — silently dropping or mistyping the new column
+    — is exactly what the per-generation aggregate gates.
+
+    Scale: schema merge is a FOOTER-metadata operation (one file
+    footer per batch schema, not a data pass); the read itself stays a
+    plain pruned parquet scan.  Staging follows the cached-scratch
+    contract."""
+    import os
+
+    from ..sources.tables import stage_scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    base = stage_scratch_dir(sf_dir, "evolved", "orders")
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        (
+            o.where(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(f"{base}/orders/gen=0")
+        )
+        (
+            o.where(F.col("o_orderkey") % 2 == 1)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderdate",
+                (F.col("o_orderpriority") == "1-URGENT").alias("o_urgent"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{base}/orders/gen=1")
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/orders")
+    return merged.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("sum_total"),
+        F.count("o_urgent").alias("n_flagged"),
+        F.sum(F.col("o_urgent").cast("int")).alias("n_urgent"),
+    )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL::BOOLEAN AS o_urgent, 0 AS gen
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority = '1-URGENT' AS o_urgent, 1 AS gen
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT gen, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_total,
+       count(o_urgent) AS n_flagged,
+       CAST(sum(CAST(o_urgent AS INT)) AS BIGINT) AS n_urgent
+FROM merged GROUP BY gen
+"""
+
+
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def table_compaction_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming
+    ingest owes its readers: a {COMPACT_SMALL_FILES}-file fragmented
+    staging of events (one micro-batch worth of rows per file) is
+    rewritten as {COMPACT_TARGET_FILES} right-sized files, and the
+    query reads the COMPACTED copy so the oracle pins that compaction
+    changed layout only, never values.  At 100 TB fragmentation is a
+    first-order cost: listing, footer reads and task scheduling all
+    scale with file count, and row-group-sized files defeat both
+    min/max skipping and vectorized reads.
+
+    The compaction itself is the honest production shape: a full
+    read → repartition({COMPACT_TARGET_FILES}) → write (one shuffle,
+    parallel write), NOT coalesce — coalesce(4) would also collapse
+    the UPSTREAM read to 4 tasks.  File-count assertions live in the
+    pytest (layout is not visible to SQL); this registered query gates
+    the value-preservation half of the contract."""
+    import os
+
+    from ..sources.tables import stage_scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast(DECM).alias("v")
+    )
+    base = stage_scratch_dir(sf_dir, "compacted", "events")
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        (
+            ev.repartition(COMPACT_SMALL_FILES, "event_id")
+            .write.mode("overwrite")
+            .parquet(f"{base}/small")
+        )
+        (
+            spark.read.parquet(f"{base}/small")
+            .repartition(COMPACT_TARGET_FILES)
+            .write.mode("overwrite")
+            .parquet(f"{base}/compacted")
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.parquet(f"{base}/compacted")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+            F.sum(F.col("event_id") * F.col("event_id")).alias("id_checksum"),
+        )
+    )
+
+
+_COMPACTION_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id * event_id) AS BIGINT) AS id_checksum
+FROM events GROUP BY event_type
+"""
+
+
 _PRUNE_IN_LIST = ", ".join(f"'{t}'" for t in PRUNE_KEEP_TYPES)
 
 _PARTITION_PRUNE_ORACLE = f"""
@@ -5625,4 +5755,10 @@ SPECS = [
               "case-insensitive word count via engine collation "
               "(UTF8_LCASE vs NOCASE) over md5-injected case noise — "
               "S7's lowercase step as comparison semantics"),
+    QuerySpec("source_schema_evolution", source_schema_evolution, _SCHEMA_EVOLUTION_ORACLE,
+              "mergeSchema read across two staged parquet generations "
+              "(new column NULL-filled for old rows, per-generation gate)"),
+    QuerySpec("table_compaction_small_files", table_compaction_small_files, _COMPACTION_ORACLE,
+              "small-file compaction (64 -> 4 files) gated on exact "
+              "value preservation; file-count half pinned in pytest"),
 ]

@@ -101,6 +101,54 @@ def test_broadcast_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(relational.join_dim_broadcast(spark, sf_dir))
 
 
+def test_compaction_actually_compacts_files(spark, sf_oracle_dir):
+    """The layout half of the compaction contract (invisible to the
+    value oracle): the fragmented staging must really hold ~64 data
+    files and the compacted copy at most the target count, with the
+    same total row count."""
+    import glob
+    import os
+
+    from map_reduce_multi_threaded_spark.sources.tables import stage_scratch_dir
+
+    # staging happens inside the query; run it first
+    total = sum(
+        r["n_events"]
+        for r in relational.table_compaction_small_files(spark, sf_oracle_dir).collect()
+    )
+    base = stage_scratch_dir(sf_oracle_dir, "compacted", "events")
+    small = glob.glob(os.path.join(base, "small", "*.parquet"))
+    compact = glob.glob(os.path.join(base, "compacted", "*.parquet"))
+    assert len(small) >= relational.COMPACT_SMALL_FILES // 2, len(small)
+    assert 1 <= len(compact) <= relational.COMPACT_TARGET_FILES, len(compact)
+    n_src = spark.read.parquet(os.path.join(base, "compacted")).count()
+    assert n_src == total
+
+
+def test_schema_evolution_nulls_old_generation(spark, sf_oracle_dir):
+    """mergeSchema must surface o_urgent as a nullable column that is
+    NULL for every gen-0 row and populated for every gen-1 row — the
+    mistype/drop failure the aggregate gate summarizes, checked here
+    row-level on a sample."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import stage_scratch_dir
+
+    relational.source_schema_evolution(spark, sf_oracle_dir).collect()
+    base = stage_scratch_dir(sf_oracle_dir, "evolved", "orders")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "orders")
+    )
+    assert dict(merged.dtypes)["o_urgent"] == "boolean"
+    bad = merged.where(
+        (F.col("gen") == 0) & F.col("o_urgent").isNotNull()
+        | (F.col("gen") == 1) & F.col("o_urgent").isNull()
+    ).count()
+    assert bad == 0
+
+
 def test_collated_wordcount_equals_lowercase_counts(spark, sf_oracle_dir):
     """The collation must undo exactly the injected case noise: the
     (lower(rep), n) multiset has to equal a plain lower()-grouped word
