@@ -145,6 +145,7 @@ HEADLINE = [
     "sql_collated_wordcount",  # engine-collation case folding (UTF8_LCASE)
     "source_schema_evolution", # mergeSchema two-generation read
     "table_compaction_small_files",  # 64->4 small-file compaction, values gated
+    "multimodal_image_hist_eq",  # all-integer CDF contrast equalization
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

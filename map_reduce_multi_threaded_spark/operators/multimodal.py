@@ -580,6 +580,105 @@ LEFT JOIN sums USING (doc_id, tile_y, tile_x)
 """
 
 
+def image_hist_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram EQUALIZATION over the decoded raster — the classic
+    contrast-normalization preprocessing a vision ingest applies
+    before patch extraction: per image, build the 256-bin intensity
+    histogram, form its CDF, and remap every pixel to
+    ⌊(cdf(v) − cdf_min)·255 / (N − cdf_min)⌋.  Every step is INTEGER
+    arithmetic (counts, cumulative counts, floor division), so the
+    remap is bit-portable with no float caveat, and the DuckDB oracle
+    reproduces it closed-form over the text-byte raster (the same
+    ascii-position trick as the tile oracle, plus the zero-padding
+    rows encode_ppm appends to fill the 8-pixel row grid).
+
+    Emitted per doc: pixel count, pre/post intensity sums and level
+    counts — equalization should spread levels, which the level-count
+    columns surface (and the degenerate single-level image maps to 0
+    by the max(1, denom) guard on both engines).
+
+    Scale: one narrow Arrow map (decode → bincount → remap in numpy),
+    zero shuffles, 6 small columns out per image."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.codecs import encode_ppm, parse_ppm_raster
+
+    def eq(batches):
+        for b in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_px", "sum_before", "sum_after",
+                "n_levels_before", "n_levels_after",
+            )}
+            for doc, payload in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                _w, _h, _mx, raster = parse_ppm_raster(encode_ppm(payload))
+                px = np.frombuffer(raster, dtype=np.uint8)
+                n = int(px.size)
+                hist = np.bincount(px, minlength=256).astype(np.int64)
+                cdf = hist.cumsum()
+                cdf_min = int(cdf[int(px.min())])
+                denom = max(1, n - cdf_min)
+                mapped = (cdf - cdf_min) * 255 // denom
+                live = hist > 0
+                out["doc_id"].append(doc)
+                out["n_px"].append(n)
+                out["sum_before"].append(int((np.arange(256) * hist).sum()))
+                out["sum_after"].append(int((mapped * hist).sum()))
+                out["n_levels_before"].append(int(live.sum()))
+                out["n_levels_after"].append(len(np.unique(mapped[live])))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[k], pa.int64()) for k in out], list(out)
+            )
+
+    return with_payload(spark, sf_dir).mapInArrow(
+        eq,
+        "doc_id long, n_px long, sum_before long, sum_after long, "
+        "n_levels_before long, n_levels_after long",
+    )
+
+
+_HIST_EQ_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+dims AS (SELECT doc_id, n, ((n + 23) // 24) * 24 AS n_pad FROM s),
+bytes AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) AS v
+  FROM s, unnest(generate_series(1, n)) AS u(i)
+  UNION ALL
+  SELECT doc_id, 0 AS v
+  FROM dims, unnest(generate_series(1, n_pad - n)) AS p(j)
+),
+hist AS (SELECT doc_id, v, count(*) AS c FROM bytes GROUP BY 1, 2),
+cdf AS (
+  SELECT *,
+         sum(c) OVER (PARTITION BY doc_id ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY doc_id) AS n_px
+  FROM hist
+),
+m AS (
+  SELECT *,
+         min(cum) OVER (PARTITION BY doc_id) AS cdf_min
+  FROM cdf
+),
+mapped AS (
+  SELECT doc_id, v, c, n_px,
+         ((cum - cdf_min) * 255) // greatest(1, n_px - cdf_min) AS nv
+  FROM m
+)
+SELECT doc_id,
+       CAST(max(n_px) AS BIGINT) AS n_px,
+       CAST(sum(v * c) AS BIGINT) AS sum_before,
+       CAST(sum(nv * c) AS BIGINT) AS sum_after,
+       CAST(count(*) AS BIGINT) AS n_levels_before,
+       CAST(count(DISTINCT nv) AS BIGINT) AS n_levels_after
+FROM mapped GROUP BY doc_id
+"""
+
+
 #: spectrum-analysis geometry: FFT length, sample rate, tone table size
 FFT_N = 512
 FFT_RATE = 8000
@@ -691,4 +790,7 @@ SPECS = [
     QuerySpec("multimodal_image_tiles", image_tiles, _IMAGE_TILES_ORACLE,
               "ViT-style 4x4 patch extraction over the decoded P6 raster "
               "(numpy slicing; full patch grid incl. ragged edge oracled)"),
+    QuerySpec("multimodal_image_hist_eq", image_hist_eq, _HIST_EQ_ORACLE,
+              "histogram equalization over the decoded raster — all-integer "
+              "CDF remap, closed-form oracle incl. row-grid padding"),
 ]
