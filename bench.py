@@ -146,6 +146,7 @@ HEADLINE = [
     "source_schema_evolution", # mergeSchema two-generation read
     "table_compaction_small_files",  # 64->4 small-file compaction, values gated
     "multimodal_image_hist_eq",  # all-integer CDF contrast equalization
+    "sort_zorder_layout",      # Morton-clustered staging + 2-d slice
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -101,7 +101,53 @@ def test_broadcast_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(relational.join_dim_broadcast(spark, sf_dir))
 
 
-def test_compaction_actually_compacts_files(spark, sf_oracle_dir):
+def test_zorder_bounds_per_file_spread_in_both_dims(spark, sf_oracle_dir):
+    """The property that makes the Z-layout worth staging: every file
+    covers a BOUNDED range of BOTH day and user simultaneously (so
+    min/max stats prune for either predicate), which no 1-d sort
+    gives — the day-sorted control staged here bounds day but spans
+    ~the full user range in every file."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import stage_scratch_dir
+
+    relational.sort_zorder_layout(spark, sf_oracle_dir).collect()  # stage
+    base = stage_scratch_dir(sf_oracle_dir, "zorder", "events")
+    z = spark.read.parquet(os.path.join(base, "events"))
+
+    def spreads(df):
+        per_file = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("day") - F.min("day")).alias("dspread"),
+                (F.max("user_id") - F.min("user_id")).alias("uspread"),
+            )
+            .agg(F.avg("dspread"), F.avg("uspread"))
+            .first()
+        )
+        g = df.agg(
+            (F.max("day") - F.min("day")), (F.max("user_id") - F.min("user_id"))
+        ).first()
+        return per_file[0] / g[0], per_file[1] / g[1]
+
+    zd, zu = spreads(z)
+    assert zd <= 0.6, zd
+    assert zu <= 0.6, zu
+
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            z.repartitionByRange(relational.Z_FILES, "day")
+            .sortWithinPartitions("day")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        ld, lu = spreads(spark.read.parquet(tmp))
+        assert ld <= 0.6, ld           # the 1-d sort bounds its own dim...
+        assert lu >= 0.9, lu           # ...but spans the full other dim
+        assert zu < lu / 2, (zu, lu)   # Z beats it decisively on dim 2
     """The layout half of the compaction contract (invisible to the
     value oracle): the fragmented staging must really hold ~64 data
     files and the compacted copy at most the target count, with the
