@@ -147,6 +147,7 @@ HEADLINE = [
     "table_compaction_small_files",  # 64->4 small-file compaction, values gated
     "multimodal_image_hist_eq",  # all-integer CDF contrast equalization
     "sort_zorder_layout",      # Morton-clustered staging + 2-d slice
+    "stream_window_winner",    # chained-stateful streaming argmax leaderboard
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -483,6 +483,71 @@ FROM w10 GROUP BY 1, 2
 """
 
 
+def stream_window_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ARGMAX rollup — "which event type won each 15-minute
+    window", computed end-to-end inside one streaming query as CHAINED
+    stateful aggregates (the leaderboard shape every live dashboard
+    needs): stage 1 keeps per-(window, type) counts, stage 2 reduces
+    each window to max(struct(n, type)) + totals, each with its own
+    state store, watermark propagated so closed windows emit through
+    real micro-batch boundaries (same multi-batch replay harness as
+    :func:`stream_windowed_rollup`).
+
+    Streaming has no per-window ranking operator — a window-function
+    rank would need the whole window re-sorted per trigger; the
+    struct-max argmax is the INCREMENTAL spelling (O(1) state merge
+    per update, the same order-free trick as the batch max_by family).
+    Ties break to the larger type string via struct comparison,
+    mirrored exactly by the oracle's (n DESC, type DESC) ranking."""
+    import pyspark.sql.functions as F
+
+    staged, cutoff = W.stage_events_multibatch(sf_dir)
+    ev = W.read_staged_stream(spark, staged).withWatermark("ts", "10 minutes")
+    counts = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    winner = (
+        counts.groupBy("w")
+        .agg(
+            F.max(
+                F.struct(F.col("n").alias("n"), F.col("event_type").alias("t"))
+            ).alias("m"),
+            F.sum("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("m.t").alias("top_type"),
+            F.col("m.n").alias("top_n"),
+            "n_total",
+            "n_types",
+        )
+    )
+    out = W.run_to_memory(winner, "stream_window_winner_sink", output_mode="append")
+    return out.where(F.col("window_start") <= cutoff)
+
+
+_WINDOW_WINNER_ORACLE = """
+WITH c AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type DESC) AS rn,
+         sum(n) OVER (PARTITION BY ws) AS n_total,
+         count(*) OVER (PARTITION BY ws) AS n_types
+  FROM c
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type AS top_type,
+       CAST(n AS BIGINT) AS top_n,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_types AS BIGINT) AS n_types
+FROM r WHERE rn = 1
+"""
+
+
 def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER interval join: purchases
     with no error in the trailing 10 minutes emit a null-extended row —
@@ -781,6 +846,9 @@ SPECS = [
               "append-mode tumbling windows over a 6-micro-batch replay (watermark-driven emission)"),
     QuerySpec("stream_windowed_rollup", stream_windowed_rollup, _WINDOWED_ROLLUP_ORACLE,
               "chained stateful aggregation: 10-min windows rolled into 30-min inside one query"),
+    QuerySpec("stream_window_winner", stream_window_winner, _WINDOW_WINNER_ORACLE,
+              "streaming per-window argmax leaderboard via chained stateful "
+              "max-of-struct (incremental, no per-window re-rank)"),
     QuerySpec("stream_update_counts", stream_update_counts, _UPDATE_COUNTS_ORACLE,
               "UPDATE-mode tumbling counts: per-batch state snapshots as a "
               "changelog, oracled from deterministic batch boundaries"),
