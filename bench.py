@@ -148,6 +148,8 @@ HEADLINE = [
     "multimodal_image_hist_eq",  # all-integer CDF contrast equalization
     "sort_zorder_layout",      # Morton-clustered staging + 2-d slice
     "stream_window_winner",    # chained-stateful streaming argmax leaderboard
+    "join_dpp_partition_pruned",  # runtime join-driven partition pruning
+    "dq_benford",              # Benford first-digit distribution audit
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

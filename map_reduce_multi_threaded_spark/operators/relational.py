@@ -2611,19 +2611,9 @@ SELECT fmt, n_rows, sum_acctbal FROM (
 PRUNE_KEEP_TYPES = ("click", "error")
 
 
-def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style partitioned layout + partition PRUNING: stage events
-    as parquet partitioned by event_type (cached per sf in scratch),
-    read it back with a two-type filter, and aggregate — the listing
-    must touch ONLY the two matching partition directories, which at
-    100 TB is the difference between scanning 2/5 of the table and all
-    of it.  The plan-shape test asserts the pruned file index; this
-    registered query gates the VALUES (exact count + decimal sum per
-    kept type) against the unpartitioned original via the oracle.
-
-    Scale: dynamic partition overwrite parallelizes the write; the
-    read side is pure metadata pruning — no data-side filter work at
-    all for the dropped partitions."""
+def _stage_parted_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events partitioned by event_type (cached scratch); shared
+    by the static-pruning and dynamic-pruning queries."""
     import os
 
     from ..sources.tables import stage_scratch_dir
@@ -2641,9 +2631,25 @@ def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(marker, "w") as f:
             f.write("ok")
+    return f"{base}/events"
+
+
+def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition PRUNING: stage events
+    as parquet partitioned by event_type (cached per sf in scratch),
+    read it back with a two-type filter, and aggregate — the listing
+    must touch ONLY the two matching partition directories, which at
+    100 TB is the difference between scanning 2/5 of the table and all
+    of it.  The plan-shape test asserts the pruned file index; this
+    registered query gates the VALUES (exact count + decimal sum per
+    kept type) against the unpartitioned original via the oracle.
+
+    Scale: dynamic partition overwrite parallelizes the write; the
+    read side is pure metadata pruning — no data-side filter work at
+    all for the dropped partitions."""
     keep = ", ".join(f"'{t}'" for t in PRUNE_KEEP_TYPES)
     return (
-        spark.read.parquet(f"{base}/events")
+        spark.read.parquet(_stage_parted_events(spark, sf_dir))
         .where(F.expr(f"event_type IN ({keep})"))
         .groupBy("event_type")
         .agg(
@@ -3041,6 +3047,111 @@ SELECT event_type, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
        CAST(sum(event_id * event_id) AS BIGINT) AS id_checksum
 FROM events GROUP BY event_type
+"""
+
+
+DPP_AVG_FLOOR = "50.00"  # dim filter: mean event value above this
+
+
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    :func:`source_partition_prune`'s static pruning: the fact side is
+    the same event_type-partitioned staging, but which partitions
+    survive is decided by a JOIN against a filtered dimension (event
+    types whose corpus-wide mean value clears a floor), a set no
+    static optimizer can know.  Catalyst inserts a dynamic-pruning
+    subquery on the fact's partition column (reusing the dim's
+    broadcast), so the pruned partitions are never even listed — at
+    100 TB this is the star-schema pattern: `fact JOIN dim WHERE
+    dim.attr = x` scanning only the partitions the dim filter names.
+
+    The dim filter is exact (sum > floor·count multiplied out in
+    decimals, no avg() float boundary); the dim itself derives from
+    the UNPARTITIONED original so the oracle can reproduce it as
+    plain SQL.  Plan-tested: `dynamicpruning` present in the fact
+    scan's partition filters."""
+    parted = spark.read.parquet(_stage_parted_events(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast(DECM)).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .where(F.col("s") > F.expr(f"CAST({DPP_AVG_FLOOR} AS {DECM}) * c"))
+        .select("event_type", F.col("s").cast("double").alias("dim_sum"))
+    )
+    return (
+        parted.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DECM)).cast("double").alias("sum_value"),
+            F.max("dim_sum").alias("dim_sum"),
+        )
+    )
+
+
+_DPP_ORACLE = f"""
+WITH dim AS (
+  SELECT event_type, sum(CAST(value AS DECIMAL(14,2))) AS s, count(*) AS c
+  FROM events GROUP BY event_type
+  HAVING sum(CAST(value AS DECIMAL(14,2))) > CAST({DPP_AVG_FLOOR} AS DECIMAL(14,2)) * count(*)
+)
+SELECT e.event_type, count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value,
+       CAST(max(d.s) AS DOUBLE) AS dim_sum
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic screen for fabricated or truncated numeric columns in an
+    incoming feed (organic multiplicative data follows
+    P(d) = log10(1 + 1/d); uniform or hand-entered data does not).
+
+    The first digit is taken from the DECIMAL's string form — never
+    via log10/division, whose float edges at exact powers of ten
+    would disagree between engines on boundary values.  Expected
+    shares and the per-digit deviation are the only float math, on
+    identical inputs.  Scale: one scan, 9-row aggregate, map-side
+    partials."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_totalprice").cast(DECM).cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    tot = Window.partitionBy()
+    return (
+        o.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.sum("n").over(tot), 9))
+        .withColumn(
+            "benford_share",
+            F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 9),
+        )
+        .withColumn(
+            "abs_dev", F.round(F.abs(F.col("share") - F.col("benford_share")), 9)
+        )
+        .select("digit", "n", "share", "benford_share", "abs_dev")
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1) AS digit
+  FROM orders
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 9) AS share,
+       round(log10(1 + 1 / CAST(digit AS DOUBLE)), 9) AS benford_share,
+       round(abs(round(CAST(n AS DOUBLE) / total, 9)
+                 - round(log10(1 + 1 / CAST(digit AS DOUBLE)), 9)), 9) AS abs_dev
+FROM c, t
 """
 
 
@@ -5869,4 +5980,10 @@ SPECS = [
     QuerySpec("sort_zorder_layout", sort_zorder_layout, _ZORDER_ORACLE,
               "Z-order (Morton) clustered staging + 2-d day×user slice "
               "(per-file both-dims locality pinned in pytest)"),
+    QuerySpec("join_dpp_partition_pruned", join_dpp_partition_pruned, _DPP_ORACLE,
+              "dynamic partition pruning: join-driven runtime partition "
+              "filter on the partitioned fact (plan-tested subquery)"),
+    QuerySpec("dq_benford", dq_benford, _BENFORD_ORACLE,
+              "Benford first-digit audit (string-derived digits, no "
+              "log-edge float risk; per-digit deviation readout)"),
 ]

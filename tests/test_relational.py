@@ -101,6 +101,14 @@ def test_broadcast_join_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(relational.join_dim_broadcast(spark, sf_dir))
 
 
+def test_dpp_join_injects_dynamic_pruning_filter(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning partition filter (the
+    join-driven runtime prune) — without it the query still returns
+    the right values while silently scanning every partition."""
+    plan = _plan(relational.join_dpp_partition_pruned(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_zorder_bounds_per_file_spread_in_both_dims(spark, sf_oracle_dir):
     """The property that makes the Z-layout worth staging: every file
     covers a BOUNDED range of BOTH day and user simultaneously (so
