@@ -150,6 +150,7 @@ HEADLINE = [
     "stream_window_winner",    # chained-stateful streaming argmax leaderboard
     "join_dpp_partition_pruned",  # runtime join-driven partition pruning
     "dq_benford",              # Benford first-digit distribution audit
+    "text_duplicate_spans",    # ExactSubstr duplicated-span extraction
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -331,6 +331,112 @@ FROM ranked WHERE pr <= 0.5
 """
 
 
+SPAN_G = 8     # gram width for duplicate-span detection (tokens)
+SPAN_MIN = 12  # minimum reported duplicated span (tokens)
+
+
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection — the ExactSubstr half of
+    training-data dedup (Lee et al. 2022): find every maximal run of
+    ≥ {SPAN_MIN} tokens that also occurs verbatim in ANOTHER document,
+    reported as per-doc (start, end) spans for surgical removal (a
+    boilerplate footer repeated across a crawl, a license block, a
+    quoted passage) — document-level near-dup keeps or drops whole
+    docs; this finds the shared substrings inside otherwise-unique
+    ones.
+
+    Distributed shape, all keyed: (1) each doc's {SPAN_G}-gram md5
+    keys come from ONE narrow transform-with-index over the token
+    array (no per-doc window, no self-join); (2) grams occurring in
+    ≥ 2 distinct docs are a keyed agg on the gram hash — the word
+    count shape on gram keys; (3) hit positions collapse to maximal
+    spans with the gaps-and-islands transform (pos − row_number is
+    constant within a consecutive run) under a per-doc window —
+    bounded by document length, never corpus-wide.  Hash collisions
+    (60-bit md5) are corpus-negligible and the oracle computes the
+    identical hash, so parity is unconditional."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
+    gram_hash = (
+        f"CAST(conv(substr(md5(concat_ws(' ', slice({toks}, i + 1, {SPAN_G}))), "
+        f"1, 15), 16, 10) AS BIGINT)"
+    )
+    grams = (
+        d.where(F.expr(f"size({toks}) >= {SPAN_G}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform({toks}, (x, i) -> CASE "
+                    f"WHEN i + {SPAN_G} <= size({toks}) "
+                    f"THEN struct(i AS p, {gram_hash} AS gh) END)"
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s").isNotNull())
+        .select("doc_id", F.col("s.p").alias("p"), F.col("s.gh").alias("gh"))
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    return (
+        hits.withColumn("grp", F.col("p") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + SPAN_G - 1).alias("span_end"),
+            (F.max("p") - F.min("p") + SPAN_G).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .where(F.col("span_tokens") >= SPAN_MIN)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+_DUP_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> length(x) > 0) AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, s['p'] AS p, s['gh'] AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(ts, (x, i) -> {{'p': i - 1,
+             'gh': CASE WHEN i + {SPAN_G} - 1 <= len(ts)
+                        THEN ('0x' || substr(md5(array_to_string(
+                               list_slice(ts, i, i + {SPAN_G} - 1), ' ')), 1, 15))::BIGINT
+                   END}})) AS s
+    FROM toks WHERE len(ts) >= {SPAN_G})
+  WHERE s['gh'] IS NOT NULL
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+h AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM g JOIN dup USING (gh)
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {SPAN_G} - 1 AS BIGINT) AS span_end,
+       CAST(max(p) - min(p) + {SPAN_G} AS BIGINT) AS span_tokens,
+       count(*) AS n_grams
+FROM h GROUP BY doc_id, grp
+HAVING max(p) - min(p) + {SPAN_G} >= {SPAN_MIN}
+"""
+
+
 ROLL_BASE = 31
 ROLL_MOD = 1_000_000_007
 
@@ -1072,6 +1178,10 @@ FROM bucketed GROUP BY doc_id
 
 
 SPECS = [
+    QuerySpec("text_duplicate_spans", text_duplicate_spans, _DUP_SPANS_ORACLE,
+              "ExactSubstr-style duplicated-span extraction: cross-doc "
+              "8-gram hits collapsed to maximal per-doc spans via "
+              "gaps-and-islands"),
     QuerySpec("text_zipf_slope", text_zipf_slope, _zipf_oracle(),
               "Zipf exponent via distributed two-pass rank + integer-quantized log regression"),
     QuerySpec("text_feature_hashing", text_feature_hashing, _feature_hashing_oracle(),

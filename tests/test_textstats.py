@@ -101,3 +101,32 @@ def test_ngram_novelty_bounds_and_signal(spark, sf_oracle_dir):
         assert abs(r["novelty"] - round(r["n_unique"] / r["n_grams"], 9)) < 1e-12
     assert any(r["n_unique"] < r["n_grams"] for r in rows)
     assert any(r["n_unique"] > 0 for r in rows)
+
+
+def test_duplicate_spans_grams_occur_verbatim_elsewhere(spark, sf_oracle_dir):
+    """End-to-end claim check on real rows, asserting exactly what the
+    operator guarantees: every G-token WINDOW of a reported span
+    occurs verbatim in another document (checked at the span's two
+    ends).  The FULL span need not — a merged span's grams may match
+    different partner docs.  If the gram hashing, 0/1-based indexing,
+    or islands merge were off by one, these windows would not be found
+    elsewhere (the oracle mirrors the same arithmetic, so only this
+    cross-check catches a shared off-by-one)."""
+    from map_reduce_multi_threaded_spark.operators.textstats import SPAN_G
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    spans = textstats.text_duplicate_spans(spark, sf_oracle_dir).collect()
+    assert spans, "fixture must contain duplicated spans"
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split() if w]
+        for r in load_table(spark, sf_oracle_dir, "documents").collect()
+    }
+    joined = {k: " ".join(v) for k, v in docs.items()}
+    for r in sorted(spans, key=lambda r: (r["doc_id"], r["span_start"]))[:25]:
+        toks = docs[r["doc_id"]][r["span_start"] : r["span_end"] + 1]
+        assert len(toks) == r["span_tokens"], r
+        for needle_toks in (toks[:SPAN_G], toks[-SPAN_G:]):
+            needle = " ".join(needle_toks)
+            assert any(
+                d != r["doc_id"] and needle in j for d, j in joined.items()
+            ), (r, needle[:80])
