@@ -151,6 +151,7 @@ HEADLINE = [
     "join_dpp_partition_pruned",  # runtime join-driven partition pruning
     "dq_benford",              # Benford first-digit distribution audit
     "text_duplicate_spans",    # ExactSubstr duplicated-span extraction
+    "text_rake_keywords",      # RAKE phrase extraction (quantized scores)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

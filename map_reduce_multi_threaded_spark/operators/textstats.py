@@ -331,6 +331,114 @@ FROM ranked WHERE pr <= 0.5
 """
 
 
+RAKE_TOPK = 15
+RAKE_SCALE = 1000  # word scores quantized to milli-units (order-free sums)
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    the unsupervised indexing/tagging pass a retrieval pipeline runs
+    at ingest: candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands on non-stopword positions), each word scores
+    degree/frequency over the phrase co-occurrence graph, and a
+    phrase scores the sum of its member words; the corpus-wide top
+    {RAKE_TOPK} phrases come out with their occurrence counts.
+
+    Determinism: the word score is QUANTIZED to integer milli-units
+    at the division ((degree·{RAKE_SCALE}) div freq) — phrase scores
+    are then integer sums, order-free under any partitioning, where a
+    float sum over phrase members would be partitioning-sensitive
+    (same trick as the quantized-ln NLL in text_lm_perplexity).
+    Phrase strings are rebuilt by position-sorted aggregation, so
+    identical phrases collapse with identical scores by construction.
+
+    Scale: one keyed word-stats agg (freq/degree), one keyed join of
+    member words to scores, one (doc, run) agg, one phrase-string
+    agg, TakeOrdered top-k — every shuffle keyed, no vocabulary
+    broadcast (the score join ships only phrase-member rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    toks = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", r"\s+")).alias("p", "term")
+        )
+        .where(F.length("term") > 0)
+        .where(~F.expr(f"term IN ({stop})"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = toks.withColumn("grp", F.col("p") - F.row_number().over(w))
+    # phrase instance stats: length of the run each occurrence sits in
+    inst = runs.withColumn(
+        "run_len", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp"))
+    )
+    word_stats = inst.groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("run_len").alias("degree"),
+    )
+    scored = word_stats.select(
+        "term", F.expr(f"(degree * {RAKE_SCALE}) div freq").alias("wscore")
+    )
+    phrases = (
+        runs.join(scored, "term")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(p, term))), s -> s.term)"),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").alias("score_milli"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_milli").alias("score_milli"),
+        )
+        .orderBy(F.desc("score_milli"), F.asc("phrase"))
+        .limit(RAKE_TOPK)
+        .select("phrase", "score_milli", "n_occurrences")
+    )
+
+
+def _rake_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, s['p'] AS p, s['term'] AS term FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split_regex(text, '\\s+'),
+                  (x, i) -> {{'p': i - 1, 'term': x}})) AS s
+    FROM documents)
+  WHERE length(s['term']) > 0 AND s['term'] NOT IN ({stop})
+),
+runs AS (
+  SELECT *, p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM toks
+),
+inst AS (
+  SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS run_len FROM runs
+),
+ws AS (
+  SELECT term, (sum(run_len) * {RAKE_SCALE}) // count(*) AS wscore
+  FROM inst GROUP BY term
+),
+ph AS (
+  SELECT doc_id, grp,
+         string_agg(term, ' ' ORDER BY p) AS phrase,
+         sum(wscore) AS score_milli
+  FROM runs JOIN ws USING (term)
+  GROUP BY doc_id, grp
+)
+SELECT phrase,
+       CAST(max(score_milli) AS BIGINT) AS score_milli,
+       count(*) AS n_occurrences
+FROM ph GROUP BY phrase
+ORDER BY score_milli DESC, phrase ASC
+LIMIT {RAKE_TOPK}
+"""
+
+
 SPAN_G = 8     # gram width for duplicate-span detection (tokens)
 SPAN_MIN = 12  # minimum reported duplicated span (tokens)
 
@@ -1182,6 +1290,9 @@ SPECS = [
               "ExactSubstr-style duplicated-span extraction: cross-doc "
               "8-gram hits collapsed to maximal per-doc spans via "
               "gaps-and-islands"),
+    QuerySpec("text_rake_keywords", text_rake_keywords, _rake_oracle(),
+              "RAKE keyword extraction: stopword-free phrase runs scored "
+              "by quantized degree/frequency (order-free integer sums)"),
     QuerySpec("text_zipf_slope", text_zipf_slope, _zipf_oracle(),
               "Zipf exponent via distributed two-pass rank + integer-quantized log regression"),
     QuerySpec("text_feature_hashing", text_feature_hashing, _feature_hashing_oracle(),
