@@ -152,6 +152,7 @@ HEADLINE = [
     "dq_benford",              # Benford first-digit distribution audit
     "text_duplicate_spans",    # ExactSubstr duplicated-span extraction
     "text_rake_keywords",      # RAKE phrase extraction (quantized scores)
+    "multimodal_scene_cuts",   # SAD shot-boundary detection
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
