@@ -153,6 +153,7 @@ HEADLINE = [
     "text_duplicate_spans",    # ExactSubstr duplicated-span extraction
     "text_rake_keywords",      # RAKE phrase extraction (quantized scores)
     "multimodal_scene_cuts",   # SAD shot-boundary detection
+    "source_csv_malformed_modes",  # PERMISSIVE vs DROPMALFORMED dirty CSV
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -2987,6 +2987,100 @@ GROUP BY event_type
 """
 
 
+CSV_CORRUPT_MOD = 20  # every 20th orderkey gets an unparseable price
+
+
+def source_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on a dirty CSV feed — the first
+    decision every file-drop ingest makes: a staged CSV of orders
+    carries an unparseable price on every {CSV_CORRUPT_MOD}th key, and
+    the same file is read twice — PERMISSIVE (row kept, failed fields
+    NULL, raw line preserved in ``_corrupt_record`` for the quarantine
+    sink) and DROPMALFORMED (bad lines silently gone).  One result
+    frame gates all four facts that matter: total rows seen, corrupt
+    rows flagged, rows surviving the drop, and that the GOOD-row
+    revenue is identical under both modes (corruption must never leak
+    into parsed values).
+
+    The corruption rule is deterministic (key % {CSV_CORRUPT_MOD}), so
+    the oracle is closed-form over the clean table — no staged state
+    leaks into the contract.  Double→CSV→double round-trips exactly
+    (shortest-round-trip formatting), which the revenue equality
+    pins.  Scale: CSV parse is a narrow map; both reads stream."""
+    import os
+
+    from ..sources.tables import stage_scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    base = stage_scratch_dir(sf_dir, "dirtycsv", "orders")
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        line = F.when(
+            F.col("o_orderkey") % CSV_CORRUPT_MOD == 0,
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.lit("NOT_A_NUMBER"),
+                F.col("o_orderstatus"),
+            ),
+        ).otherwise(
+            F.concat_ws(
+                ",", "o_orderkey", "o_totalprice", "o_orderstatus"
+            )
+        )
+        o.select(line.alias("value")).write.mode("overwrite").text(
+            f"{base}/orders_csv"
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    schema = (
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING, "
+        "_corrupt_record STRING"
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{base}/orders_csv")
+    )
+    dropped = (
+        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING")
+        .option("mode", "DROPMALFORMED")
+        .csv(f"{base}/orders_csv")
+    )
+    p = permissive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), money("o_totalprice")
+            )
+        ).cast("double").alias("good_revenue"),
+    ).select(F.lit("permissive").alias("mode"), "n_rows", "n_corrupt", "good_revenue")
+    d = dropped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("n_corrupt"),
+        F.sum(money("o_totalprice")).cast("double").alias("good_revenue"),
+    ).select(F.lit("dropmalformed").alias("mode"), "n_rows", "n_corrupt", "good_revenue")
+    return p.unionAll(d)
+
+
+_CSV_MALFORMED_ORACLE = f"""
+WITH good AS (
+  SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS tp FROM orders
+  WHERE o_orderkey % {CSV_CORRUPT_MOD} <> 0
+)
+SELECT 'permissive' AS mode,
+       (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT count(*) FROM orders WHERE o_orderkey % {CSV_CORRUPT_MOD} = 0) AS n_corrupt,
+       CAST((SELECT sum(tp) FROM good) AS DOUBLE) AS good_revenue
+UNION ALL
+SELECT 'dropmalformed',
+       (SELECT count(*) FROM good), 0,
+       CAST((SELECT sum(tp) FROM good) AS DOUBLE)
+"""
+
+
 COMPACT_SMALL_FILES = 64
 COMPACT_TARGET_FILES = 4
 
@@ -5986,4 +6080,7 @@ SPECS = [
     QuerySpec("dq_benford", dq_benford, _BENFORD_ORACLE,
               "Benford first-digit audit (string-derived digits, no "
               "log-edge float risk; per-digit deviation readout)"),
+    QuerySpec("source_csv_malformed_modes", source_csv_malformed_modes, _CSV_MALFORMED_ORACLE,
+              "dirty-CSV ingestion: PERMISSIVE quarantine vs DROPMALFORMED "
+              "on one staged feed, good-row revenue pinned identical"),
 ]
