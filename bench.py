@@ -154,6 +154,7 @@ HEADLINE = [
     "text_rake_keywords",      # RAKE phrase extraction (quantized scores)
     "multimodal_scene_cuts",   # SAD shot-boundary detection
     "source_csv_malformed_modes",  # PERMISSIVE vs DROPMALFORMED dirty CSV
+    "events_cumulative_users", # DAU + cumulative distinct via first-seen
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

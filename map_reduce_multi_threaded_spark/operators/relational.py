@@ -2987,6 +2987,63 @@ GROUP BY event_type
 """
 
 
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth dashboard's two headline curves in one frame: DAU
+    (distinct users per epoch-day) and CUMULATIVE distinct users over
+    time.  A naive cumulative COUNT(DISTINCT) over an expanding window
+    re-scans history per day; the exact identity used instead is that
+    cumulative-distinct equals the running sum of FIRST OCCURRENCES —
+    one keyed min-agg marks each user's first day, a per-day count of
+    those firsts gives new_users, and the cumulative sum runs over the
+    day-cardinality aggregate (bounded rows — a driver-safe window,
+    not a per-event one).
+
+    Scale: two keyed shuffles (user first-seen, per-day rollup), then
+    window math over ~days rows.  Everything integer-exact."""
+    day = F.expr("(unix_micros(ts) div 86400000000)").alias("day")
+    ev = load_table(spark, sf_dir, "events").select("user_id", day)
+    dau = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(firsts, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .select("day", "n_events", "dau", "new_users", "cum_users")
+    )
+
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+dau AS (
+  SELECT day, count(DISTINCT user_id) AS dau, count(*) AS n_events
+  FROM ev GROUP BY day
+),
+firsts AS (
+  SELECT day, count(*) AS new_users FROM (
+    SELECT user_id, min(day) AS day FROM ev GROUP BY user_id
+  ) GROUP BY day
+)
+SELECT d.day, d.n_events, d.dau,
+       CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(f.new_users, 0))
+            OVER (ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM dau d LEFT JOIN firsts f USING (day)
+"""
+
+
 CSV_CORRUPT_MOD = 20  # every 20th orderkey gets an unparseable price
 
 
@@ -6083,4 +6140,7 @@ SPECS = [
     QuerySpec("source_csv_malformed_modes", source_csv_malformed_modes, _CSV_MALFORMED_ORACLE,
               "dirty-CSV ingestion: PERMISSIVE quarantine vs DROPMALFORMED "
               "on one staged feed, good-row revenue pinned identical"),
+    QuerySpec("events_cumulative_users", events_cumulative_users, _CUMULATIVE_USERS_ORACLE,
+              "DAU + cumulative distinct users via the first-occurrence "
+              "running-sum identity (no expanding distinct rescan)"),
 ]
