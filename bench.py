@@ -155,6 +155,7 @@ HEADLINE = [
     "multimodal_scene_cuts",   # SAD shot-boundary detection
     "source_csv_malformed_modes",  # PERMISSIVE vs DROPMALFORMED dirty CSV
     "events_cumulative_users", # DAU + cumulative distinct via first-seen
+    "udtf_top_terms_poly",     # polymorphic UDTF (analyze-derived schema)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

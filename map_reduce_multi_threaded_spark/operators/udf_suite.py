@@ -126,6 +126,72 @@ FROM ordered a JOIN ordered b ON a.user_id = b.user_id AND a.rn = b.rn + 1
 """
 
 
+UDTF_TOP_N = 3
+
+
+def udtf_top_terms_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema — columns w1..wN — is computed at plan time from the
+    constant N argument, the API surface that lets one table function
+    serve any requested width (dynamic pivots, parametric feature
+    extractors) without a registry of fixed-schema variants.
+
+    Per document it emits the top-{UDTF_TOP_N} tokens by count (ties
+    alphabetical, padding NULL), laterally joined so doc_id rides
+    along.  Scale: one row in, one row out, state bounded by a
+    document's vocabulary."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class TopTerms:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression:
+                raise ValueError("n must be a constant")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):  # noqa: D102
+            from collections import Counter
+
+            toks = [w for w in (text or "").split() if w]
+            top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
+            vals = [t for t, _ in top[:n]]
+            yield tuple(vals + [None] * (n - len(vals)))
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_poly")
+    spark.udtf.register("top_terms", TopTerms)
+    return spark.sql(
+        f"""
+        SELECT doc_id, t.*
+        FROM docs_poly, LATERAL top_terms(text, {UDTF_TOP_N}) AS t
+        """
+    )
+
+
+_UDTF_POLY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term FROM documents
+),
+c AS (
+  SELECT doc_id, term, count(*) AS n FROM toks
+  WHERE length(term) > 0 GROUP BY doc_id, term
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n DESC, term ASC) AS rn
+  FROM c
+)
+SELECT d.doc_id,
+       {", ".join(f"max(CASE WHEN rn = {i} THEN term END) AS w{i}" for i in range(1, UDTF_TOP_N + 1))}
+FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn <= {UDTF_TOP_N}
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # grouped-map applyInPandas: per-user z-score normalization
 # ---------------------------------------------------------------------------
@@ -301,6 +367,9 @@ SPECS = [
               "Spark 4 arrow-optimized scalar Python UDF (useArrow=True)"),
     QuerySpec("udtf_event_gaps", udtf_event_gaps, _UDTF_ORACLE,
               "Python UDTF: per-user inter-event gaps via LATERAL"),
+    QuerySpec("udtf_top_terms_poly", udtf_top_terms_poly, _UDTF_POLY_ORACLE,
+              "polymorphic UDTF: analyze() derives the w1..wN schema from "
+              "the constant argument at plan time"),
     QuerySpec("grouped_map_zscore", grouped_map_zscore, _GROUPED_MAP_ORACLE,
               "applyInPandas grouped-map per-user z-scores"),
     QuerySpec("cogroup_activity", cogroup_activity, _COGROUP_ORACLE,
