@@ -156,6 +156,7 @@ HEADLINE = [
     "source_csv_malformed_modes",  # PERMISSIVE vs DROPMALFORMED dirty CSV
     "events_cumulative_users", # DAU + cumulative distinct via first-seen
     "udtf_top_terms_poly",     # polymorphic UDTF (analyze-derived schema)
+    "orders_backlog_aging",    # open-order aging snapshot
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

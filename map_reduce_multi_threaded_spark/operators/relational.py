@@ -2987,6 +2987,60 @@ GROUP BY event_type
 """
 
 
+AGING_ASOF = "2000-06-01"  # snapshot date (fixture orders span 1995-2001)
+AGING_BUCKETS = (90, 365)  # day thresholds: current / aging / stale
+
+
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the AR/fulfillment snapshot every
+    operations dashboard runs: as of {AGING_ASOF}, every not-finished
+    order placed on or before that date falls into an age bucket
+    (≤{AGING_BUCKETS[0]}d current, ≤{AGING_BUCKETS[1]}d aging, else
+    stale), rolled up to (status, bucket) counts and value.  Age is an
+    integer day difference (datediff — no timestamp float math), so
+    bucketing is exact on both engines.
+
+    Scale: predicate pushes to the scan; one 6-row keyed agg with
+    map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = AGING_BUCKETS
+    age = F.datediff(F.lit(AGING_ASOF).cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= lo, "current")
+        .when(age <= hi, "aging")
+        .otherwise("stale")
+    )
+    return (
+        o.where(
+            (F.col("o_orderstatus") != "F")
+            & (F.col("o_orderdate") <= F.lit(AGING_ASOF).cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"), bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("backlog_value"),
+            F.max(age).alias("oldest_days"),
+        )
+    )
+
+
+_BACKLOG_AGING_ORACLE = f"""
+SELECT o_orderstatus AS status,
+       CASE WHEN datediff('day', CAST(o_orderdate AS DATE), DATE '{AGING_ASOF}')
+                 <= {AGING_BUCKETS[0]} THEN 'current'
+            WHEN datediff('day', CAST(o_orderdate AS DATE), DATE '{AGING_ASOF}')
+                 <= {AGING_BUCKETS[1]} THEN 'aging'
+            ELSE 'stale' END AS age_bucket,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS backlog_value,
+       CAST(max(datediff('day', CAST(o_orderdate AS DATE), DATE '{AGING_ASOF}'))
+            AS INTEGER) AS oldest_days
+FROM orders
+WHERE o_orderstatus <> 'F' AND o_orderdate <= TIMESTAMP '{AGING_ASOF}'
+GROUP BY 1, 2
+"""
+
+
 def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The growth dashboard's two headline curves in one frame: DAU
     (distinct users per epoch-day) and CUMULATIVE distinct users over
@@ -6143,4 +6197,7 @@ SPECS = [
     QuerySpec("events_cumulative_users", events_cumulative_users, _CUMULATIVE_USERS_ORACLE,
               "DAU + cumulative distinct users via the first-occurrence "
               "running-sum identity (no expanding distinct rescan)"),
+    QuerySpec("orders_backlog_aging", orders_backlog_aging, _BACKLOG_AGING_ORACLE,
+              "open-order backlog aging snapshot (integer-day buckets, "
+              "pushdown filter + 6-row keyed agg)"),
 ]
