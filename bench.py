@@ -157,6 +157,7 @@ HEADLINE = [
     "events_cumulative_users", # DAU + cumulative distinct via first-seen
     "udtf_top_terms_poly",     # polymorphic UDTF (analyze-derived schema)
     "orders_backlog_aging",    # open-order aging snapshot
+    "table_bitemporal_asof",   # two-axis as-known vs as-corrected ledgers
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

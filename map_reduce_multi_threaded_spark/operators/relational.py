@@ -2987,6 +2987,137 @@ GROUP BY event_type
 """
 
 
+#: bitemporal axes: md5 transport delay (≤3 d) gives each event a
+#: TRANSACTION time distinct from its event (valid) time; a md5-chosen
+#: 10% get a +5.00 correction arriving one day later still.
+BT_ARR_JITTER_US = 259_200_000_000
+BT_CORR_LAG_US = 86_400_000_000
+#: snapshot INSIDE the valid window's arrival spread (events valid
+#: through Jan 19 keep arriving until Jan 23) — a later snapshot sees
+#: every correction and the two ledgers degenerate to equality
+BT_TX_US = 1_705_276_800_000_000  # 2024-01-15T00:00Z
+BT_V0, BT_V1 = "2024-01-05", "2024-01-19"  # valid-time window
+
+
+def table_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of reporting — the audit question temporal tables
+    exist to answer: for a valid-time window, what did the ledger say
+    AS KNOWN AT a past snapshot (transaction-time ≤ T) vs AS CORRECTED
+    TODAY?  Events get a deterministic md5 transport delay as their
+    transaction time, 10% receive a later +5.00 correction, and the
+    query resolves the LATEST VISIBLE VERSION per event under each
+    transaction-time frontier (keyed max_by on version — never a
+    per-event window sort), then rolls both ledgers up per type with
+    the visible/total correction counts.
+
+    The restatement delta between the two sums is exactly the
+    corrections that were in flight at the snapshot — the fact a
+    restatement audit reconciles.  Scale: one union of two pruned
+    scans, one keyed argmax per frontier, 5-row rollups; everything
+    exact decimal/integer.  (Same derivation-oracle pattern as
+    events_lateness_audit: no staged state enters the contract.)"""
+    from ..functions.text import md5_long
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast(DECM).alias("v"),
+    )
+    base = ev.withColumn(
+        "arr_us",
+        F.col("ts_us") + md5_long(F.col("event_id"), salt=":arr") % BT_ARR_JITTER_US,
+    ).withColumn("version", F.lit(1))
+    corr = (
+        base.where(md5_long(F.col("event_id"), salt=":corr") % 10 == 0)
+        .withColumn("arr_us", F.col("arr_us") + BT_CORR_LAG_US)
+        .withColumn("v", F.col("v") + F.lit("5.00").cast(DECM))
+        .withColumn("version", F.lit(2))
+    )
+    versions = base.unionByName(corr).where(
+        (F.col("ts_us") >= F.unix_micros(F.lit(BT_V0).cast("timestamp")))
+        & (F.col("ts_us") < F.unix_micros(F.lit(BT_V1).cast("timestamp")))
+    )
+
+    def resolve(df, alias):
+        return (
+            df.groupBy("event_id")
+            .agg(
+                F.max("event_type").alias("event_type"),
+                F.max_by("v", "version").alias("v"),
+                F.max("version").alias("version"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{alias}"),
+                F.sum("v").cast("double").alias(f"sum_{alias}"),
+                F.sum((F.col("version") == 2).cast("long")).alias(
+                    f"corr_{alias}"
+                ),
+            )
+        )
+
+    known = resolve(versions.where(F.col("arr_us") <= BT_TX_US), "known")
+    now = resolve(versions, "now")
+    return known.join(now, "event_type").select(
+        "event_type", "n_known", "corr_known", "sum_known",
+        "n_now", "corr_now", "sum_now",
+    )
+
+
+def _bitemporal_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    arr = duck_md5_long("CAST(event_id AS VARCHAR)", salt=":arr")
+    pick = duck_md5_long("CAST(event_id AS VARCHAR)", salt=":corr")
+    return f"""
+WITH base AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(value AS DECIMAL(14,2)) AS v,
+         epoch_us(ts) + {arr} % {BT_ARR_JITTER_US} AS arr_us,
+         1 AS version
+  FROM events
+),
+corr AS (
+  SELECT event_id, event_type, ts_us,
+         v + CAST(5.00 AS DECIMAL(14,2)) AS v,
+         arr_us + {BT_CORR_LAG_US} AS arr_us, 2 AS version
+  FROM base WHERE {pick} % 10 = 0
+),
+vers AS (
+  SELECT * FROM base UNION ALL SELECT * FROM corr
+),
+vw AS (
+  SELECT * FROM vers
+  WHERE ts_us >= epoch_us(TIMESTAMP '{BT_V0}')
+    AND ts_us < epoch_us(TIMESTAMP '{BT_V1}')
+),
+known AS (
+  SELECT event_type, count(*) AS n_known,
+         CAST(sum(v) AS DOUBLE) AS sum_known,
+         sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS corr_known
+  FROM (
+    SELECT event_id, max(event_type) AS event_type,
+           arg_max(v, version) AS v, max(version) AS version
+    FROM vw WHERE arr_us <= {BT_TX_US} GROUP BY event_id
+  ) GROUP BY event_type
+),
+now_ AS (
+  SELECT event_type, count(*) AS n_now,
+         CAST(sum(v) AS DOUBLE) AS sum_now,
+         sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS corr_now
+  FROM (
+    SELECT event_id, max(event_type) AS event_type,
+           arg_max(v, version) AS v, max(version) AS version
+    FROM vw GROUP BY event_id
+  ) GROUP BY event_type
+)
+SELECT event_type, n_known, CAST(corr_known AS BIGINT) AS corr_known, sum_known,
+       n_now, CAST(corr_now AS BIGINT) AS corr_now, sum_now
+FROM known JOIN now_ USING (event_type)
+"""
+
+
 AGING_ASOF = "2000-06-01"  # snapshot date (fixture orders span 1995-2001)
 AGING_BUCKETS = (90, 365)  # day thresholds: current / aging / stale
 
@@ -6200,4 +6331,7 @@ SPECS = [
     QuerySpec("orders_backlog_aging", orders_backlog_aging, _BACKLOG_AGING_ORACLE,
               "open-order backlog aging snapshot (integer-day buckets, "
               "pushdown filter + 6-row keyed agg)"),
+    QuerySpec("table_bitemporal_asof", table_bitemporal_asof, _bitemporal_oracle(),
+              "bitemporal as-of: as-known-at-snapshot vs as-corrected-now "
+              "ledgers via keyed version argmax per transaction frontier"),
 ]
