@@ -158,6 +158,7 @@ HEADLINE = [
     "udtf_top_terms_poly",     # polymorphic UDTF (analyze-derived schema)
     "orders_backlog_aging",    # open-order aging snapshot
     "table_bitemporal_asof",   # two-axis as-known vs as-corrected ledgers
+    "dq_equidepth_histogram",  # ANALYZE-style equi-depth buckets
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

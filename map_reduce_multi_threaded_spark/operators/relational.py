@@ -3644,6 +3644,66 @@ FROM events GROUP BY 1, 2
 """
 
 
+def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram — what ``ANALYZE`` builds for the
+    optimizer, next to :func:`events_histogram`'s equi-WIDTH scan:
+    per event type, three exact ``percentile_disc`` cutoffs split the
+    value column into four buckets of ~equal population, reported with
+    per-bucket count, bounds and the cutoffs themselves.  Near-equal
+    bucket counts are the property a selectivity estimator relies on;
+    skew between them exposes heavy duplicate values.
+
+    percentile_disc PICKS data elements (bit-equal across engines —
+    the RFM precedent), so the bucket comparison `value > cutoff` is
+    exact double equality-ordering, no interpolation float risk.
+    Scale: one keyed cutoff agg (5 rows) broadcast back into a single
+    scan + keyed rollup."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"q{i}")
+            for i, q in ((1, 0.25), (2, 0.5), (3, 0.75))
+        ]
+    )
+    b = (
+        (F.col("value") > F.col("q1")).cast("int")
+        + (F.col("value") > F.col("q2")).cast("int")
+        + (F.col("value") > F.col("q3")).cast("int")
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.max("q2").alias("median_cut"),
+        )
+    )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.5) AS q2,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST((e.value > c.q1) AS INT) + CAST((e.value > c.q2) AS INT)
+         + CAST((e.value > c.q3) AS INT) AS bucket,
+       count(*) AS n,
+       min(e.value) AS lo,
+       max(e.value) AS hi,
+       max(c.q2) AS median_cut
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY 1, 2
+"""
+
+
 def table_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style keep-latest merge (upsert): a snapshot (version 1) is
     merged with a change batch (version 2: every 7th order re-priced
@@ -6334,4 +6394,7 @@ SPECS = [
     QuerySpec("table_bitemporal_asof", table_bitemporal_asof, _bitemporal_oracle(),
               "bitemporal as-of: as-known-at-snapshot vs as-corrected-now "
               "ledgers via keyed version argmax per transaction frontier"),
+    QuerySpec("dq_equidepth_histogram", dq_equidepth_histogram, _EQUIDEPTH_ORACLE,
+              "equi-depth (ANALYZE-style) histogram from exact "
+              "percentile_disc cutoffs broadcast into one scan"),
 ]
