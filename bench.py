@@ -159,6 +159,7 @@ HEADLINE = [
     "orders_backlog_aging",    # open-order aging snapshot
     "table_bitemporal_asof",   # two-axis as-known vs as-corrected ledgers
     "dq_equidepth_histogram",  # ANALYZE-style equi-depth buckets
+    "graph_hits",              # integer-normalized hubs/authorities
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

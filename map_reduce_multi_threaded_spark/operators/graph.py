@@ -109,6 +109,104 @@ LIMIT {TOP_K}
 """
 
 
+HITS_SCALE = 1_000_000
+HITS_ROUNDS = 2
+HITS_TOP = 10
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED
+    part→supplier purchase graph — parts are hubs (they spread demand)
+    and suppliers authorities (they concentrate it); {HITS_ROUNDS}
+    mutual-reinforcement rounds, top-{HITS_TOP} of each role.
+
+    Same exactness discipline as the PageRank above: scores are scaled
+    integers, and the per-round L1 NORMALIZATION (classically a float
+    L2 divide — order-dependent) is `score·{HITS_SCALE} div Σscore`,
+    one exact global-scalar broadcast per half-round.  Edge
+    multiplicity from lineitem is kept — a part bought often from a
+    supplier reinforces both, which is the weighted-HITS semantics.
+
+    Scale: each half-round is one keyed join + keyed sum + a 1-row
+    total; the arc list is pinned once."""
+    arcs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    h = arcs.select("p").distinct().withColumn(
+        "v", F.lit(HITS_SCALE).cast("long")
+    )
+
+    def _norm(df, key):
+        # pin the summed frame: the total AND the rescale both read it,
+        # and each round reads the previous round's result twice more —
+        # unpinned, the lineage re-expands exponentially (measured: 90
+        # exchanges vs 14 pinned).  The frame is node-cardinality rows.
+        df = df.localCheckpoint(eager=True)
+        tot = df.agg(F.sum("v").alias("t"))
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .select(key, F.expr(f"(v * {HITS_SCALE}) div t").alias("v"))
+        )
+
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a = _norm(
+            arcs.join(h, "p").groupBy("s").agg(F.sum("v").alias("v")), "s"
+        )
+        h = _norm(
+            arcs.join(a, "s").groupBy("p").agg(F.sum("v").alias("v")), "p"
+        )
+    top_auth = (
+        a.select(F.lit("supplier").alias("role"), F.col("s").alias("node_key"), F.col("v").alias("score"))
+        .orderBy(F.desc("score"), F.asc("node_key"))
+        .limit(HITS_TOP)
+    )
+    top_hub = (
+        h.select(F.lit("part").alias("role"), F.col("p").alias("node_key"), F.col("v").alias("score"))
+        .orderBy(F.desc("score"), F.asc("node_key"))
+        .limit(HITS_TOP)
+    )
+    return top_auth.unionByName(top_hub)
+
+
+def _hits_oracle() -> str:
+    steps = ["h0 AS (SELECT p, CAST({s} AS BIGINT) AS v FROM (SELECT DISTINCT p FROM arcs))".format(s=HITS_SCALE)]
+    prev_h = "h0"
+    a = None
+    for r in range(1, HITS_ROUNDS + 1):
+        steps.append(
+            f"a{r}r AS (SELECT s, sum({prev_h}.v) AS v FROM arcs "
+            f"JOIN {prev_h} USING (p) GROUP BY s)"
+        )
+        steps.append(
+            f"a{r} AS (SELECT s, (v * {HITS_SCALE}) // (SELECT sum(v) FROM a{r}r) AS v FROM a{r}r)"
+        )
+        steps.append(
+            f"h{r}r AS (SELECT p, sum(a{r}.v) AS v FROM arcs "
+            f"JOIN a{r} USING (s) GROUP BY p)"
+        )
+        steps.append(
+            f"h{r} AS (SELECT p, (v * {HITS_SCALE}) // (SELECT sum(v) FROM h{r}r) AS v FROM h{r}r)"
+        )
+        prev_h, a = f"h{r}", f"a{r}"
+    ctes = ",\n".join(steps)
+    return f"""
+WITH arcs AS (SELECT l_partkey AS p, l_suppkey AS s FROM lineitem),
+{ctes}
+SELECT * FROM (
+  SELECT 'supplier' AS role, s AS node_key, CAST(v AS BIGINT) AS score
+  FROM {a} ORDER BY v DESC, s ASC LIMIT {HITS_TOP}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'part' AS role, p AS node_key, CAST(v AS BIGINT) AS score
+  FROM {prev_h} ORDER BY v DESC, p ASC LIMIT {HITS_TOP}
+)
+"""
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count over the near-dup document graph — the
     other canonical MapReduce graph workload (two self-joins on the
@@ -422,6 +520,9 @@ JOIN deg db ON pairs.supp_b = db.l_suppkey
 SPECS = [
     QuerySpec("graph_pagerank", graph_pagerank, _pagerank_oracle(),
               "3-iteration integer PageRank over the part↔supplier graph (join+agg per iteration)"),
+    QuerySpec("graph_hits", graph_hits, _hits_oracle(),
+              "HITS hubs/authorities over directed part→supplier arcs "
+              "(integer L1-normalized mutual reinforcement)"),
     QuerySpec("graph_degrees", graph_degrees, _DEGREES_ORACLE,
               "multi-degree distribution per node type (skew diagnostic)"),
     QuerySpec("graph_bfs_levels", graph_bfs_levels, _BFS_ORACLE,
