@@ -160,6 +160,7 @@ HEADLINE = [
     "table_bitemporal_asof",   # two-axis as-known vs as-corrected ledgers
     "dq_equidepth_histogram",  # ANALYZE-style equi-depth buckets
     "graph_hits",              # integer-normalized hubs/authorities
+    "scalar_calendar_cycles",  # billing calendar semantics (clamp gated)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

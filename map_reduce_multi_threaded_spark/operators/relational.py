@@ -3118,6 +3118,60 @@ FROM known JOIN now_ USING (event_type)
 """
 
 
+def scalar_calendar_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic the way billing systems need it — and the
+    way engines silently disagree about it: per order, the cycle close
+    is ``last_day``, the due date is ``add_months(+1)`` with its
+    END-OF-MONTH CLAMP (Jan 31 → Feb 29), the fiscal bucket is the
+    quarter truncation, and the due weekday uses the Monday=0
+    convention (Spark ``weekday`` ≡ DuckDB ``isodow − 1`` — the raw
+    ``dayofweek`` functions are OFF BY ONE between engines, probed,
+    not assumed).  Rolled up per (quarter, due weekday) with the count
+    of orders whose due date was clamped — the explicit gate on the
+    one semantic (month-end clamping) that differs across date
+    libraries most often.
+
+    Scale: pure scalar derivations into one keyed agg; the date
+    columns prune to a single scan column."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    due = F.add_months(d, 1)
+    return (
+        o.select(
+            F.date_trunc("quarter", d).cast("date").alias("quarter"),
+            F.weekday(due).alias("due_weekday"),
+            (F.dayofmonth(due) != F.dayofmonth(d)).cast("long").alias("clamped"),
+            F.last_day(d).alias("cycle_close"),
+            money("o_totalprice").alias("tp"),
+        )
+        .groupBy("quarter", "due_weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("clamped").alias("n_clamped"),
+            F.countDistinct("cycle_close").alias("n_cycles"),
+            F.sum("tp").cast("double").alias("revenue"),
+        )
+    )
+
+
+_CALENDAR_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS od,
+         CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS due,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS tp
+  FROM orders
+)
+SELECT CAST(date_trunc('quarter', od) AS DATE) AS quarter,
+       CAST(isodow(due) - 1 AS INTEGER) AS due_weekday,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN day(due) <> day(od) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       CAST(count(DISTINCT last_day(od)) AS BIGINT) AS n_cycles,
+       CAST(sum(tp) AS DOUBLE) AS revenue
+FROM d GROUP BY 1, 2
+"""
+
+
 AGING_ASOF = "2000-06-01"  # snapshot date (fixture orders span 1995-2001)
 AGING_BUCKETS = (90, 365)  # day thresholds: current / aging / stale
 
@@ -6397,4 +6451,7 @@ SPECS = [
     QuerySpec("dq_equidepth_histogram", dq_equidepth_histogram, _EQUIDEPTH_ORACLE,
               "equi-depth (ANALYZE-style) histogram from exact "
               "percentile_disc cutoffs broadcast into one scan"),
+    QuerySpec("scalar_calendar_cycles", scalar_calendar_cycles, _CALENDAR_ORACLE,
+              "billing-calendar arithmetic: add_months end-of-month clamp "
+              "(gated), last_day cycles, quarter buckets, Monday=0 weekdays"),
 ]
