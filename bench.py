@@ -161,6 +161,7 @@ HEADLINE = [
     "dq_equidepth_histogram",  # ANALYZE-style equi-depth buckets
     "graph_hits",              # integer-normalized hubs/authorities
     "scalar_calendar_cycles",  # billing calendar semantics (clamp gated)
+    "events_seasonal_decompose",  # exact-decimal STL-style decomposition
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -3118,6 +3118,105 @@ FROM known JOIN now_ USING (event_type)
 """
 
 
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    core of STL): per event type's daily revenue series, trend = the
+    centered 7-observation moving average, seasonal = the mean
+    detrended value per day-of-week, residual = the rest — the
+    decomposition every capacity forecast and anomaly baseline starts
+    from (:func:`orders_seasonal_naive` is the forecasting half; this
+    is the explanatory half).
+
+    Exactness: the decomposition is computed SCALED BY 7 in exact
+    decimals — trend×7 is the rolling sum, detrended×7 is 7·s − roll,
+    and the seasonal means stay (Σ detrended×7, n) pairs — so every
+    cross-row sum is exact and the ONLY float ops are the final
+    divisions/rounds on identical exact inputs.  Edge days (incomplete
+    7-windows) carry NULL trend/residual and are excluded from the
+    seasonal means, pinned by the oracle.
+
+    Scale: one keyed daily rollup, one bounded per-type window (days
+    per type), one 35-row broadcast join back."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000)").alias("day"),
+        F.col("value").cast(DECM).alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("v").alias("s"))
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    d = daily.withColumn("roll7", F.sum("s").over(w7)).withColumn(
+        "cnt7", F.count("s").over(w7)
+    )
+    d = d.withColumn(
+        "det7",
+        F.when(F.col("cnt7") == 7, F.lit(7) * F.col("s") - F.col("roll7")),
+    )
+    seas = d.groupBy(
+        "event_type", (F.col("day") % 7).alias("dow")
+    ).agg(F.sum("det7").alias("s7n"), F.count("det7").alias("n"))
+    out = d.alias("d").join(
+        F.broadcast(seas.alias("sx")),
+        (F.col("d.event_type") == F.col("sx.event_type"))
+        & (F.col("d.day") % 7 == F.col("sx.dow")),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        "day",
+        F.col("d.s").cast("double").alias("daily_sum"),
+        F.round(F.col("roll7").cast("double") / 7, 6).alias("trend_x"),
+        F.round(
+            F.col("s7n").cast("double") / (7 * F.col("n")), 6
+        ).alias("seasonal"),
+        F.round(
+            F.col("det7").cast("double") / 7
+            - F.col("s7n").cast("double") / (7 * F.col("n")),
+            6,
+        ).alias("residual"),
+        F.col("cnt7"),
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "daily_sum",
+        F.when(F.col("cnt7") == 7, F.col("trend_x")).alias("trend"),
+        "seasonal",
+        "residual",
+    )
+
+
+_SEASONAL_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(value AS DECIMAL(14,2))) AS s
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         sum(s) OVER (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS roll7,
+         count(s) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+  FROM daily
+),
+dt AS (
+  SELECT *, CASE WHEN cnt7 = 7 THEN 7 * s - roll7 END AS det7 FROM r
+),
+seas AS (
+  SELECT event_type, day % 7 AS dow, sum(det7) AS s7n, count(det7) AS n
+  FROM dt GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+       CAST(d.s AS DOUBLE) AS daily_sum,
+       CASE WHEN d.cnt7 = 7
+            THEN round(CAST(d.roll7 AS DOUBLE) / 7, 6) END AS trend,
+       round(CAST(s.s7n AS DOUBLE) / (7 * s.n), 6) AS seasonal,
+       round(CAST(d.det7 AS DOUBLE) / 7
+             - CAST(s.s7n AS DOUBLE) / (7 * s.n), 6) AS residual
+FROM dt d JOIN seas s ON d.event_type = s.event_type AND d.day % 7 = s.dow
+"""
+
+
 def scalar_calendar_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar arithmetic the way billing systems need it — and the
     way engines silently disagree about it: per order, the cycle close
@@ -6454,4 +6553,7 @@ SPECS = [
     QuerySpec("scalar_calendar_cycles", scalar_calendar_cycles, _CALENDAR_ORACLE,
               "billing-calendar arithmetic: add_months end-of-month clamp "
               "(gated), last_day cycles, quarter buckets, Monday=0 weekdays"),
+    QuerySpec("events_seasonal_decompose", events_seasonal_decompose, _SEASONAL_DECOMP_ORACLE,
+              "additive trend/seasonal/residual decomposition, computed "
+              "scaled-by-7 in exact decimals (floats only at the readout)"),
 ]
