@@ -3118,6 +3118,87 @@ FROM known JOIN now_ USING (event_type)
 """
 
 
+SERIES_D0, SERIES_D1 = 19723, 19752  # the fixture's 30-day grid
+SERIES_TOPK = 10
+SERIES_QUERY_USER = 0
+
+
+def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-SERIES similarity search (the distributed-data-series
+    workload of REPOSE/Odyssey, scoped to exact semantics): which
+    users' daily-revenue series most resemble user
+    {SERIES_QUERY_USER}'s?  Each user's series is densified onto the
+    fixture's 30-day grid (missing days = 0), distance is the exact
+    squared Euclidean between decimal series — NO z-normalization
+    float path; every (a−b)² and the 30-term sum are exact decimals,
+    so the ranking hash-matches unconditionally — and the top
+    {SERIES_TOPK} nearest users come back with their distances.
+
+    Shape: keyed (user, day) rollup → dense grid via a 30-row
+    broadcast day spine → the 30-row query series broadcast into one
+    keyed distance agg per user.  The grid is users × 30 rows; at
+    corpus scale the spine stays a broadcast and the agg map-side
+    combines, so cost is one shuffle keyed on user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(unix_micros(ts) div 86400000000)").alias("day"),
+        F.col("value").cast(DECM).alias("v"),
+    )
+    sums = ev.groupBy("user_id", "day").agg(F.sum("v").alias("s"))
+    days = spark.range(SERIES_D0, SERIES_D1 + 1).select(
+        F.col("id").alias("day")
+    )
+    users = sums.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(sums, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("s", F.lit(0).cast(DECM)).alias("a"),
+        )
+    )
+    q = (
+        grid.where(F.col("user_id") == SERIES_QUERY_USER)
+        .select("day", F.col("a").alias("b"))
+    )
+    return (
+        grid.where(F.col("user_id") != SERIES_QUERY_USER)
+        .join(F.broadcast(q), "day")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b")))
+            .cast("double")
+            .alias("dist_sq"),
+        )
+        .orderBy(F.asc("dist_sq"), F.asc("user_id"))
+        .limit(SERIES_TOPK)
+    )
+
+
+_SERIES_SIM_ORACLE = f"""
+WITH sums AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(value AS DECIMAL(14,2))) AS s
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, d.day, coalesce(s.s, CAST(0 AS DECIMAL(14,2))) AS a
+  FROM (SELECT DISTINCT user_id FROM sums) u
+  CROSS JOIN (SELECT unnest(generate_series({SERIES_D0}, {SERIES_D1})) AS day) d
+  LEFT JOIN sums s ON s.user_id = u.user_id AND s.day = d.day
+),
+q AS (SELECT day, a AS b FROM grid WHERE user_id = {SERIES_QUERY_USER})
+SELECT g.user_id,
+       CAST(sum((g.a - q.b) * (g.a - q.b)) AS DOUBLE) AS dist_sq
+FROM grid g JOIN q USING (day)
+WHERE g.user_id <> {SERIES_QUERY_USER}
+GROUP BY g.user_id
+ORDER BY dist_sq ASC, g.user_id ASC
+LIMIT {SERIES_TOPK}
+"""
+
+
 def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition (the moving-average
     core of STL): per event type's daily revenue series, trend = the
@@ -6556,4 +6637,7 @@ SPECS = [
     QuerySpec("events_seasonal_decompose", events_seasonal_decompose, _SEASONAL_DECOMP_ORACLE,
               "additive trend/seasonal/residual decomposition, computed "
               "scaled-by-7 in exact decimals (floats only at the readout)"),
+    QuerySpec("events_series_similarity", events_series_similarity, _SERIES_SIM_ORACLE,
+              "time-series k-NN: exact decimal squared-Euclidean over "
+              "densified daily series (broadcast day spine + query series)"),
 ]

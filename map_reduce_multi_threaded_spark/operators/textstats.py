@@ -464,19 +464,26 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (60-bit md5) are corpus-negligible and the oracle computes the
     identical hash, so parity is unconditional."""
     d = load_table(spark, sf_dir, "documents")
-    toks = "filter(split(text, '\\\\s+'), x -> length(x) > 0)"
+    # materialize the token array ONCE per row before the per-position
+    # lambda: referencing filter(split(text)) INSIDE transform()
+    # re-tokenizes the document at every position — O(len²) per doc,
+    # measured 15.0 s vs 2.6 s at sf0.1 for an identical result
     gram_hash = (
-        f"CAST(conv(substr(md5(concat_ws(' ', slice({toks}, i + 1, {SPAN_G}))), "
+        f"CAST(conv(substr(md5(concat_ws(' ', slice(ts, i + 1, {SPAN_G}))), "
         f"1, 15), 16, 10) AS BIGINT)"
     )
     grams = (
-        d.where(F.expr(f"size({toks}) >= {SPAN_G}"))
+        d.select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").alias("ts"),
+        )
+        .where(F.expr(f"size(ts) >= {SPAN_G}"))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform({toks}, (x, i) -> CASE "
-                    f"WHEN i + {SPAN_G} <= size({toks}) "
+                    f"transform(ts, (x, i) -> CASE "
+                    f"WHEN i + {SPAN_G} <= size(ts) "
                     f"THEN struct(i AS p, {gram_hash} AS gh) END)"
                 )
             ).alias("s"),
