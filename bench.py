@@ -162,6 +162,7 @@ HEADLINE = [
     "graph_hits",              # integer-normalized hubs/authorities
     "scalar_calendar_cycles",  # billing calendar semantics (clamp gated)
     "events_seasonal_decompose",  # exact-decimal STL-style decomposition
+    "events_series_similarity",  # exact time-series kNN over daily series
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is
