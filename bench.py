@@ -163,6 +163,7 @@ HEADLINE = [
     "scalar_calendar_cycles",  # billing calendar semantics (clamp gated)
     "events_seasonal_decompose",  # exact-decimal STL-style decomposition
     "events_series_similarity",  # exact time-series kNN over daily series
+    "dedup_banding_sweep",     # LSH banding tuner (3 configs, shared shingles)
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -335,3 +335,23 @@ def test_prefix_filter_law_on_random_sets():
         assert px & py, (sorted(x), sorted(y), seed)
 
     check()
+
+
+def test_banding_sweep_candidate_monotonicity(spark, sf_oracle_dir):
+    """The banding trade-off must actually show in the sweep: fewer
+    rows per band (more, smaller bands) can only ADD bucket
+    collisions, so candidates must be monotone non-decreasing from
+    8x6 -> 12x4 -> 24x2, recall non-decreasing likewise, and every
+    config's candidate set must at least cover its own truth hits."""
+    from map_reduce_multi_threaded_spark.operators.dedup import dedup_banding_sweep
+
+    rows = {
+        r["rows_per_band"]: r
+        for r in dedup_banding_sweep(spark, sf_oracle_dir).collect()
+    }
+    assert set(rows) == {6, 4, 2}
+    assert rows[6]["n_candidates"] <= rows[4]["n_candidates"] <= rows[2]["n_candidates"]
+    assert (rows[6]["recall"] or 0) <= (rows[4]["recall"] or 0) <= (rows[2]["recall"] or 0)
+    for r in rows.values():
+        assert r["n_hit"] <= r["n_candidates"]
+        assert r["n_hit"] <= r["n_truth"]

@@ -43,6 +43,7 @@ _CHECKPOINT_OK = {
     "events_changepoint_cusum",  # chained cumsum + grouped running min, two range pins
     "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
     "graph_hits",  # pinned arcs + per-half-round score frames
+    "dedup_banding_sweep",  # pinned signatures + truth pairs (3 configs each)
     "dedup_bloom_ingest",  # pinned corpus hash index + hashed batch
     "dedup_prefix_filter",  # checkpointed shingle table (3 consumers)
     "rerank_mmr",  # pinned candidate + candidate-token frames (4/3 consumers)
