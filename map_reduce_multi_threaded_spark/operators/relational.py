@@ -317,7 +317,8 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via the SQL surface (no DataFrame API for it)."""
+    """GROUPING SETS via the SQL surface (the Spark 4.1 DataFrame API
+    form is :func:`agg_grouping_sets_api`)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     return spark.sql(
         """
@@ -335,6 +336,50 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_rows
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def agg_grouping_sets_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the Spark 4.1 ``DataFrame.groupingSets`` API
+    — the last multi-scope rollup form that previously existed only
+    as SQL text: detail / per-status / grand-total scopes in one scan,
+    with the ``grouping()`` bitmask disambiguating a real NULL group
+    key from a rolled-up one (the classic superaggregate trap)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", money("o_totalprice").alias("tp")
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("tp").cast("double").alias("revenue"),
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("int").alias("scope"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "scope",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_AGG_GROUPING_SETS_API_ORACLE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER)
+         AS scope,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
@@ -6393,6 +6438,9 @@ SPECS = [
     QuerySpec("agg_rollup", agg_rollup, _AGG_ROLLUP_ORACLE, "ROLLUP subtotals"),
     QuerySpec("agg_cube", agg_cube, _AGG_CUBE_ORACLE, "CUBE all combinations"),
     QuerySpec("agg_grouping_sets", agg_grouping_sets, _AGG_GROUPING_SETS_ORACLE, "GROUPING SETS via SQL surface"),
+    QuerySpec("agg_grouping_sets_api", agg_grouping_sets_api, _AGG_GROUPING_SETS_API_ORACLE,
+              "Spark 4.1 DataFrame.groupingSets API form with the "
+              "grouping() bitmask scope column"),
     QuerySpec("agg_pivot", agg_pivot, _AGG_PIVOT_ORACLE, "pivot with explicit values"),
     QuerySpec("agg_percentiles", agg_percentiles, _AGG_PERCENTILES_ORACLE, "exact interpolated percentiles"),
     QuerySpec("agg_skew_salted", agg_skew_salted, _AGG_SKEW_ORACLE, "two-stage salted aggregation (skew breaker)"),
