@@ -165,6 +165,7 @@ HEADLINE = [
     "events_series_similarity",  # exact time-series kNN over daily series
     "dedup_banding_sweep",     # LSH banding tuner (3 configs, shared shingles)
     "agg_grouping_sets_api",   # DataFrame.groupingSets (Spark 4.1 API form)
+    "pipeline_contrastive_pairs",  # derangement-negative pair construction
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -451,6 +451,107 @@ SELECT rank, doc_id, rel, mmr_score FROM sel{MMR_TOPN}
 """
 
 
+CONTRASTIVE_NEGS = 3
+
+
+def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (CLIP/InfoNCE-style) training-pair construction:
+    each aligned (document, embedding) anchor gets its positive plus
+    {CONTRASTIVE_NEGS} deterministic negatives — and the negatives are
+    CYCLIC-SHIFT DERANGEMENTS (partner = (id + offset) mod n with an
+    md5-derived offset in [1, n−1]), the detail that makes in-batch
+    negative sampling sound: a shift can never map an anchor to
+    itself, so no "negative" is secretly the positive.  The query
+    gates exactly that invariant (n_fixed_points pinned 0 per shift)
+    alongside pair counts and an order-free integer checksum of the
+    pairing — the contrastive sibling of
+    :func:`pipeline_preference_pairs`' (chosen, rejected) builder.
+
+    Scale: the alignment is one keyed join, negatives are a narrow
+    3-row explode with modular arithmetic against one broadcast
+    scalar (the anchor count); nothing shuffles but the final 4-row
+    rollup.  Offsets are md5 of literals — constant-folded, no
+    Python-local relation."""
+    from ..functions.text import md5_long
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    anchors = e.join(d, e.vec_id == d.doc_id).select("vec_id")
+    n = anchors.agg(F.count(F.lit(1)).alias("n"))
+    pos = anchors.select(
+        "vec_id", F.lit(0).alias("j"), F.col("vec_id").alias("partner")
+    )
+    negs = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "n",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, CONTRASTIVE_NEGS + 1)])
+            ).alias("j"),
+        )
+        .withColumn(
+            "partner",
+            (
+                F.col("vec_id")
+                + 1
+                + md5_long(F.concat(F.lit("neg:"), F.col("j"))) % (F.col("n") - 1)
+            )
+            % F.col("n"),
+        )
+        .select("vec_id", "j", "partner")
+    )
+    return (
+        pos.unionByName(negs)
+        .groupBy(
+            F.when(F.col("j") == 0, "positive").otherwise("negative").alias(
+                "pair_type"
+            ),
+            "j",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                ((F.col("partner") == F.col("vec_id")) & (F.col("j") > 0)).cast(
+                    "long"
+                )
+            ).alias("n_fixed_points"),
+            F.sum(F.col("partner") * (F.col("vec_id") + 1)).alias(
+                "partner_checksum"
+            ),
+        )
+    )
+
+
+def _contrastive_oracle() -> str:
+    from ..functions.text import duck_md5_long
+
+    return f"""
+WITH nn AS (
+  SELECT count(*) AS n
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+anchors AS (
+  SELECT e.vec_id FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+pos AS (SELECT vec_id, 0 AS j, vec_id AS partner FROM anchors),
+negs AS (
+  SELECT a.vec_id, t.j,
+         (a.vec_id + 1 + {duck_md5_long("'neg:' || t.j")} % (nn.n - 1)) % nn.n
+           AS partner
+  FROM anchors a, nn,
+       (VALUES {", ".join(f"({j})" for j in range(1, CONTRASTIVE_NEGS + 1))}) AS t(j)
+),
+u AS (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+SELECT CASE WHEN j = 0 THEN 'positive' ELSE 'negative' END AS pair_type,
+       j, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN partner = vec_id AND j > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fixed_points,
+       CAST(sum(partner * (vec_id + 1)) AS BIGINT) AS partner_checksum
+FROM u GROUP BY 1, 2
+"""
+
+
 TFIDF_SCALE = 1000  # tf-idf weights quantized to 1e-3
 
 
@@ -1723,6 +1824,10 @@ WHERE b.n >= 2 AND b.doc_id != w.doc_id
 
 
 SPECS = [
+    QuerySpec("pipeline_contrastive_pairs", pipeline_contrastive_pairs,
+              _contrastive_oracle(),
+              "CLIP-style contrastive pair construction with cyclic-shift "
+              "derangement negatives (no-fixed-point invariant gated)"),
     QuerySpec("pipeline_preference_pairs", pipeline_preference_pairs,
               _PREFERENCE_PAIRS_ORACLE,
               "DPO-style chosen/rejected pair construction per group "
