@@ -166,6 +166,7 @@ HEADLINE = [
     "dedup_banding_sweep",     # LSH banding tuner (3 configs, shared shingles)
     "agg_grouping_sets_api",   # DataFrame.groupingSets (Spark 4.1 API form)
     "pipeline_contrastive_pairs",  # derangement-negative pair construction
+    "dedup_incremental_lsh",   # O(batch) near-dup screen vs the LSH index
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

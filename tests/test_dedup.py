@@ -355,3 +355,32 @@ def test_banding_sweep_candidate_monotonicity(spark, sf_oracle_dir):
     for r in rows.values():
         assert r["n_hit"] <= r["n_candidates"]
         assert r["n_hit"] <= r["n_truth"]
+
+
+def test_incremental_lsh_verdicts_per_cohort(spark, sf_oracle_dir):
+    """The three ingest cohorts must land exactly where the screen's
+    story says: verbatim re-crawls flagged at Jaccard 1.0, edited
+    re-crawls ALSO flagged (the pairs the exact-hash guard admits —
+    the whole reason to run both screens) but strictly below 1.0, and
+    the token-mangled novel cohort admitted with ZERO candidates."""
+    from map_reduce_multi_threaded_spark.operators.dedup import (
+        dedup_incremental_lsh,
+    )
+    from map_reduce_multi_threaded_spark.sources.tables import (
+        load_table,
+        power10_base,
+    )
+
+    d = load_table(spark, sf_oracle_dir, "documents")
+    idbase = power10_base(d, "doc_id").first()["idbase"]
+    rows = dedup_incremental_lsh(spark, sf_oracle_dir).collect()
+    assert rows
+    for r in rows:
+        cohort = r["batch_doc"] // idbase
+        if cohort == 1:  # verbatim re-crawl
+            assert r["is_near_dup"] and r["best_jaccard"] == 1.0, r
+        elif cohort == 2:  # edited re-crawl
+            assert r["is_near_dup"] and r["best_jaccard"] < 1.0, r
+        else:  # token-mangled novel
+            assert cohort == 3 and not r["is_near_dup"], r
+            assert r["n_candidates"] == 0, r

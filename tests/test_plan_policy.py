@@ -44,6 +44,7 @@ _CHECKPOINT_OK = {
     "graph_common_neighbors",  # checkpointed neighbor frame (3 consumers)
     "graph_hits",  # pinned arcs + per-half-round score frames
     "dedup_banding_sweep",  # pinned signatures + truth pairs (3 configs each)
+    "dedup_incremental_lsh",  # pinned corpus + batch shingle frames (2 consumers each)
     "dedup_bloom_ingest",  # pinned corpus hash index + hashed batch
     "dedup_prefix_filter",  # checkpointed shingle table (3 consumers)
     "rerank_mmr",  # pinned candidate + candidate-token frames (4/3 consumers)
