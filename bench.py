@@ -167,6 +167,8 @@ HEADLINE = [
     "agg_grouping_sets_api",   # DataFrame.groupingSets (Spark 4.1 API form)
     "pipeline_contrastive_pairs",  # derangement-negative pair construction
     "dedup_incremental_lsh",   # O(batch) near-dup screen vs the LSH index
+    "events_uptime_islands",   # gaps-and-islands availability runs
+    "sql_window_named",        # named WINDOW clause, one shared spec
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

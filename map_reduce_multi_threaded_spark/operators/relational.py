@@ -1873,6 +1873,30 @@ GROUP BY GROUPING SETS ((source), (lang), ())
 """
 
 
+#: Named WINDOW clause — one window definition shared by three window
+#: functions (running sum, sequence number, lag), the SQL surface that
+#: guarantees they plan onto ONE sort+exchange instead of three
+#: accidentally-divergent specs.  No explicit frame: lag forbids one,
+#: and the running sum's default RANGE frame is deterministic here
+#: because the month key is unique per partition.
+_WINDOW_NAMED_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag AS flag,
+         year(l_shipdate) * 12 + month(l_shipdate) AS m,
+         sum(CAST(l_extendedprice AS DECIMAL(14,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT flag, m,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum(rev) OVER w AS DOUBLE) AS running_revenue,
+       row_number() OVER w AS month_seq,
+       CAST(lag(rev) OVER w AS DOUBLE) AS prev_revenue
+FROM monthly
+WINDOW w AS (PARTITION BY flag ORDER BY m)
+"""
+
+
 def _sql_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources.tables import register_temp_views
@@ -1959,6 +1983,9 @@ sql_scalar_subquery = _sql_query(_SCALAR_SUBQ_SQL)
 #: TPC-H Q22 fixture adaptation — see _Q22_SQL for the dialect and
 #: exactness notes (multiplied-out average, anti-join, nation dim).
 sql_q22_sleeping_customers = _sql_query(_Q22_SQL)
+
+#: named WINDOW clause (see _WINDOW_NAMED_SQL notes).
+sql_window_named = _sql_query(_WINDOW_NAMED_SQL)
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3160,6 +3187,69 @@ now_ AS (
 SELECT event_type, n_known, CAST(corr_known AS BIGINT) AS corr_known, sum_known,
        n_now, CAST(corr_now AS BIGINT) AS corr_now, sum_now
 FROM known JOIN now_ USING (event_type)
+"""
+
+
+def events_uptime_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability report via the classic gaps-and-islands transform:
+    treat each event type's active HOURS (hours with ≥1 event) as
+    heartbeats and report its contiguous-uptime runs — run count,
+    longest and mean run, and total active hours.  The SLA/uptime
+    rollup every on-call dashboard shows, and the canonical
+    interview-question transform (hour − dense row index is constant
+    within a run) as a first-class relational operator.
+
+    Scale: the islands window runs on the (type, hour) AGGREGATE —
+    bounded by types × hours, never raw events; one keyed rollup
+    before it, one after."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("(unix_micros(ts) div 3600000000)").alias("hr")
+    )
+    hours = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    runs = (
+        hours.withColumn("grp", F.col("hr") - F.row_number().over(w))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_hours"),
+            F.min("hr").alias("run_start"),
+        )
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_hours").alias("longest_run_hours"),
+        F.sum("run_hours").alias("active_hours"),
+        F.round(
+            F.sum("run_hours").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_run_hours"),
+        F.min("run_start").alias("first_active_hr"),
+    )
+
+
+_UPTIME_ISLANDS_ORACLE = """
+WITH hours AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+runs AS (
+  SELECT event_type,
+         hr - row_number() OVER (PARTITION BY event_type ORDER BY hr) AS grp,
+         hr
+  FROM hours
+),
+agg AS (
+  SELECT event_type, grp, count(*) AS run_hours, min(hr) AS run_start
+  FROM runs GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_runs,
+       CAST(max(run_hours) AS BIGINT) AS longest_run_hours,
+       CAST(sum(run_hours) AS BIGINT) AS active_hours,
+       round(CAST(sum(run_hours) AS DOUBLE) / count(*), 6) AS mean_run_hours,
+       CAST(min(run_start) AS BIGINT) AS first_active_hr
+FROM agg GROUP BY event_type
 """
 
 
@@ -6688,4 +6778,10 @@ SPECS = [
     QuerySpec("events_series_similarity", events_series_similarity, _SERIES_SIM_ORACLE,
               "time-series k-NN: exact decimal squared-Euclidean over "
               "densified daily series (broadcast day spine + query series)"),
+    QuerySpec("events_uptime_islands", events_uptime_islands, _UPTIME_ISLANDS_ORACLE,
+              "uptime/availability runs via gaps-and-islands on the "
+              "(type, hour) aggregate — never on raw events"),
+    QuerySpec("sql_window_named", sql_window_named, _WINDOW_NAMED_SQL,
+              "named WINDOW clause: one window spec shared by three "
+              "window functions, shared SQL string"),
 ]
