@@ -169,6 +169,7 @@ HEADLINE = [
     "dedup_incremental_lsh",   # O(batch) near-dup screen vs the LSH index
     "events_uptime_islands",   # gaps-and-islands availability runs
     "sql_window_named",        # named WINDOW clause, one shared spec
+    "stream_join_full_outer",  # both-sides watermark-expired null emission
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -597,6 +597,59 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
+def stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — BOTH
+    unmatched sides must null-extend, each only once ITS watermark
+    frontier proves no future partner can arrive: purchases with no
+    trailing-10-minute error AND errors no purchase ever claimed.
+    This is the reconciliation-report shape (two feeds, every
+    unmatched row from either surfaced), and the state-management
+    superset of :func:`stream_join_left_outer`: the engine holds and
+    expires join state on BOTH sides, emitting each side's
+    null-extended rows from the final no-data micro-batch after the
+    sentinel advances both watermarks.  The batch FULL JOIN is then
+    the exact oracle; sentinel rows (negative users) join nothing by
+    construction and are filtered after the drain."""
+    import pyspark.sql.functions as F
+
+    staged, _ = W.stage_events_multibatch(sf_dir, n_files=2, n_sentinels=1)
+    ev1 = W.read_staged_stream(spark, staged).withWatermark("ts", "1 second")
+    purchases = ev1.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    ev2 = W.read_staged_stream(spark, staged).withWatermark("ts", "1 second")
+    errors = ev2.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "error_id",
+        F.coalesce("p_user", "e_user").alias("user_id"),
+    )
+    out = W.run_to_memory(joined, "stream_join_fo_sink", output_mode="append")
+    return out.where(F.col("user_id") >= 0)
+
+
+_STREAM_FULL_OUTER_ORACLE = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       coalesce(p.user_id, e.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL '10 minutes' AND e.ts <= p.ts
+"""
+
+
 def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming OHLC bars: the min/max-of-struct first/last picks run
     incrementally as ordinary aggregate state — proof the batch
@@ -857,6 +910,9 @@ SPECS = [
               "replay into a complete-mode global word count"),
     QuerySpec("stream_join_left_outer", stream_join_left_outer, _STREAM_LEFT_OUTER_ORACLE,
               "stream-stream LEFT OUTER interval join with watermark-forced null emission"),
+    QuerySpec("stream_join_full_outer", stream_join_full_outer, _STREAM_FULL_OUTER_ORACLE,
+              "stream-stream FULL OUTER interval join: both sides' state "
+              "expired and null-extended at their own watermark frontiers"),
     QuerySpec("stream_stateful_counts", stream_stateful_counts, _STATEFUL_ORACLE,
               "custom stateful operator via applyInPandasWithState"),
     QuerySpec("stream_session", stream_session, _SESSION_ORACLE,
