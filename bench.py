@@ -170,6 +170,7 @@ HEADLINE = [
     "events_uptime_islands",   # gaps-and-islands availability runs
     "sql_window_named",        # named WINDOW clause, one shared spec
     "stream_join_full_outer",  # both-sides watermark-expired null emission
+    "basket_sequence_rules",   # X-then-later-Y sequential pattern mining
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

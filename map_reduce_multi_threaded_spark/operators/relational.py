@@ -4990,6 +4990,92 @@ FROM events
 BASKET_TOP_N = 20
 
 
+SEQ_RULES_TOPK = 20
+
+
+def basket_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL pattern mining — the temporal sibling of
+    :func:`basket_pairs`: "customers who bought X later bought Y",
+    where co-occurrence mining would also count Y-then-X.  Support is
+    the number of distinct customers with a strictly-earlier X
+    purchase date than some Y purchase date; top-{SEQ_RULES_TOPK}
+    ordered pairs come out with support and the mean day gap of the
+    TIGHTEST such (x→y) evidence per customer.
+
+    Scale: the (customer, part, date) table is distinct-projected
+    first, and the pair generation is a self-join KEYED ON CUSTOMER —
+    per-customer bounded quadratic (orders × basket width), the same
+    contract basket_pairs documents, never corpus-quadratic.  The
+    per-customer tightest-gap is an exact integer min; the mean gap
+    divides exact integers once at the readout."""
+    cp = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            # NTZ-safe epoch day (unix_micros rejects TIMESTAMP_NTZ)
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cp.alias("a")
+        .join(
+            cp.alias("b"),
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.d") < F.col("b.d"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust"),
+            F.col("a.part").alias("x_part"),
+            F.col("b.part").alias("y_part"),
+        )
+        .agg(F.min(F.col("b.d") - F.col("a.d")).alias("min_gap"))
+    )
+    return (
+        pairs.groupBy("x_part", "y_part")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.round(
+                F.sum("min_gap").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_min_gap_days"),
+        )
+        .orderBy(F.desc("support"), F.asc("x_part"), F.asc("y_part"))
+        .limit(SEQ_RULES_TOPK)
+    )
+
+
+_SEQ_RULES_ORACLE = f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part,
+         datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pc AS (
+  SELECT a.cust, a.part AS x_part, b.part AS y_part,
+         min(b.d - a.d) AS min_gap
+  FROM cp a JOIN cp b
+    ON a.cust = b.cust AND a.d < b.d AND a.part <> b.part
+  GROUP BY 1, 2, 3
+)
+SELECT x_part, y_part, count(*) AS support,
+       round(CAST(sum(min_gap) AS DOUBLE) / count(*), 6) AS mean_min_gap_days
+FROM pc GROUP BY x_part, y_part
+ORDER BY support DESC, x_part ASC, y_part ASC
+LIMIT {SEQ_RULES_TOPK}
+"""
+
+
 def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining: the top-{N} part pairs by
     the number of orders containing BOTH (pairwise frequent-itemset
@@ -6784,4 +6870,7 @@ SPECS = [
     QuerySpec("sql_window_named", sql_window_named, _WINDOW_NAMED_SQL,
               "named WINDOW clause: one window spec shared by three "
               "window functions, shared SQL string"),
+    QuerySpec("basket_sequence_rules", basket_sequence_rules, _SEQ_RULES_ORACLE,
+              "sequential pattern mining (X then later Y) via a "
+              "customer-keyed bounded self-join + tightest-gap evidence"),
 ]
