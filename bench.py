@@ -171,6 +171,7 @@ HEADLINE = [
     "sql_window_named",        # named WINDOW clause, one shared spec
     "stream_join_full_outer",  # both-sides watermark-expired null emission
     "basket_sequence_rules",   # X-then-later-Y sequential pattern mining
+    "window_rolling_regression",  # rolling OLS trend from exact moments
 ]
 
 #: Regression gate: warn (stderr + "regressions" key) when a query is

@@ -3334,6 +3334,75 @@ LIMIT {SERIES_TOPK}
 """
 
 
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS trend — the windowed sibling of
+    :func:`agg_linreg_exact`: per event type's daily revenue, the
+    7-observation trailing slope (revenue/day) that momentum alerts
+    and trend dashboards threshold.  The regression moments (Σx, Σy,
+    Σxy, Σx²) are EXACT window sums — x is the integer day, y exact
+    decimal revenue — so the closed-form slope
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) divides two exact quantities
+    once at the readout: identical doubles on both engines, no
+    accumulation-order float risk anywhere.  Incomplete leading
+    windows emit NULL, pinned by the oracle.
+
+    Scale: the windows run on the (type, day) AGGREGATE (bounded
+    rows), one keyed rollup before them."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000)").alias("day"),
+        F.col("value").cast(DECM).alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("v").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    m = (
+        daily.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("day").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxy", F.sum(F.col("day") * F.col("y")).over(w))
+        .withColumn("sxx", F.sum(F.col("day") * F.col("day")).over(w))
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx") * F.col(
+        "sy"
+    ).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "event_type",
+        "day",
+        F.col("y").cast("double").alias("daily_revenue"),
+        F.when(F.col("n") == 7, F.round(num / den, 6)).alias(
+            "trailing_slope"
+        ),
+    )
+
+
+_ROLLING_REG_ORACLE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(value AS DECIMAL(14,2))) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT *,
+         count(*) OVER w AS n,
+         sum(day) OVER w AS sx,
+         sum(y) OVER w AS sy,
+         sum(day * y) OVER w AS sxy,
+         sum(day * day) OVER w AS sxx
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(y AS DOUBLE) AS daily_revenue,
+       CASE WHEN n = 7
+            THEN round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS trailing_slope
+FROM m
+"""
+
+
 def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition (the moving-average
     core of STL): per event type's daily revenue series, trend = the
@@ -6873,4 +6942,7 @@ SPECS = [
     QuerySpec("basket_sequence_rules", basket_sequence_rules, _SEQ_RULES_ORACLE,
               "sequential pattern mining (X then later Y) via a "
               "customer-keyed bounded self-join + tightest-gap evidence"),
+    QuerySpec("window_rolling_regression", window_rolling_regression, _ROLLING_REG_ORACLE,
+              "rolling 7-day OLS trend from exact windowed moments "
+              "(one double division at the readout)"),
 ]
