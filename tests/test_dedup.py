@@ -357,6 +357,63 @@ def test_banding_sweep_candidate_monotonicity(spark, sf_oracle_dir):
         assert r["n_hit"] <= r["n_truth"]
 
 
+def test_banding_sweep_truth_sample_path(spark, sf_oracle_dir):
+    """The 100 TB escape hatch must be exact-by-construction, not a
+    different estimator: sampled truth is EXACTLY the full truth set
+    restricted to pairs whose BOTH endpoints pass the md5 bucket
+    predicate (a pair's Jaccard depends only on its two docs), the
+    candidate/cost side stays full-corpus, recall is internally
+    consistent, and the md5 sampling is deterministic across runs."""
+    import pytest as _pytest
+
+    from map_reduce_multi_threaded_spark.functions.text import py_md5_bucket
+    from map_reduce_multi_threaded_spark.operators.dedup import (
+        _TRUTH_SAMPLE_BUCKETS,
+        dedup_banding_sweep,
+        dedup_ngram_jaccard,
+    )
+
+    frac = 0.5
+    keep = int(round(frac * _TRUTH_SAMPLE_BUCKETS))
+    full = {
+        r["rows_per_band"]: r
+        for r in dedup_banding_sweep(spark, sf_oracle_dir).collect()
+    }
+    samp = {
+        r["rows_per_band"]: r
+        for r in dedup_banding_sweep(spark, sf_oracle_dir, truth_sample=frac).collect()
+    }
+    samp2 = {
+        r["rows_per_band"]: r
+        for r in dedup_banding_sweep(spark, sf_oracle_dir, truth_sample=frac).collect()
+    }
+    assert samp == samp2  # md5 sampling: same corpus -> same rows
+
+    full_truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, sf_oracle_dir).collect()
+    }
+
+    def sampled(doc_id):
+        return py_md5_bucket(str(doc_id), _TRUTH_SAMPLE_BUCKETS, salt="banding_truth") < keep
+
+    expected_truth = sum(1 for a, b in full_truth if sampled(a) and sampled(b))
+    # non-vacuous on the fixture: the sample must drop some truth pairs
+    # yet keep some (deterministic md5, so this is a fixture fact, not
+    # a flaky coin flip)
+    assert 0 < expected_truth < len(full_truth)
+    for rpb, r in samp.items():
+        assert r["n_truth"] == expected_truth
+        assert r["n_candidates"] == full[rpb]["n_candidates"]
+        assert r["n_hit"] <= r["n_truth"]
+        if r["n_truth"]:
+            assert r["recall"] == _pytest.approx(r["n_hit"] / r["n_truth"])
+
+    for bad in (0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError):
+            dedup_banding_sweep(spark, sf_oracle_dir, truth_sample=bad)
+
+
 def test_incremental_lsh_verdicts_per_cohort(spark, sf_oracle_dir):
     """The three ingest cohorts must land exactly where the screen's
     story says: verbatim re-crawls flagged at Jaccard 1.0, edited

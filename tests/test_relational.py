@@ -156,6 +156,9 @@ def test_zorder_bounds_per_file_spread_in_both_dims(spark, sf_oracle_dir):
         assert ld <= 0.6, ld           # the 1-d sort bounds its own dim...
         assert lu >= 0.9, lu           # ...but spans the full other dim
         assert zu < lu / 2, (zu, lu)   # Z beats it decisively on dim 2
+
+
+def test_compaction_layout_contract(spark, sf_oracle_dir):
     """The layout half of the compaction contract (invisible to the
     value oracle): the fragmented staging must really hold ~64 data
     files and the compacted copy at most the target count, with the
@@ -420,6 +423,54 @@ def test_basket_pairs_shape(spark, sf_dir):
     assert all(r["part_a"] < r["part_b"] and r["support"] >= 1 for r in rows)
     supports = [r["support"] for r in rows]
     assert supports == sorted(supports, reverse=True)
+
+
+def test_basket_sequence_history_cap_binds_and_bounds(spark, sf_oracle_dir):
+    """The heavy-key bound must be real, not prose: (a) the fixture
+    actually has customers over SEQ_HISTORY_CAP (so the clipped path
+    the oracle verifies is live code), (b) cap=1 leaves no
+    strictly-later evidence at all, (c) per-rule support is monotone
+    non-increasing under the cap vs an effectively-unbounded horizon
+    (clipping can only remove evidence), and (d) the top-N readout
+    stays a TakeOrdered, never a full sort."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    over_cap = (
+        load_table(spark, sf_oracle_dir, "lineitem")
+        .join(
+            load_table(spark, sf_oracle_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("cust"), "l_partkey", "o_orderdate")
+        .distinct()
+        .groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > relational.SEQ_HISTORY_CAP)
+        .count()
+    )
+    assert over_cap > 0  # the cap binds at this fixture
+
+    df = relational.basket_sequence_rules(spark, sf_oracle_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+    capped = {(r["x_part"], r["y_part"]): r["support"] for r in df.collect()}
+    assert capped
+    unbounded = {
+        (r["x_part"], r["y_part"]): r["support"]
+        for r in relational.basket_sequence_rules(
+            spark, sf_oracle_dir, history_cap=1_000_000_000
+        ).collect()
+    }
+    for key, sup in capped.items():
+        if key in unbounded:
+            assert sup <= unbounded[key], key
+
+    assert relational.basket_sequence_rules(
+        spark, sf_oracle_dir, history_cap=1
+    ).count() == 0
 
 
 def test_sample_weighted_skews_heavy(spark, sf_dir):
