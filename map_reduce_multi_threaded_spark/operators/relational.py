@@ -2956,7 +2956,7 @@ FROM merged GROUP BY gen
 
 Z_DAY_BASE = 19723  # epoch day of 2024-01-01 (fixture events start)
 Z_DAY_LO, Z_DAY_HI = 19733, 19739  # the 7-day query window (absolute)
-Z_FILES = 8
+Z_FILES = 16
 #: day values span ~30 of 256 codes; without stretching them across
 #: the full 8 bits every high interleaved position would be a user
 #: bit and range-partitioning would cluster on user ALONE (measured:
@@ -2992,7 +2992,17 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id·256)/(max+1) — exact integer math, portable by
     construction.  The user-band predicate is applied EXACTLY the
     same multiplied-out way on both engines (user_id·4 vs max+1 —
-    no division).  Staging follows the cached-scratch contract."""
+    no division).  Staging follows the cached-scratch contract.
+
+    The cluster boundaries are the EXPLICIT top-4-bit Z-ranges
+    (``zval div 4096``, written ``partitionBy`` so every file holds
+    exactly one range) rather than ``repartitionByRange(zval)``:
+    the range partitioner's reservoir sampling draws file boundaries
+    that vary run to run, which made the layout property flaky at the
+    0.6 threshold (measured 0.60 on one draw) — and a layout you pay
+    for once at write should be REPRODUCIBLE anyway.  Fixed top-4-bit
+    ranges pin two day bits and two user bits per file: per-file
+    spread ≤ ~1/4 of the global range in BOTH dims, deterministically."""
     import os
 
     from ..sources.tables import stage_scratch_dir
@@ -3004,7 +3014,7 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast(DECM).alias("v"),
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
     )
-    base = stage_scratch_dir(sf_dir, "zorder", "events")
+    base = stage_scratch_dir(sf_dir, "zorder2", "events")
     marker = os.path.join(base, "_WRITTEN")
     if not os.path.exists(marker):
         u = ev.agg((F.max("user_id") + 1).alias("u_n"))
@@ -3021,12 +3031,14 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("ub", F.expr("(user_id * 256) div u_n"))
             .withColumn("zval", _zval_expr())
+            .withColumn("zbucket", F.expr(f"zval div {65536 // Z_FILES}"))
         )
         (
-            zed.repartitionByRange(Z_FILES, "zval")
-            .sortWithinPartitions("zval")
+            zed.repartition(Z_FILES, "zbucket")
+            .sortWithinPartitions("zbucket", "zval")
             .drop("rel_day", "ub", "u_n")
             .write.mode("overwrite")
+            .partitionBy("zbucket")
             .parquet(f"{base}/events")
         )
         with open(marker, "w") as f:

@@ -97,7 +97,7 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
 #: staging kinds no code reads anymore (renamed layouts) — swept on
 #: any staging access.  'formats' became 'formats_v2' when the XML
 #: copy was added in round 5.
-RETIRED_STAGE_KINDS = ("formats",)
+RETIRED_STAGE_KINDS = ("formats", "zorder")
 
 
 def stage_scratch_dir(sf_dir: str, kind: str, *source_tables: str) -> str:

@@ -6,6 +6,8 @@ small gate).  Prints one line per (sf, query) failure and a final
 summary; exit code 1 on any failure.
 
 Usage: python scripts/full_sweep.py [sf0.01] [sf0.1] ...
+       python scripts/full_sweep.py /tmp/altdata/alt1   # absolute dir
+                                                        # (alt fixture)
 """
 from __future__ import annotations
 
@@ -27,7 +29,7 @@ def main() -> int:
     specs = collect_specs()
     failures = []
     for sf in sfs:
-        sf_dir = f"/root/testdata/{sf}"
+        sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"
         t0 = time.perf_counter()
         for spec in specs:
             try:

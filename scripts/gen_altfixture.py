@@ -1,0 +1,292 @@
+#!/usr/bin/env python
+"""Generate an ALTERNATIVE test fixture with the driver's schemas but a
+different seed, different relative table sizes, and deliberately
+adversarial (yet in-contract) content — then sweep the registry against
+it with ``full_sweep.py <dir>``.
+
+Purpose (round 9, verification-first): every registered query is
+oracle-gated on the driver fixture (seed=42), so a query could in
+principle be *overfit to that one draw* — e.g. a tie-break that only
+looks deterministic because the fixture happens to have no ties, or a
+dedup path that looks correct because the fixture has no exact
+duplicates.  This generator produces data the queries have NEVER seen,
+holding the documented contract (FIXTURES.md) fixed:
+
+- identical schemas/dtypes (int32 vs int64 matters to the hash gate),
+  identical value domains (flags, priorities, segments, the 31-token
+  documents vocabulary, ``{"k": N}`` props, 1995-2001 order dates,
+  2024-01 events, 2-decimal monetary doubles, midnight date-timestamps);
+- FK integrity (lineitem -> orders/part/supplier, orders -> customer,
+  nation -> region) and monotone (event_id, ts) ordering in events.
+
+And deliberately stresses what the driver fixture does not:
+
+- TIES: duplicated o_totalprice within a customer (same day), duplicated
+  l_extendedprice, duplicated c_acctbal, duplicate (user_id, ts) event
+  pairs — any query whose determinism silently depends on "no ties in
+  the draw" breaks here, on one engine or the other.
+- SKEW: one customer holds ~10% of orders, one user ~15% of events, one
+  hot part — exercises the skew/salting paths non-vacuously.
+- DUPLICATES: ~2.5% exact-duplicate documents, near-duplicate families
+  (1-2 token edits), one 4-member family, token-permutation pairs (same
+  unigram multiset, different shingles); embeddings with exact-duplicate
+  and 1e-3-perturbed near-duplicate vectors.
+- STRUCTURE: a few customers with zero orders (anti-join direction the
+  driver fixture never exercises: there every customer has orders), a
+  single-event user, a 30-event burst inside two minutes, same-day
+  shipments (offset 0).
+
+The sweep over this fixture is a *generalization* gate: both engines see
+the same parquet, so any Spark-vs-DuckDB mismatch it finds is a genuine
+correctness bug, not fixture noise.
+
+Usage: python scripts/gen_altfixture.py [--out /tmp/altdata/alt1]
+                                        [--seed 4242] [--scale 1.0]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "zh", "fr", "es"]
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["P", "O", "F"]
+RETURNFLAGS = ["A", "N", "R"]
+LINESTATUSES = ["O", "F"]
+EVENT_TYPES = ["error", "view", "signup", "click", "purchase"]
+P_ADJ = ["cold", "small", "large", "blue", "hot", "new", "old", "red"]
+P_NOUN = ["widget", "bolt", "rod", "ring", "anvil", "gear", "gizmo", "plate"]
+P_TYPES = ["LARGE", "STANDARD", "ECONOMY", "MEDIUM", "SMALL", "PROMO"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+DAY_US = 86_400_000_000
+EPOCH_1995 = np.datetime64("1995-01-01", "us").astype("int64")
+EPOCH_2024 = np.datetime64("2024-01-01", "us").astype("int64")
+
+
+def _money(rng: np.random.RandomState, lo: float, hi: float, n: int) -> np.ndarray:
+    """Two-decimal doubles, the fixture's monetary representation."""
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def _write(out: str, name: str, schema: pa.Schema, cols: dict) -> None:
+    table = pa.Table.from_pydict(cols, schema=schema)
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def gen(out: str, seed: int, scale: float) -> None:
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    n_cust = max(50, int(400 * scale))
+    n_supp = max(10, int(20 * scale))
+    n_part = max(100, int(500 * scale))
+    n_orders = max(500, int(5000 * scale))
+    n_events = max(500, int(3000 * scale))
+    n_docs = max(200, int(800 * scale))
+    n_vecs = max(200, int(800 * scale))
+    n_users = max(10, int(40 * scale))
+
+    _write(out, "region",
+           pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+           {"r_regionkey": np.arange(5, dtype=np.int32), "r_name": REGIONS})
+
+    _write(out, "nation",
+           pa.schema([("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                      ("n_regionkey", pa.int32())]),
+           {"n_nationkey": np.arange(25, dtype=np.int32),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": rng.randint(0, 5, 25).astype(np.int32)})
+
+    # --- customer: duplicated acctbals (ties) --------------------------------
+    acct = _money(rng, -900.0, 9999.0, n_cust)
+    acct[1] = acct[0]  # exact acctbal tie
+    acct[3] = acct[2]
+    _write(out, "customer",
+           pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                      ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                      ("c_mktsegment", pa.string())]),
+           {"c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": rng.randint(0, 25, n_cust).astype(np.int32),
+            "c_acctbal": acct,
+            "c_mktsegment": [SEGMENTS[i] for i in rng.randint(0, 5, n_cust)]})
+
+    _write(out, "supplier",
+           pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                      ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())]),
+           {"s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": rng.randint(0, 25, n_supp).astype(np.int32),
+            "s_acctbal": _money(rng, 500.0, 6100.0, n_supp)})
+
+    _write(out, "part",
+           pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
+                      ("p_brand", pa.string()), ("p_type", pa.string()),
+                      ("p_size", pa.int32()), ("p_retailprice", pa.float64())]),
+           {"p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_name": [f"{P_ADJ[a]} {P_NOUN[b]}"
+                       for a, b in zip(rng.randint(0, 8, n_part),
+                                       rng.randint(0, 8, n_part))],
+            "p_brand": [f"Brand#{i + 1}" for i in rng.randint(0, 25, n_part)],
+            "p_type": [P_TYPES[i] for i in rng.randint(0, 6, n_part)],
+            "p_size": rng.randint(1, 51, n_part).astype(np.int32),
+            "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_part), 2)})
+
+    # --- orders: hot customer (~10%), no-order customers, totalprice ties ----
+    no_order_custs = set(rng.choice(n_cust, 5, replace=False).tolist())
+    eligible = np.array([c for c in range(n_cust) if c not in no_order_custs])
+    hot_cust = int(eligible[0])
+    custkeys = np.where(
+        rng.uniform(size=n_orders) < 0.10, hot_cust,
+        eligible[rng.randint(0, len(eligible), n_orders)]).astype(np.int64)
+    odate_days = rng.randint(0, 2404, n_orders)  # 1995-01-01 .. 2001-08-01
+    odates = EPOCH_1995 + odate_days * DAY_US
+    totalprice = _money(rng, 900.0, 500000.0, n_orders)
+    # tie cluster on the hot customer: same totalprice AND same day
+    hot_rows = np.flatnonzero(custkeys == hot_cust)[:4]
+    totalprice[hot_rows] = totalprice[hot_rows[0]]
+    odates[hot_rows] = odates[hot_rows[0]]
+    _write(out, "orders",
+           pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                      ("o_orderstatus", pa.string()),
+                      ("o_totalprice", pa.float64()),
+                      ("o_orderdate", pa.timestamp("us")),
+                      ("o_orderpriority", pa.string())]),
+           {"o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": custkeys,
+            "o_orderstatus": [STATUSES[i] for i in rng.randint(0, 3, n_orders)],
+            "o_totalprice": totalprice,
+            "o_orderdate": odates.astype("datetime64[us]"),
+            "o_orderpriority": [PRIORITIES[i]
+                                for i in rng.randint(0, 5, n_orders)]})
+
+    # --- lineitem: hot part, extendedprice ties, same-day shipments ----------
+    lines_per_order = rng.randint(1, 13, n_orders)
+    okeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines_per_order)
+    n_li = len(okeys)
+    hot_part = int(rng.randint(0, n_part))
+    partkeys = np.where(rng.uniform(size=n_li) < 0.08, hot_part,
+                        rng.randint(0, n_part, n_li)).astype(np.int64)
+    extprice = _money(rng, 900.0, 105000.0, n_li)
+    extprice[1::97] = extprice[0]  # scattered exact price ties
+    shipdates = (np.repeat(odates, lines_per_order)
+                 + rng.randint(0, 123, n_li) * DAY_US)
+    shipdates[0::50] = np.repeat(odates, lines_per_order)[0::50]  # same-day
+    _write(out, "lineitem",
+           pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                      ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                      ("l_quantity", pa.float64()),
+                      ("l_extendedprice", pa.float64()),
+                      ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                      ("l_returnflag", pa.string()),
+                      ("l_linestatus", pa.string()),
+                      ("l_shipdate", pa.timestamp("us"))]),
+           {"l_orderkey": okeys,
+            "l_partkey": partkeys,
+            "l_suppkey": rng.randint(0, n_supp, n_li).astype(np.int64),
+            "l_linenumber": rng.randint(1, 8, n_li).astype(np.int32),
+            "l_quantity": rng.randint(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": extprice,
+            "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
+            "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
+            "l_returnflag": [RETURNFLAGS[i] for i in rng.randint(0, 3, n_li)],
+            "l_linestatus": [LINESTATUSES[i] for i in rng.randint(0, 2, n_li)],
+            "l_shipdate": shipdates.astype("datetime64[us]")})
+
+    # --- events: hot user, burst, duplicate timestamps, single-event user ----
+    gaps = rng.exponential(15 * 60e6, n_events)  # ~15 min mean cadence, us
+    gaps[100:130] = 4e6                          # 30-event burst, ~2 minutes
+    gaps[1::83] = 0.0                            # exact duplicate timestamps
+    ts = (EPOCH_2024 + np.cumsum(gaps)).astype("int64")
+    lone_user = n_users - 1
+    users = np.where(rng.uniform(size=n_events) < 0.15, 0,
+                     rng.randint(1, n_users - 1, n_events)).astype(np.int64)
+    users[n_events // 2] = lone_user  # exactly one event for this user
+    _write(out, "events",
+           pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                      ("user_id", pa.int64()), ("event_type", pa.string()),
+                      ("value", pa.float64()), ("props", pa.string())]),
+           {"event_id": np.arange(n_events, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": users,
+            "event_type": [EVENT_TYPES[i] for i in rng.randint(0, 5, n_events)],
+            "value": _money(rng, 0.01, 330.0, n_events),
+            "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, n_events)]})
+
+    # --- documents: dup/near-dup families, permutations ----------------------
+    texts = []
+    for _ in range(n_docs):
+        n_tok = rng.randint(10, 100)
+        texts.append(" ".join(VOCAB[i] for i in rng.randint(0, len(VOCAB), n_tok)))
+    n_inject = n_docs // 40
+    for i in range(n_inject):                      # exact duplicates
+        texts[n_docs - 1 - i] = texts[i]
+    for i in range(n_inject):                      # 1-2 token near-duplicates
+        toks = texts[n_inject + i].split(" ")
+        for _ in range(rng.randint(1, 3)):
+            toks[rng.randint(0, len(toks))] = VOCAB[rng.randint(0, len(VOCAB))]
+        texts[n_docs - n_inject - 1 - i] = " ".join(toks)
+    fam = texts[2 * n_inject].split(" ")           # one 4-member family
+    for j in range(3):
+        v = list(fam)
+        v[rng.randint(0, len(v))] = VOCAB[rng.randint(0, len(VOCAB))]
+        texts[n_docs - 2 * n_inject - 1 - j] = " ".join(v)
+    for i in range(5):                             # permutations: same unigram
+        toks = texts[3 * n_inject + i].split(" ")  # multiset, new shingles
+        rng.shuffle(toks)
+        texts[n_docs - 3 * n_inject - 1 - i] = " ".join(toks)
+    _write(out, "documents",
+           pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                      ("lang", pa.string()), ("source", pa.string()),
+                      ("n_chars", pa.int64())]),
+           {"doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": [LANGS[i] for i in rng.randint(0, 5, n_docs)],
+            "source": [f"src{i}" for i in rng.randint(0, 20, n_docs)],
+            "n_chars": rng.randint(47, 559, n_docs).astype(np.int64)})
+
+    # --- embeddings: 10 clusters, exact-dup + near-dup vectors ---------------
+    centers = rng.normal(0.0, 0.12, (10, 64))
+    labels = rng.randint(0, 10, n_vecs).astype(np.int32)
+    vecs = centers[labels] + rng.normal(0.0, 0.05, (n_vecs, 64))
+    vecs[n_vecs - 1] = vecs[0]                     # exact duplicate pair
+    vecs[n_vecs - 2] = vecs[1]
+    labels[n_vecs - 1] = labels[0]
+    labels[n_vecs - 2] = labels[1]
+    for j in range(3):                             # 1e-3-perturbed near-dups
+        vecs[n_vecs - 3 - j] = vecs[2 + j] + rng.normal(0.0, 1e-3, 64)
+        labels[n_vecs - 3 - j] = labels[2 + j]
+    _write(out, "embeddings",
+           pa.schema([("vec_id", pa.int64()),
+                      ("embedding", pa.list_(pa.float32())),
+                      ("label", pa.int32())]),
+           {"vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": labels})
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/altdata/alt1")
+    ap.add_argument("--seed", type=int, default=4242)
+    ap.add_argument("--scale", type=float, default=1.0)
+    a = ap.parse_args()
+    print(f"generating alt fixture: out={a.out} seed={a.seed} scale={a.scale}")
+    gen(a.out, a.seed, a.scale)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
