@@ -1326,14 +1326,29 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices); the oracle reproduces the NULL pattern with explicit
     CASE guards.
 
+    MEASURED COST MODEL (this host, 150k rows): the overflow forms
+    (``try_multiply``/``try_add`` → ``Math.*Exact``) pay a thrown JVM
+    exception per FAILING row — ~13 µs each vs ~ns for succeeding
+    rows (0.16 s baseline; 0.94 s with 2/3 rows overflowing tm,
+    1.34 s with 1/2 overflowing ta).  try_* is therefore the right
+    spelling for SPARSE poison rows; when failure is dense and the
+    predicate is cheap, CASE-guard first and keep try_* as the
+    backstop.  The mod-499 keys below put failure density at its
+    intended regime (~1.6% tm, ~0.2% ta) while both outcomes still
+    occur at every fixture sf (orders ≥ 1500 rows covers all
+    residues).  NULL-returning forms without an exception path
+    (try_divide, try_element_at) are density-insensitive.
+
     Scale: narrow map, no shuffle."""
     o = load_table(spark, sf_dir, "orders")
     i64max = 9223372036854775807
+    m_tm = i64max // 490  # m_tm * m overflows iff m >= 491 (of mod 499)
+    a_ta = i64max - 497  # a_ta + m overflows iff m = 498 (of mod 499)
     return o.select(
         "o_orderkey",
         F.expr("try_divide(o_totalprice, o_orderkey % 3)").alias("td"),
-        F.expr(f"try_multiply({i64max}L, o_orderkey % 3)").alias("tm"),
-        F.expr(f"try_add({i64max}L, o_orderkey % 2)").alias("ta"),
+        F.expr(f"try_multiply({m_tm}L, o_orderkey % 499)").alias("tm"),
+        F.expr(f"try_add({a_ta}L, o_orderkey % 499)").alias("ta"),
         # index 1..5: 4 and 5 are out of bounds -> NULL (index 0 is
         # invalid under try_element_at too, so the key is 1-shifted)
         F.expr(
@@ -1346,11 +1361,16 @@ _TRY_ARITH_ORACLE = """
 SELECT o_orderkey,
        CASE WHEN o_orderkey % 3 = 0 THEN NULL
             ELSE o_totalprice / (o_orderkey % 3) END AS td,
-       CASE WHEN o_orderkey % 3 = 0 THEN 0
-            WHEN o_orderkey % 3 = 1 THEN 9223372036854775807
-            ELSE NULL END AS tm,
-       CASE WHEN o_orderkey % 2 = 0 THEN 9223372036854775807
-            ELSE NULL END AS ta,
+       -- inner CASEs keep any eager branch evaluation overflow-free:
+       -- DuckDB BIGINT overflow RAISES, it does not wrap
+       CASE WHEN o_orderkey % 499 >= 491 THEN NULL
+            ELSE 18823208238479134 *
+                 (CASE WHEN o_orderkey % 499 >= 491 THEN 0
+                       ELSE o_orderkey % 499 END) END AS tm,
+       CASE WHEN o_orderkey % 499 = 498 THEN NULL
+            ELSE 9223372036854775310 +
+                 (CASE WHEN o_orderkey % 499 = 498 THEN 0
+                       ELSE o_orderkey % 499 END) END AS ta,
        CASE WHEN 1 + o_orderkey % 5 BETWEEN 1 AND 3 THEN (1 + o_orderkey % 5) * 10
             ELSE NULL END AS te
 FROM orders
