@@ -72,7 +72,6 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 
 DAY_US = 86_400_000_000
 EPOCH_1995 = np.datetime64("1995-01-01", "us").astype("int64")
-EPOCH_2024 = np.datetime64("2024-01-01", "us").astype("int64")
 
 
 def _money(rng: np.random.RandomState, lo: float, hi: float, n: int) -> np.ndarray:
@@ -86,9 +85,11 @@ def _write(out: str, name: str, schema: pa.Schema, cols: dict) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def gen(out: str, seed: int, scale: float) -> None:
+def gen(out: str, seed: int, scale: float,
+        events_start: str = "2024-01-01") -> None:
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(seed)
+    events_epoch = np.datetime64(events_start, "us").astype("int64")
     n_cust = max(50, int(400 * scale))
     n_supp = max(10, int(20 * scale))
     n_part = max(100, int(500 * scale))
@@ -209,7 +210,7 @@ def gen(out: str, seed: int, scale: float) -> None:
     gaps = rng.exponential(15 * 60e6, n_events)  # ~15 min mean cadence, us
     gaps[100:130] = 4e6                          # 30-event burst, ~2 minutes
     gaps[1::83] = 0.0                            # exact duplicate timestamps
-    ts = (EPOCH_2024 + np.cumsum(gaps)).astype("int64")
+    ts = (events_epoch + np.cumsum(gaps)).astype("int64")
     lone_user = n_users - 1
     users = np.where(rng.uniform(size=n_events) < 0.15, 0,
                      rng.randint(1, n_users - 1, n_events)).astype(np.int64)
@@ -282,9 +283,14 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/altdata/alt1")
     ap.add_argument("--seed", type=int, default=4242)
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--events-start", default="2024-01-01",
+                    help="events timeline start date — e.g. 2024-02-15 "
+                         "spans the Feb-29 leap day and a month boundary, "
+                         "stressing calendar-sensitive queries")
     a = ap.parse_args()
-    print(f"generating alt fixture: out={a.out} seed={a.seed} scale={a.scale}")
-    gen(a.out, a.seed, a.scale)
+    print(f"generating alt fixture: out={a.out} seed={a.seed} "
+          f"scale={a.scale} events_start={a.events_start}")
+    gen(a.out, a.seed, a.scale, a.events_start)
     return 0
 
 
