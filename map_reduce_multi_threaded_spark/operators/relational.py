@@ -4351,7 +4351,13 @@ arms AS (SELECT {arm} AS arm, v FROM per_user),
 stats AS (
   SELECT arm, count(*) AS n,
          sum(v) AS s,
-         sum(CAST(v * v AS DECIMAL(38,8))) AS ss
+         -- widen ONE operand to DECIMAL(19,4): DuckDB multiplies
+         -- DECIMAL(18)xDECIMAL(18) on the int64 fast path and the
+         -- per-user revenue SUM grows with data volume — raw v² blew
+         -- past 10^18 on the 10x generalization fixture (alt4).  19+18
+         -- forces the hugeint path; Spark's product is already
+         -- DECIMAL(37,8).
+         sum(CAST(CAST(v AS DECIMAL(19,4)) * v AS DECIMAL(38,8))) AS ss
   FROM arms GROUP BY arm
 ),
 j AS (
