@@ -4279,7 +4279,16 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     op sequence on both engines, rounded 9 dp (agg_corr_exact
     precedent).  Scale: one keyed agg to per-user outcomes, one 2-group
     agg, one broadcast cross of two single rows — nothing global ever
-    sorts."""
+    sorts.
+
+    Numeric bound: the per-user outcome v is deliberately narrowed
+    back to DECIMAL(18,4) so v² fits Spark's precision-38 product —
+    valid while one user's revenue stays under 10^14 (any realistic
+    margin).  The DuckDB side widens one operand to DECIMAL(19,4)
+    because DuckDB runs DECIMAL(18)×DECIMAL(18) on an int64 fast path
+    that the 10× generalization fixture's skewed hot user overflowed
+    (docs/altfixture_r9.md — v is a volume-dependent AGGREGATE, unlike
+    the per-row domain-bounded products elsewhere)."""
     from ..functions.text import md5_bucket
 
     ev = load_table(spark, sf_dir, "events")
