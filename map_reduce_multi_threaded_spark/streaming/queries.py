@@ -201,13 +201,24 @@ def stream_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the multi-batch replay: a session row emits either when a
     later event exposes a >30-min gap, or when the watermark passes
     last_ts+gap and the timeout fires for the idle key (the sentinel
-    batches force this for every user's final session).  The batch
-    gaps-and-islands oracle is exact because arrival is time-ordered."""
+    advances the watermark past every real event; every user's final
+    session then emits via the timeout path in the engine's final
+    no-data micro-batch — EventTimeTimeout fires on no-data batches
+    just like outer-join state eviction).  The batch gaps-and-islands
+    oracle is exact because arrival is time-ordered.
+
+    Replay trimmed to 2 data files + 1 sentinel (r9, same move as the
+    r4 outer-join trim): session state still crosses a real batch
+    boundary, both emission paths (gap-exposure and timeout) stay
+    load-bearing at every sf, and the per-micro-batch Python state
+    fan-out — applyInPandasWithState runs a Python worker per state
+    partition per trigger, the measured 8.2 s dominator at the old
+    4+2 shape — drops from 6 triggers to 3."""
     import pyspark.sql.functions as F
 
     from .stateful import session_windows_custom
 
-    staged, _ = W.stage_events_multibatch(sf_dir)
+    staged, _ = W.stage_events_multibatch(sf_dir, n_files=2, n_sentinels=1)
     ev = W.read_staged_stream(spark, staged).withWatermark("ts", "1 second")
     out = W.run_to_memory(
         session_windows_custom(ev), "stream_custom_sessions_sink", output_mode="append"
