@@ -337,6 +337,60 @@ def test_prefix_filter_law_on_random_sets():
     check()
 
 
+def test_positional_filter_law_on_random_sets():
+    """The PPJoin prunes `_prefix_candidates` adds on top of the
+    prefix law, property-tested without Spark: for ANY two sets with
+    Jaccard >= tau under ANY global order, (a) the length filter
+    max(n) <= 2*min(n) holds, and (b) the positional bound computed
+    exactly the way the implementation computes it —
+    c_pref + min(nx - i_last, ny - j_last) with (i_last, j_last) the
+    1-based positions of the LAST prefix-prefix-matched token — is at
+    least the required overlap ceil((nx+ny)/3).  A violation here
+    would mean the .where() prunes a true pair (a false negative the
+    fixture oracle might not happen to cover)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tau_num, tau_den = 1, 2  # τ = 0.5, matching JACCARD_THRESHOLD
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        x=st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        y=st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        seed=st.integers(0, 10),
+    )
+    def check(x, y, seed):
+        inter = len(x & y)
+        union = len(x | y)
+        if inter * tau_den < union * tau_num:
+            return  # below threshold: no guarantee claimed
+        nx, ny = len(x), len(y)
+        # (a) length filter is implied by J >= 1/2
+        assert max(nx, ny) <= 2 * min(nx, ny), (nx, ny)
+        key = lambda t: hashlib.md5(f"{seed}:{t}".encode()).hexdigest()  # noqa: E731
+        p = lambda d: len(d) - -(-len(d) * tau_num // tau_den) + 1  # noqa: E731
+        sx, sy = sorted(x, key=key), sorted(y, key=key)
+        pos_x = {t: i + 1 for i, t in enumerate(sx)}  # 1-based ranks
+        pos_y = {t: i + 1 for i, t in enumerate(sy)}
+        matches = [
+            t for t in x & y if pos_x[t] <= p(x) and pos_y[t] <= p(y)
+        ]
+        assert matches  # the prefix law, re-asserted
+        c_pref = len(matches)
+        i_last = max(pos_x[t] for t in matches)
+        j_last = max(pos_y[t] for t in matches)
+        minov = -(-(nx + ny) // 3)  # ceil((nx+ny)/3) for τ = 1/2
+        bound = c_pref + min(nx - i_last, ny - j_last)
+        assert bound >= minov, (sorted(x), sorted(y), seed, bound, minov)
+        # the bound must also actually bound the overlap (soundness of
+        # the inequality the pruning relies on)
+        assert inter <= bound, (sorted(x), sorted(y), seed, inter, bound)
+
+    check()
+
+
 def test_banding_sweep_candidate_monotonicity(spark, sf_oracle_dir):
     """The banding trade-off must actually show in the sweep: fewer
     rows per band (more, smaller bands) can only ADD bucket
