@@ -282,7 +282,7 @@ def test_prefix_filter_prunes_but_never_misses(spark, sf_oracle_dir):
     sh = dedup.shingles(spark, sf_oracle_dir).localCheckpoint(eager=True)
     pref = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup._prefix_candidates(spark, sf_oracle_dir, sh).collect()
+        for r in dedup._prefix_candidates(sh).collect()
     }
     a, b = sh.alias("a"), sh.alias("b")
     full = {
