@@ -456,10 +456,15 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise needs one job per tier plus an intermediate topic; the
     multi-batch replay proves inner windows close and feed the outer
     aggregate before the sink.  Oracle: the same two-level GROUP BY in
-    batch SQL — exact because the replay is time-ordered."""
+    batch SQL — exact because the replay is time-ordered.  Replay
+    trimmed to 2 data files + 1 sentinel (r9, the outer-join trim
+    precedent): inner-window state still crosses a real batch
+    boundary and the final no-data micro-batch closes the rest;
+    emission THROUGH a real data batch stays exercised by
+    stream_tumbling_multibatch's deliberate 4+2 shape."""
     import pyspark.sql.functions as F
 
-    staged, cutoff = W.stage_events_multibatch(sf_dir)
+    staged, cutoff = W.stage_events_multibatch(sf_dir, n_files=2, n_sentinels=1)
     ev = W.read_staged_stream(spark, staged).withWatermark("ts", "10 minutes")
     w10 = ev.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type").agg(
         F.count(F.lit(1)).alias("n10")
@@ -509,10 +514,13 @@ def stream_window_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct-max argmax is the INCREMENTAL spelling (O(1) state merge
     per update, the same order-free trick as the batch max_by family).
     Ties break to the larger type string via struct comparison,
-    mirrored exactly by the oracle's (n DESC, type DESC) ranking."""
+    mirrored exactly by the oracle's (n DESC, type DESC) ranking.
+    Replay trimmed to 2 data files + 1 sentinel (r9, the outer-join
+    trim precedent): both stateful stages still merge state across a
+    real batch boundary; the no-data micro-batch closes the rest."""
     import pyspark.sql.functions as F
 
-    staged, cutoff = W.stage_events_multibatch(sf_dir)
+    staged, cutoff = W.stage_events_multibatch(sf_dir, n_files=2, n_sentinels=1)
     ev = W.read_staged_stream(spark, staged).withWatermark("ts", "10 minutes")
     counts = ev.groupBy(
         F.window("ts", "15 minutes").alias("w"), "event_type"
