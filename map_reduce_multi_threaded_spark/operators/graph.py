@@ -216,11 +216,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the classic shape — join cost is Σ deg(v)², tamed in
     practice because near-dup components are tiny; on power-law graphs
     you'd pre-filter by degree (count only on the low-degree
-    orientation), which the a<b orientation already approximates."""
-    from .dedup import dedup_ngram_jaccard
+    orientation), which the a<b orientation already approximates.
+    Edge derivation rides the PPJoin exact join (r9) — same pair set
+    as the all-pairs spelling the oracle still uses, without the
+    quadratic co-occurrence term."""
+    from .dedup import _ppjoin_pairs_from, shingles
 
     e = (
-        dedup_ngram_jaccard(spark, sf_dir)
+        _ppjoin_pairs_from(shingles(spark, sf_dir).localCheckpoint(eager=True))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
