@@ -183,7 +183,16 @@ def _previous_bench(current_sf: float, current_sf_dir: str) -> dict[str, float]:
     """Per-query seconds from the newest BENCH_r*.json next to this
     script, {} if none.  A recorded run at a DIFFERENT scale factor is
     not comparable (larger sf would emit spurious regressions, smaller
-    would mask real ones) — the gate skips with a stderr note."""
+    would mask real ones) — the gate skips with a stderr note.
+
+    Fallback (r9): a driver BENCH file can be unusable — BENCH_r08.json
+    shipped with ``parsed: null`` and only a TRUNCATED ``tail`` string,
+    which made the gate silently compare against an EMPTY baseline
+    (zero flags no matter what).  When the newest driver file yields no
+    queries, fall back to the newest committed builder artifact
+    (docs/bench_full_*.json, bench.py's own one-line format) so the
+    gate always has a real baseline; the fallback is announced on
+    stderr."""
     import glob
     import re
 
@@ -193,10 +202,35 @@ def _previous_bench(current_sf: float, current_sf_dir: str) -> dict[str, float]:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m and int(m.group(1)) > newest_round:
             newest, newest_round = p, int(m.group(1))
-    if newest is None:
+    prev = _load_bench_queries(newest, current_sf, current_sf_dir)
+    if prev:
+        return prev
+    candidates = sorted(
+        glob.glob(os.path.join(here, "docs", "bench_full_*.json")),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    for p in candidates:
+        prev = _load_bench_queries(p, current_sf, current_sf_dir)
+        if prev:
+            print(
+                f"regression gate: driver BENCH file unusable/absent, "
+                f"gating against {os.path.relpath(p, here)!r}",
+                file=sys.stderr,
+            )
+            return prev
+    return {}
+
+
+def _load_bench_queries(
+    path: str | None, current_sf: float, current_sf_dir: str
+) -> dict[str, float]:
+    """Per-query seconds from one bench JSON file, {} when the file is
+    absent, unparseable, or recorded at a different scale."""
+    if path is None:
         return {}
     try:
-        with open(newest) as f:
+        with open(path) as f:
             d = json.load(f)
         # the round driver wraps bench.py's JSON line under "parsed"
         if "queries" not in d and isinstance(d.get("parsed"), dict):
@@ -206,8 +240,8 @@ def _previous_bench(current_sf: float, current_sf_dir: str) -> dict[str, float]:
             # two custom dirs can parse to the same sf float; the dir
             # path is the authoritative scale identity (ADVICE r3)
             print(
-                f"regression gate skipped: recorded bench dir {recorded_dir!r} "
-                f"!= {current_sf_dir!r}",
+                f"bench baseline {path!r} skipped: recorded dir "
+                f"{recorded_dir!r} != {current_sf_dir!r}",
                 file=sys.stderr,
             )
             return {}
@@ -217,14 +251,14 @@ def _previous_bench(current_sf: float, current_sf_dir: str) -> dict[str, float]:
             # would emit spurious regressions (or mask real ones), so
             # abstain rather than guess (ADVICE r3)
             print(
-                "regression gate skipped: recorded bench has no 'sf' key",
+                f"bench baseline {path!r} skipped: no 'sf' key",
                 file=sys.stderr,
             )
             return {}
         if recorded_sf != current_sf:
             print(
-                f"regression gate skipped: recorded bench is sf={recorded_sf}, "
-                f"this run is sf={current_sf}",
+                f"bench baseline {path!r} skipped: recorded sf="
+                f"{recorded_sf}, this run is sf={current_sf}",
                 file=sys.stderr,
             )
             return {}

@@ -626,3 +626,24 @@ def test_power10_base_strictly_clears_max(spark):
     multi = spark.createDataFrame([(3,), (999,), (42,)], "k long")
     (got,) = power10_base(multi, "k", alias="base").collect()[0]
     assert got == 1000
+
+
+def test_bench_regression_gate_has_a_baseline():
+    """The bench regression gate must never silently compare against
+    an EMPTY baseline (the r9 find: the driver's BENCH_r08.json shipped
+    `parsed: null` + a truncated `tail`, so _previous_bench returned {}
+    and every run since r8 passed the 1.5x gate vacuously).  With the
+    docs/bench_full_*.json fallback, a committed builder artifact
+    always supplies per-query seconds at the default sf."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    prev = bench._previous_bench(0.1, "/root/testdata/sf0.1")
+    assert len(prev) >= 100, len(prev)
+    assert all(isinstance(v, (int, float)) and v >= 0 for v in prev.values())
