@@ -215,9 +215,20 @@ def _previous_bench(current_sf: float, current_sf_dir: str) -> dict[str, float]:
     prev = _load_bench_queries(newest, current_sf, current_sf_dir)
     if prev:
         return prev
+    # Deterministic ordering (ADVICE r9): a fresh clone gives every
+    # committed artifact the same checkout mtime, so mtime ordering
+    # made the effective gate baseline arbitrary.  Order by the round
+    # number encoded in the filename, then by name — within one round,
+    # later session suffixes sort after the bare name
+    # (bench_full_r9.json < bench_full_r9_postfix.json <
+    # bench_full_r9_s3.json), so the newest same-round artifact wins.
+    def _round_key(p: str) -> tuple[int, str]:
+        m = re.search(r"bench_full_r(\d+)", os.path.basename(p))
+        return (int(m.group(1)) if m else -1, os.path.basename(p))
+
     candidates = sorted(
         glob.glob(os.path.join(here, "docs", "bench_full_*.json")),
-        key=os.path.getmtime,
+        key=_round_key,
         reverse=True,
     )
     for p in candidates:

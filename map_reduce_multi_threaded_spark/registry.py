@@ -92,14 +92,24 @@ def collect_specs() -> list[QuerySpec]:
     urgent = [s for s in ordered if rank(s)[0] < 2]
     greens = [s for s in ordered if rank(s)[0] >= 2]
     window = {s.name for s in ordered[:_SWEEP_WINDOW]}
+    # Explicit reverify-first flags outrank the heuristic: a flag is
+    # live while the query's newest green record is no newer than the
+    # rewrite round, and expires automatically with the first newer
+    # green (see _REVERIFY_FIRST).
+    flagged = {
+        s.name for s in greens
+        if rank(s)[1] <= _REVERIFY_FIRST.get(s.name, -1)
+    }
     candidates = [
         s for s in greens
-        if s.name not in window and rank.direct_changed(s)
+        if s.name not in window
+        and (s.name in flagged or rank.direct_changed(s))
     ]
-    # newest green first: a query rewritten right after a fresh green
-    # sorts LAST in the age rotation (longest natural wait), while an
-    # old changed query is about to be swept by rotation anyway
-    candidates.sort(key=lambda s: -rank(s)[1])
+    # flagged rewrites first (sharp builder signal), then newest green
+    # first: a query rewritten right after a fresh green sorts LAST in
+    # the age rotation (longest natural wait), while an old changed
+    # query is about to be swept by rotation anyway
+    candidates.sort(key=lambda s: (s.name not in flagged, -rank(s)[1]))
     # the carve-out YIELDS to the oldest cohort: promotions use only
     # the window slack left after the urgent groups and the entire
     # oldest green cohort (the judge's freshness contract: no newest
@@ -126,6 +136,28 @@ _CHANGED_CARVEOUT = 4
 #: every CORRECTNESS_r*.json); the carve-out only promotes changed
 #: queries that would land OUTSIDE this window.
 _SWEEP_WINDOW = 50
+
+#: Explicit reverify-first flags: ``{query_name: rewrite_round}``, set
+#: by hand when a query's ALGORITHM is rewritten in ``rewrite_round``
+#: and its newest green record therefore describes retired code.  The
+#: module-level change heuristics cannot SELECT such queries when a
+#: round edits several large modules (round 9 touched dedup.py,
+#: graph.py and relational.py, marking 131 queries direct_changed — no
+#: sort order of that set singles out the five PPJoin rewrites VERDICT
+#: r9 asked to re-record).  A flag is live while the query's newest
+#: green round is <= its rewrite round and takes the FRONT of the
+#: bounded carve-out; the first newer green record expires it
+#: automatically, so stale entries are inert (prune when convenient).
+_REVERIFY_FIRST: dict[str, int] = {
+    # round-9 PPJoin / pinned-shingle rewrites (VERDICT r9 ask #1);
+    # dedup_clusters and dedup_minhash_lsh are already in-window via
+    # the r3 cohort — flagged for completeness, promotion is a no-op.
+    "dedup_clusters": 9,
+    "dedup_cluster_keep": 9,
+    "dedup_minhash_lsh": 9,
+    "dedup_recall_eval": 9,
+    "graph_triangle_count": 9,
+}
 
 
 def _module_graph() -> tuple[dict[str, str], dict[str, set[str]]]:

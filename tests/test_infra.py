@@ -285,9 +285,58 @@ def test_sweep_carveout_is_bounded_and_front_loaded():
         head.append(s)
     promoted = [s for s in head if rank(s)[0] == 2]
     assert len(promoted) <= _CHANGED_CARVEOUT, [s.name for s in promoted]
-    assert all(rank.direct_changed(s) for s in promoted), [
-        s.name for s in promoted if not rank.direct_changed(s)
-    ]
+    from map_reduce_multi_threaded_spark.registry import _REVERIFY_FIRST
+
+    assert all(
+        rank.direct_changed(s)
+        or rank(s)[1] <= _REVERIFY_FIRST.get(s.name, -1)
+        for s in promoted
+    ), [s.name for s in promoted if not rank.direct_changed(s)]
+
+
+def test_sweep_reverify_first_flags_lead_and_expire():
+    """_REVERIFY_FIRST entries (round-10 mechanism) must (a) promote
+    their queries to the front of the carve-out while the newest green
+    record is no newer than the flagged rewrite round, and (b) go
+    inert once a newer green record lands — the flag self-expires, so
+    stale entries cannot occupy carve-out slots forever."""
+    from map_reduce_multi_threaded_spark import registry
+
+    specs = registry.collect_specs()
+    rank = registry._sweep_rank()
+    order = {s.name: i for i, s in enumerate(specs)}
+    n_urgent = sum(1 for s in specs if rank(s)[0] < 2)
+    by_name = {s.name: s for s in specs}
+
+    live, expired = [], []
+    for name, flag_round in registry._REVERIFY_FIRST.items():
+        spec = by_name.get(name)
+        if spec is None or rank(spec)[0] != 2:
+            continue
+        (live if rank(spec)[1] <= flag_round else expired).append(name)
+
+    # (a) every live flag sits inside the sweep window (either promoted
+    # into the carve-out or already reached by the age rotation)
+    for name in live:
+        assert order[name] < registry._SWEEP_WINDOW, (
+            f"{name} flagged for reverification but outside the "
+            f"{registry._SWEEP_WINDOW}-slot sweep window (slot {order[name]})"
+        )
+    # (b) an expired flag must not hold a carve-out slot: the carve-out
+    # region is the gap between the urgent groups and the oldest green
+    # cohort head
+    greens = [s for s in specs if rank(s)[0] == 2]
+    oldest = min(rank(s)[1] for s in greens)
+    carveout_end = n_urgent
+    for s in specs[n_urgent:]:
+        if rank(s)[0] == 2 and rank(s)[1] == oldest:
+            break
+        carveout_end += 1
+    for name in expired:
+        assert not (n_urgent <= order[name] < carveout_end), (
+            f"{name}'s reverify flag expired (green record newer than "
+            f"the rewrite round) but still occupies carve-out slot {order[name]}"
+        )
 
 
 def test_new_queries_invariant_under_shuffle_partitions(spark, sf_dir):
