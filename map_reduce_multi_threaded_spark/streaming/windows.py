@@ -362,6 +362,10 @@ def write_foreach_batch(
     any batch writer (partitioned parquet, JDBC upsert, merge) without
     a dedicated streaming connector; whatever it is must stay
     idempotent per batch_id for the exactly-once claim to hold."""
+    if PLAN_ONLY:
+        import os
+
+        raise PlanOnly(os.path.basename(path), template_plan(df))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -403,9 +407,39 @@ STREAM_STATE_PARTITIONS = 8
 #: (telemetry only — see run_to_memory).
 RECENT_PROGRESS: dict[str, list[dict]] = {}
 
+#: Drain-free plan capture (round 10).  When PLAN_ONLY is True, the
+#: streaming sinks below (run_to_memory, write_foreach_batch) capture
+#: the UNSTARTED streaming DataFrame's TEMPLATE physical plan —
+#: ``QueryExecution.explainString`` plans a streaming DF without
+#: starting it, and the template already contains every Exchange,
+#: StateStore*, EventTimeWatermark and Python-eval node the
+#: micro-batches will execute — then abort the query fn by raising
+#: :class:`PlanOnly`.  This is how tests/test_plan_policy.py extends
+#: its exchange-count ratchet to all streaming queries without paying
+#: a multi-second replay per query (the executed-plan capture in
+#: RECENT_PLANS still exists for the drains the oracle tests run).
+PLAN_ONLY = False
+
+
+class PlanOnly(Exception):
+    """Raised by streaming sinks under PLAN_ONLY; carries the plan."""
+
+    def __init__(self, name: str, plan: str):
+        super().__init__(name)
+        self.name = name
+        self.plan = plan
+
+
+def template_plan(df: DataFrame) -> str:
+    """Physical plan text of an UNSTARTED streaming DataFrame."""
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+
+
 #: Per-sink-name executed physical plan text from the last drain —
-#: how the plan-policy gate reaches streaming queries, whose plans
-#: only materialize per micro-batch (no drain-free build path).
+#: the complementary EXECUTED-plan capture the policy gate's
+#: representative-drain test uses.
 RECENT_PLANS: dict[str, str] = {}
 
 
@@ -421,6 +455,8 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
     import shutil
     import tempfile
 
+    if PLAN_ONLY:
+        raise PlanOnly(name, template_plan(df))
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))

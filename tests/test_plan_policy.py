@@ -4,9 +4,14 @@ rather than asserted per-query.  A new query that sneaks in a
 row-at-a-time Python eval, an unbroadcast cartesian product, or an
 unexplained RDD scan fails here the day it lands.
 
-Streaming queries are exempted from plan building (their fn() drains a
-real replay — they are covered by their own oracle tests); the plan is
-built at sf0.001 so checkpoint-based iteratives stay cheap.
+Streaming queries join the same gates through the drain-free
+PLAN_ONLY path (round 10): the sinks in streaming/windows.py capture
+the unstarted streaming DataFrame's template physical plan — which
+already contains every Exchange / StateStore / Python-eval node the
+micro-batches will execute — and abort before starting the query, so
+all 20 streaming plans build in ~13 s instead of draining ~80 s of
+replays.  Plans are built at sf0.001 so checkpoint-based iteratives
+stay cheap.
 """
 
 from __future__ import annotations
@@ -66,6 +71,35 @@ def plans(spark):
         out[s.name] = (
             s.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         )
+    return out
+
+
+@pytest.fixture(scope="module")
+def stream_plans(spark):
+    """Template physical plan for every registered STREAMING query,
+    captured drain-free via windows.PLAN_ONLY (the sink raises
+    PlanOnly carrying the unstarted DataFrame's plan)."""
+    from map_reduce_multi_threaded_spark.streaming import windows as W
+
+    out = {}
+    stream_specs = [
+        s for s in collect_specs()
+        if s.fn.__module__ in _STREAMING_MODULES
+    ]
+    W.PLAN_ONLY = True
+    try:
+        for s in stream_specs:
+            try:
+                s.fn(spark, SF)
+            except W.PlanOnly as e:
+                out[s.name] = e.plan
+            else:
+                pytest.fail(
+                    f"{s.name} returned without reaching a streaming "
+                    f"sink under PLAN_ONLY — its plan escaped the gate"
+                )
+    finally:
+        W.PLAN_ONLY = False
     return out
 
 
@@ -136,6 +170,48 @@ def test_checkpoint_whitelist_is_tight(plans):
         if n in plans and "Scan ExistingRDD" not in plans[n]
     ]
     assert not stale, stale
+
+
+def test_streaming_template_plans_obey_policy(stream_plans):
+    """The batch ground rules, over every streaming query's template
+    plan (BACKLOG depth item, round 10): no row-at-a-time Python eval,
+    no cartesian product, and every registered streaming query must
+    actually BE streaming (a StreamingRelation scan in the plan)."""
+    assert len(stream_plans) == 20, sorted(stream_plans)
+    bad_eval = [n for n, p in stream_plans.items() if "BatchEvalPython" in p]
+    assert not bad_eval, bad_eval
+    bad_cart = [n for n, p in stream_plans.items() if "CartesianProduct" in p]
+    assert not bad_cart, bad_cart
+    not_streaming = [
+        n for n, p in stream_plans.items() if "StreamingRelation" not in p
+    ]
+    assert not not_streaming, not_streaming
+
+
+def test_streaming_exchange_counts_within_budget(stream_plans):
+    """Extends the shuffle ratchet to streaming: template-plan exchange
+    counts bounded by the committed tests/plan_budget.json snapshot —
+    with PLAN_ONLY there is no longer a drain cost excusing the
+    exemption.  Every streaming query MUST have a budget entry (unlike
+    batch, the streaming set is small enough to require it)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "plan_budget.json")
+    with open(path) as f:
+        budget = json.load(f)
+    missing = [n for n in stream_plans if n not in budget]
+    assert not missing, missing
+    over = []
+    for name, plan in stream_plans.items():
+        n = (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+        )
+        if n > budget[name]:
+            over.append((name, n, budget[name]))
+    assert not over, over
 
 
 def test_streaming_plans_obey_policy(spark):
