@@ -5165,7 +5165,25 @@ def basket_sequence_rules(
         .where(F.col("rn") <= history_cap)
         .drop("rn")
     )
-    pairs = (
+    pairs = _sequence_pairs(cp)
+    return (
+        pairs.groupBy("x_part", "y_part")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.round(
+                F.sum("min_gap").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_min_gap_days"),
+        )
+        .orderBy(F.desc("support"), F.asc("x_part"), F.asc("y_part"))
+        .limit(SEQ_RULES_TOPK)
+    )
+
+
+def _sequence_pairs(cp: DataFrame) -> DataFrame:
+    """(cust, x_part, y_part, min_gap) from a (cust, part, d) history
+    table — the pair stage of :func:`basket_sequence_rules`, factored
+    so the salted spelling below can be property-tested against it."""
+    return (
         cp.alias("a")
         .join(
             cp.alias("b"),
@@ -5180,17 +5198,63 @@ def basket_sequence_rules(
         )
         .agg(F.min(F.col("b.d") - F.col("a.d")).alias("min_gap"))
     )
-    return (
-        pairs.groupBy("x_part", "y_part")
-        .agg(
-            F.count(F.lit(1)).alias("support"),
-            F.round(
-                F.sum("min_gap").cast("double") / F.count(F.lit(1)), 6
-            ).alias("mean_min_gap_days"),
-        )
-        .orderBy(F.desc("support"), F.asc("x_part"), F.asc("y_part"))
-        .limit(SEQ_RULES_TOPK)
+
+
+def _sequence_pairs_salted(cp: DataFrame, salts: int = 8) -> DataFrame:
+    """The SCALE.md unbounded-history recipe, executable: split each
+    customer's self-join across ``salts`` shards so a power-law
+    customer's pair generation runs in ``salts`` tasks instead of one.
+
+    Standard skew-salting for a keyed self-join: the LEFT side gets a
+    deterministic per-row salt (md5 of the row content — rand() would
+    break replay determinism), the RIGHT side is replicated once per
+    salt value, and the join key becomes (cust, salt).  Each (cust,
+    x, y) pair is then produced exactly once per left-row occurrence —
+    the same multiset of (b.d - a.d) gaps as the unsalted join, just
+    partitioned differently — so the per-customer ``min`` re-merges
+    losslessly (min is salt-associative: min over shards == global
+    min).  Cost: the right side is shuffled ``salts``x; worth paying
+    only for genuinely heavy keys — production would gate it per-key
+    on a history-length count, exactly like AQE's skew-join split.
+
+    Unregistered (the registered query's SEQ_HISTORY_CAP makes the cap
+    the semantics); tests/test_relational.py proves output identity
+    against :func:`_sequence_pairs` on uncapped fixture histories."""
+    salted_a = cp.withColumn(
+        "salt",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("", "cust", "part", "d")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % salts
+        ).cast("int"),
     )
+    replicated_b = cp.join(
+        F.broadcast(
+            cp.sparkSession.range(salts).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    pairs = (
+        salted_a.alias("a")
+        .join(
+            replicated_b.alias("b"),
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.d") < F.col("b.d"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust"),
+            F.col("a.part").alias("x_part"),
+            F.col("b.part").alias("y_part"),
+        )
+        .agg(F.min(F.col("b.d") - F.col("a.d")).alias("min_gap"))
+    )
+    return pairs
 
 
 _SEQ_RULES_ORACLE = f"""

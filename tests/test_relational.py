@@ -477,6 +477,58 @@ def test_basket_sequence_history_cap_binds_and_bounds(spark, sf_oracle_dir):
     ).count() == 0
 
 
+def test_sequence_pairs_salted_recipe_is_lossless(spark, sf_oracle_dir):
+    """SCALE.md's unbounded-history skew recipe ('salt the cust key
+    8-16x and re-merge min_gap — min is salt-associative'), proven
+    executable (BACKLOG depth, round 10): over UNCAPPED fixture
+    histories the salted spelling must reproduce the unsalted pair
+    stage exactly — same (cust, x, y) key set, same min_gap on every
+    key — at two salt fan-outs, and the salted join must key on
+    (cust, salt) so a heavy customer's pair generation actually
+    splits across tasks."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    cp = (
+        load_table(spark, sf_oracle_dir, "lineitem")
+        .join(
+            load_table(spark, sf_oracle_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .distinct()
+    )
+    base = {
+        (r["cust"], r["x_part"], r["y_part"]): r["min_gap"]
+        for r in relational._sequence_pairs(cp).collect()
+    }
+    assert base  # uncapped histories produce evidence at this fixture
+    for salts in (2, 8):
+        salted_df = relational._sequence_pairs_salted(cp, salts=salts)
+        # the join must be keyed on (cust, salt): the salt column
+        # appears in the join's hash keys, splitting heavy customers
+        plan = _plan(salted_df)
+        assert "salt" in plan
+        salted = {
+            (r["cust"], r["x_part"], r["y_part"]): r["min_gap"]
+            for r in salted_df.collect()
+        }
+        assert salted == base, (
+            f"salted({salts}) diverged: "
+            f"{len(set(salted) ^ set(base))} key diffs"
+        )
+
+
 def test_sample_weighted_skews_heavy(spark, sf_dir):
     """ES sampling must overrepresent heavy weights: the sampled mean
     weight exceeds the population mean (deterministic on the fixture)."""
