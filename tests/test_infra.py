@@ -696,3 +696,51 @@ def test_bench_regression_gate_has_a_baseline():
     prev = bench._previous_bench(0.1, "/root/testdata/sf0.1")
     assert len(prev) >= 100, len(prev)
     assert all(isinstance(v, (int, float)) and v >= 0 for v in prev.values())
+
+
+def test_bench_fallback_baseline_order_is_deterministic(tmp_path):
+    """ADVICE r10 fix pinned: the fallback baseline must be chosen by
+    the ROUND NUMBER encoded in the filename (then name), never file
+    mtime — on a fresh clone every committed artifact shares the
+    checkout mtime, which made the gating artifact (and so the
+    effective thresholds, ±35% per query between same-round runs)
+    arbitrary.  Build a fake docs/ dir where the LOWER round has the
+    NEWER mtime and assert the higher round still gates; within one
+    round, the lexicographically-last session suffix wins."""
+    import importlib.util
+    import json
+    import os
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    sf_dir = "/root/testdata/sf0.1"
+
+    def art(name: str, marker: float) -> None:
+        (docs / name).write_text(json.dumps({
+            "sf": 0.1, "sf_dir": sf_dir, "queries": {"probe": marker},
+        }))
+
+    art("bench_full_r9_s3.json", 9.3)
+    art("bench_full_r10.json", 10.0)
+    art("bench_full_r10_run2.json", 10.2)
+    now = time.time()
+    # adversarial mtimes: the OLDEST round gets the NEWEST mtime
+    os.utime(docs / "bench_full_r9_s3.json", (now, now))
+    os.utime(docs / "bench_full_r10.json", (now - 600, now - 600))
+    os.utime(docs / "bench_full_r10_run2.json", (now - 1200, now - 1200))
+
+    # point the module at the fake repo root (no BENCH_r*.json there,
+    # so the driver-file path yields nothing and the fallback decides);
+    # _previous_bench resolves `here` from module-global __file__ at
+    # call time, so swapping it is enough — no os monkeypatching
+    bench.__file__ = str(tmp_path / "bench.py")
+    prev = bench._previous_bench(0.1, sf_dir)
+    assert prev == {"probe": 10.2}, prev  # round 10, last session suffix
