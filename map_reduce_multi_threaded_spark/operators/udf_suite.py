@@ -204,14 +204,24 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     them with window functions (population stddev via exact moments).
     Rounded to 6 dp: numpy's summation order differs from SQL's.
 
+    Degenerate groups (round-10 alt-fixture catch): a single-event or
+    constant-value user has zero variance, where the convention is
+    z = 0 (sklearn StandardScaler; scipy returns NaN).  The guard
+    predicate must be EXACT and engine-portable, so both sides test
+    min(value) == max(value) — a float-equality both engines compute
+    identically — rather than `std > 0` vs an unguarded one-pass
+    variance whose 0/0 the oracle previously hit (the six earlier
+    fixtures happened to give every user_id < 20 two distinct values).
+
     Scale: one shuffle on the group key; each group must fit in one
     worker's memory — fine for per-user slices, wrong for whole-corpus
     groups (use window functions then)."""
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"]
-        mean = v.mean()
-        std = v.std(ddof=0)
-        z = (v - mean) / std if std > 0 else v * 0.0
+        if v.min() == v.max():
+            z = pd.Series(0.0, index=v.index)
+        else:
+            z = (v - v.mean()) / v.std(ddof=0)
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z_raw": z}
         )
@@ -229,11 +239,15 @@ WITH stats AS (
          avg(value) OVER (PARTITION BY user_id) AS mu,
          count(*) OVER (PARTITION BY user_id) AS n,
          sum(value * value) OVER (PARTITION BY user_id) AS sq,
-         sum(value) OVER (PARTITION BY user_id) AS s
+         sum(value) OVER (PARTITION BY user_id) AS s,
+         min(value) OVER (PARTITION BY user_id) AS mn,
+         max(value) OVER (PARTITION BY user_id) AS mx
   FROM events WHERE user_id < 20
 )
 SELECT event_id, user_id,
-       round((value - mu) / sqrt(sq / n - (s / n) * (s / n)), 6) AS zscore
+       CASE WHEN mn = mx THEN CAST(0.0 AS DOUBLE)
+            ELSE round((value - mu) / sqrt(sq / n - (s / n) * (s / n)), 6)
+       END AS zscore
 FROM stats
 """
 

@@ -157,6 +157,10 @@ _REVERIFY_FIRST: dict[str, int] = {
     "dedup_minhash_lsh": 9,
     "dedup_recall_eval": 9,
     "graph_triangle_count": 9,
+    # round-10 sparse-fixture catch: zero-variance guard rewritten on
+    # both sides (exact min==max predicate; oracle previously hit 0/0
+    # on a single-event user) — old green records predate the fix.
+    "grouped_map_zscore": 10,
 }
 
 

@@ -51,6 +51,8 @@ SUBSET = [
     "dq_profile",
     "events_tumbling",
     "orders_rfm",
+    # round-10 catch: zero-variance users only appear on sparse draws
+    "grouped_map_zscore",
 ]
 
 
