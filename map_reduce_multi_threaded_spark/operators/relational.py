@@ -237,20 +237,33 @@ FROM lineitem GROUP BY l_returnflag
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max/avg/stddev per group, with variance derived from exact
     decimal sums (sum, sum-of-squares) so partial-aggregation order can
-    never flip a bit — the distributed-safe way to do second moments."""
+    never flip a bit — the distributed-safe way to do second moments.
+
+    Degenerate-group guards (round-10 oracle audit, after the
+    grouped_map_zscore sparse-fixture catch): a 1-row group's sample
+    stddev is NULL on both sides — unguarded, the raw /(n-1) was a
+    DIVIDE_BY_ZERO error under Spark's ANSI mode and NULL in DuckDB —
+    and the variance numerator is clamped at 0 before sqrt (for a
+    constant group the double cancellation can land epsilon-negative,
+    where DuckDB's sqrt is a hard Out-of-Range ERROR, not NaN; the
+    F.when keeps the division itself unevaluated on 1-row groups,
+    CaseWhen branches being lazy per row).  Both engines compute the
+    same IEEE doubles from the same exact decimal sums, so the clamp
+    and the n>1 predicate agree bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem")
     qd = F.col("l_quantity").cast(DEC)
     sum_q = F.sum(qd).cast("double")
     sum_q2 = F.sum(qd * qd).cast("double")
     n = F.count(F.lit(1))
     var = (sum_q2 - sum_q * sum_q / n) / (n - F.lit(1))
+    stddev = F.when(n > F.lit(1), F.sqrt(F.greatest(F.lit(0.0), var)))
     return (
         li.groupBy("l_linestatus")
         .agg(
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
             (sum_q / n).alias("avg_qty"),
-            F.sqrt(var).alias("stddev_qty"),
+            stddev.alias("stddev_qty"),
             n.alias("n_rows"),
         )
     )
@@ -261,10 +274,13 @@ SELECT l_linestatus,
        min(l_quantity) AS min_qty,
        max(l_quantity) AS max_qty,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
-       sqrt((CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-             - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-               * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
-            / (count(*) - 1)) AS stddev_qty,
+       CASE WHEN count(*) > 1 THEN
+         sqrt(greatest(0.0,
+              (CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+              / (count(*) - 1)))
+       END AS stddev_qty,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_linestatus
 """
@@ -4600,13 +4616,26 @@ WITH stats AS (
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+-- sqrt only under a lazy CASE (round-10 oracle audit): AND conjuncts
+-- carry no evaluation-order guarantee, so the previous spelling could
+-- evaluate sqrt(var) on a constant-value window whose cancellation
+-- lands var epsilon-NEGATIVE — a hard DuckDB Out-of-Range error the
+-- `var > 0` conjunct does not reliably fence off.  CASE THEN is the
+-- SQL-standard lazy construct; the var > 0 decision itself is made on
+-- doubles bit-identical to Spark's, which keeps exact parity with the
+-- F.when() guard on the Spark side.
+scored AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN n = {ZSCORE_LOOKBACK}
+                   AND (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+         END AS zscore
+  FROM stats
 )
-SELECT event_id, event_type, value,
-       (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
-FROM stats
-WHERE n = {ZSCORE_LOOKBACK}
-  AND (s2 - s1 * s1 / n) / (n - 1) > 0
-  AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3
+SELECT event_id, event_type, value, zscore
+FROM scored
+WHERE zscore IS NOT NULL AND abs(zscore) > 3
 """
 
 

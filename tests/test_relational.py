@@ -959,3 +959,52 @@ def test_k_anonymity_algebra(spark, sf_oracle_dir):
         assert r["k_anonymous"] == (r["group_size"] >= K_ANON)
         assert r["risky_rows_total"] == risky
     assert {True, False} <= {r["k_anonymous"] for r in rows}
+
+
+def test_agg_stats_degenerate_groups(spark, tmp_path):
+    """Round-10 oracle audit pinned deterministically: a 1-row group's
+    sample stddev must be NULL on both engines (unguarded, the raw
+    /(n-1) was a DIVIDE_BY_ZERO error under Spark's ANSI mode vs NULL
+    in DuckDB), and a
+    constant-value group must not crash DuckDB's sqrt when the double
+    cancellation lands epsilon-negative (clamped at 0 on both sides)."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import TABLES
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "fx"
+    dst.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+
+    li = pq.read_table(f"{src}/lineitem.parquet")
+    pdf = li.to_pandas()
+    template = pdf.iloc[0].to_dict()
+    crafted = [
+        # 'D1': a SINGLE-row group (sample stddev undefined -> NULL)
+        {**template, "l_linestatus": "D1", "l_quantity": 17.0},
+        # 'D2': three rows with IDENTICAL quantity (variance exactly 0
+        # mathematically; epsilon-signed in doubles)
+        *[
+            {**template, "l_linestatus": "D2", "l_quantity": 23.0}
+            for _ in range(3)
+        ],
+    ]
+    out = pd.concat([pdf, pd.DataFrame(crafted)], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(out, schema=li.schema, preserve_index=False),
+        dst / "lineitem.parquet",
+    )
+
+    df = relational.agg_stats(spark, str(dst))
+    compare(df, relational._AGG_STATS_ORACLE, str(dst))
+    rows = {r["l_linestatus"]: r for r in df.collect()}
+    assert rows["D1"]["stddev_qty"] is None
+    assert rows["D1"]["n_rows"] == 1
+    assert rows["D2"]["stddev_qty"] == 0.0
+    assert rows["D2"]["n_rows"] == 3
