@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Append exchange-count budgets for queries not yet in
-tests/plan_budget.json (new queries are skipped by the gate until
-baselined here).  Existing budgets are never modified — loosening a
-committed budget stays a conscious manual edit.
+"""Append exchange-count budgets (tests/plan_budget.json) and
+scan-column budgets (tests/scan_budget.json) for queries not yet in
+each file (new queries are skipped by the gates until baselined
+here).  Existing budgets are never modified — loosening a committed
+budget stays a conscious manual edit.
 
 Usage: python scripts/baseline_plan_budget.py
 """
@@ -15,34 +16,50 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from map_reduce_multi_threaded_spark.session import get_spark
-from tests.test_plan_policy import SF, _batch_specs
+from tests.test_plan_policy import SF, _batch_specs, _scan_cols
+
+
+def _write(path: str, budget: dict) -> None:
+    with open(path, "w") as f:
+        f.write("{\n")
+        f.write(",\n".join(f'"{k}": {v}' for k, v in sorted(budget.items())))
+        f.write("\n}\n")
 
 
 def main() -> int:
-    path = os.path.join(os.path.dirname(__file__), "..", "tests", "plan_budget.json")
-    with open(path) as f:
-        budget = json.load(f)
+    tests = os.path.join(os.path.dirname(__file__), "..", "tests")
+    ex_path = os.path.join(tests, "plan_budget.json")
+    sc_path = os.path.join(tests, "scan_budget.json")
+    with open(ex_path) as f:
+        ex_budget = json.load(f)
+    with open(sc_path) as f:
+        sc_budget = json.load(f)
     spark = get_spark(app_name="baseline_plan_budget")
     spark.sparkContext.setLogLevel("ERROR")
-    added = {}
+    ex_added, sc_added = {}, {}
     for s in _batch_specs():
-        if s.name in budget:
+        if s.name in ex_budget and s.name in sc_budget:
             continue
         plan = s.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-        n = (
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange SinglePartition")
-        )
-        added[s.name] = n
-        print(f"ADD {s.name}: {n}", flush=True)
-    if added:
-        budget.update(added)
-        with open(path, "w") as f:
-            f.write("{\n")
-            f.write(",\n".join(f'"{k}": {v}' for k, v in sorted(budget.items())))
-            f.write("\n}\n")
-    print(f"baselined {len(added)} new queries")
+        if s.name not in ex_budget:
+            n = (
+                plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning")
+                + plan.count("Exchange SinglePartition")
+            )
+            ex_added[s.name] = n
+            print(f"ADD exchange {s.name}: {n}", flush=True)
+        if s.name not in sc_budget:
+            c = _scan_cols(plan)
+            sc_added[s.name] = c
+            print(f"ADD scan-cols {s.name}: {c}", flush=True)
+    if ex_added:
+        ex_budget.update(ex_added)
+        _write(ex_path, ex_budget)
+    if sc_added:
+        sc_budget.update(sc_added)
+        _write(sc_path, sc_budget)
+    print(f"baselined {len(ex_added)} exchange + {len(sc_added)} scan budgets")
     spark.stop()
     return 0
 

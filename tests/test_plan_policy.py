@@ -161,6 +161,52 @@ def test_exchange_counts_within_budget(plans):
     assert not over, over
 
 
+def _scan_cols(plan: str) -> int:
+    """Total parquet columns read across every FileScan in a plan,
+    from the scan's output list (`FileScan parquet [a#1,b#2,...]`).
+    Plan strings elide long lists as '... N more fields' — the
+    ellipsis token occupies one comma slot and stands for N columns."""
+    import re
+
+    total = 0
+    for m in re.finditer(r"FileScan \w+ \[([^\]]*)\]", plan):
+        inner = m.group(1)
+        if not inner.strip():
+            continue
+        n = inner.count(",") + 1
+        mm = re.search(r"\.\.\. (\d+) more fields", inner)
+        if mm:
+            n = n - 1 + int(mm.group(1))
+        total += n
+    return total
+
+
+def test_scan_column_counts_within_budget(plans):
+    """Column-pruning ratchet (round 10): at 100 TB the dominant cost
+    is scan BYTES, and a query that silently starts reading extra
+    parquet columns regresses invisibly to the value oracle and to the
+    exchange budget alike.  Every batch query's total FileScan column
+    count is bounded by the committed snapshot (tests/scan_budget.json,
+    generated from the round-10 plans — q6 reads 4 of lineitem's 11
+    columns, the widest star join reads 20 across five tables).  Upper
+    bound, not exact: plans that prune HARDER pass silently; a change
+    that widens any scan fails and forces a conscious re-baseline."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "scan_budget.json")
+    with open(path) as f:
+        budget = json.load(f)
+    over = []
+    for name, plan in plans.items():
+        if name not in budget:
+            continue  # new query: add a budget when baselining next
+        n = _scan_cols(plan)
+        if n > budget[name]:
+            over.append((name, n, budget[name]))
+    assert not over, over
+
+
 def test_checkpoint_whitelist_is_tight(plans):
     """The whitelist must not grow stale: every whitelisted query
     actually exhibits the RDD scan (drop it from the list when it no
