@@ -27,18 +27,23 @@ def _write(path: str, budget: dict) -> None:
 
 
 def main() -> int:
+    import re
+
     tests = os.path.join(os.path.dirname(__file__), "..", "tests")
     ex_path = os.path.join(tests, "plan_budget.json")
     sc_path = os.path.join(tests, "scan_budget.json")
+    pf_path = os.path.join(tests, "pushdown_floor.json")
     with open(ex_path) as f:
         ex_budget = json.load(f)
     with open(sc_path) as f:
         sc_budget = json.load(f)
+    with open(pf_path) as f:
+        pf_floor = json.load(f)
     spark = get_spark(app_name="baseline_plan_budget")
     spark.sparkContext.setLogLevel("ERROR")
-    ex_added, sc_added = {}, {}
+    ex_added, sc_added, pf_added = {}, {}, {}
     for s in _batch_specs():
-        if s.name in ex_budget and s.name in sc_budget:
+        if s.name in ex_budget and s.name in sc_budget and s.name in pf_floor:
             continue
         plan = s.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if s.name not in ex_budget:
@@ -53,13 +58,23 @@ def main() -> int:
             c = _scan_cols(plan)
             sc_added[s.name] = c
             print(f"ADD scan-cols {s.name}: {c}", flush=True)
+        if s.name not in pf_floor:
+            p = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+            pf_added[s.name] = p
+            print(f"ADD pushdown-floor {s.name}: {p}", flush=True)
     if ex_added:
         ex_budget.update(ex_added)
         _write(ex_path, ex_budget)
     if sc_added:
         sc_budget.update(sc_added)
         _write(sc_path, sc_budget)
-    print(f"baselined {len(ex_added)} exchange + {len(sc_added)} scan budgets")
+    if pf_added:
+        pf_floor.update(pf_added)
+        _write(pf_path, pf_floor)
+    print(
+        f"baselined {len(ex_added)} exchange + {len(sc_added)} scan "
+        f"+ {len(pf_added)} pushdown entries"
+    )
     spark.stop()
     return 0
 

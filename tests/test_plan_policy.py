@@ -207,6 +207,35 @@ def test_scan_column_counts_within_budget(plans):
     assert not over, over
 
 
+def test_pushed_filter_scan_counts_meet_floor(plans):
+    """Predicate-pushdown FLOOR (round 10, complement of the scan
+    ratchet): at 100 TB a scan that stops pushing its predicates reads
+    the whole table correctly — invisible to every value gate.  For
+    each batch query, the number of FileScans carrying a NON-EMPTY
+    PushedFilters list must not drop below the committed snapshot
+    (tests/pushdown_floor.json — 97 of 233 queries push on at least
+    one scan; the count is truncation-safe, testing only `[` followed
+    by a non-`]`, because plan strings elide long filter lists
+    mid-bracket).  A floor, not exact: pushing MORE passes silently; a
+    plan change that loses pushdown fails and forces a conscious
+    re-baseline (legitimate when a filter constant-folds away)."""
+    import json
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "pushdown_floor.json")
+    with open(path) as f:
+        floor = json.load(f)
+    under = []
+    for name, plan in plans.items():
+        if name not in floor:
+            continue  # new query: baseline when convenient
+        n = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+        if n < floor[name]:
+            under.append((name, n, floor[name]))
+    assert not under, under
+
+
 def test_checkpoint_whitelist_is_tight(plans):
     """The whitelist must not grow stale: every whitelisted query
     actually exhibits the RDD scan (drop it from the list when it no
