@@ -147,20 +147,23 @@ _SWEEP_WINDOW = 50
 #: r9 asked to re-record).  A flag is live while the query's newest
 #: green round is <= its rewrite round and takes the FRONT of the
 #: bounded carve-out; the first newer green record expires it
-#: automatically, so stale entries are inert (prune when convenient).
+#: automatically, so stale entries are inert.  The ``<=`` is
+#: deliberately conservative — within-round ordering of rewrite vs
+#: driver sweep is unknowable to this code — so a green recorded in
+#: the SAME round as the rewrite does NOT auto-expire the flag, and a
+#: same-round-verified flag would hold the front of the carve-out an
+#: extra round (ADVICE r10).  Convention: when the builder KNOWS the
+#: same-round green postdates the rewrite commit (commit order is in
+#: git), prune the entry in the next round's first commit.
 _REVERIFY_FIRST: dict[str, int] = {
-    # round-9 PPJoin / pinned-shingle rewrites (VERDICT r9 ask #1);
-    # dedup_clusters and dedup_minhash_lsh are already in-window via
-    # the r3 cohort — flagged for completeness, promotion is a no-op.
-    "dedup_clusters": 9,
-    "dedup_cluster_keep": 9,
-    "dedup_minhash_lsh": 9,
-    "dedup_recall_eval": 9,
-    "graph_triangle_count": 9,
-    # round-10 sparse-fixture catch: zero-variance guard rewritten on
-    # both sides (exact min==max predicate; oracle previously hit 0/0
-    # on a single-event user) — old green records predate the fix.
-    "grouped_map_zscore": 10,
+    # Empty at round-11 open.  History: the five r9 PPJoin/pinned-
+    # shingle flags (dedup_clusters, dedup_cluster_keep,
+    # dedup_minhash_lsh, dedup_recall_eval, graph_triangle_count)
+    # expired automatically via their r10 greens; the r10
+    # grouped_map_zscore flag is pruned per the convention above —
+    # its r10 driver green was recorded after commit b43b248 landed
+    # the two-sided zero-variance fix, so the record describes
+    # current code.
 }
 
 

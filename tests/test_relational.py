@@ -4,6 +4,8 @@ scale-critical physical properties."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from map_reduce_multi_threaded_spark.operators import relational
@@ -515,10 +517,16 @@ def test_sequence_pairs_salted_recipe_is_lossless(spark, sf_oracle_dir):
     assert base  # uncapped histories produce evidence at this fixture
     for salts in (2, 8):
         salted_df = relational._sequence_pairs_salted(cp, salts=salts)
-        # the join must be keyed on (cust, salt): the salt column
-        # appears in the join's hash keys, splitting heavy customers
+        # the join must be KEYED on (cust, salt) — `"salt" in plan` is
+        # vacuous (the salt projection alone puts the token in the
+        # plan text; ADVICE r10).  Assert salt rides next to cust in
+        # the shuffle partitioning AND in the join's own key list, so
+        # a heavy customer's rows actually land in `salts` partitions.
         plan = _plan(salted_df)
-        assert "salt" in plan
+        assert re.search(r"hashpartitioning\(cust#\d+L?, salt#\d+", plan), plan
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin) \[cust#\d+L?, salt#\d+", plan
+        ), plan
         salted = {
             (r["cust"], r["x_part"], r["y_part"]): r["min_gap"]
             for r in salted_df.collect()
