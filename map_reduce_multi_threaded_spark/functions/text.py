@@ -24,9 +24,34 @@ def strip_punct(col: Column | str) -> Column:
     return F.regexp_replace(col, PUNCT_RE, "")
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """Byte-exact ASCII-only lowercase via ``translate`` — the
+    reference's actual semantics (``std::tolower`` per char in the C
+    locale, ``map_reduce.cpp:167``) and the only casefold that is
+    engine-portable.  Full-Unicode ``lower()`` is NOT: the round-11
+    adversarial-text sweep showed the JVM applies full Unicode casing
+    (final sigma ``ΟΔΟΣ``→``οδος``, ``İ``→``i``+U+0307) while DuckDB's
+    utf8proc applies simple 1:1 mappings (``οδοσ``, ``i``) — so any
+    cross-engine-compared value derived from ``lower(text)`` silently
+    diverges on non-ASCII input.  ``translate`` maps the 26 ASCII
+    letters identically on both engines and passes every other code
+    point through untouched."""
+    return F.translate(F.col(col) if isinstance(col, str) else col,
+                       _ASCII_UPPER, _ASCII_LOWER)
+
+
+def duck_ascii_lower(expr: str) -> str:
+    """DuckDB SQL mirror of :func:`ascii_lower`."""
+    return f"translate({expr}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 def to_lower(col: Column | str) -> Column:
     """ASCII lowercase (``std::tolower`` per char, ``map_reduce.cpp:167``)."""
-    return F.lower(col)
+    return ascii_lower(col)
 
 
 def normalize_token(col: Column | str) -> Column:

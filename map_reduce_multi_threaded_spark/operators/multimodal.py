@@ -12,8 +12,11 @@ unsupported-format ``ValueError`` here.  The deterministic fake decode
 (:func:`decode_metadata`) remains as the plumbing-shape query whose
 outputs are pure functions of payload length.
 
-The payload fixture is ``documents.text`` UTF-8-encoded to binary (the
-corpus is ASCII, so byte values equal character codes on both engines).
+The payload fixture is ``documents.text`` UTF-8-encoded to binary.
+Oracles read payload bytes portably from ``hex(encode(text))`` (two hex
+chars per byte), so parity holds on ANY corpus — the round-11
+adversarial-Unicode sweep showed ``ascii()``-based oracles are code-
+point-, not byte-, indexed and break on multi-byte UTF-8.
 
 Scale notes:
 * binary payloads flow through Arrow batches (``mapInPandas``), sized
@@ -136,13 +139,19 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(sample, _FRAME_SCHEMA)
 
 
-# corpus is ASCII: byte k == ascii(char k), so SQL can mirror the bytes
+# Byte-true oracle (round 11): ``ascii()`` returns CODE POINTS, so the
+# old ascii(substr(text, i, 1)) spelling was only valid on pure-ASCII
+# corpora.  Byte k of the UTF-8 payload is read portably from the hex
+# dump — two hex chars per byte — which matches Spark's binary payload
+# on ANY corpus (adversarial-Unicode sweep, docs/altfixture_r11.md).
 _FRAME_SAMPLE_ORACLE = f"""
+WITH s AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n FROM documents)
 SELECT doc_id,
-       len(list_transform(generate_series(1, length(text), {FRAME_STRIDE}), i -> i)) AS n_frames,
-       CAST(list_sum(list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
-                               i -> ascii(substr(text, i, 1)))) % 256 AS BIGINT) AS frame_checksum
-FROM documents
+       CAST(len(generate_series(1, n, {FRAME_STRIDE})) AS BIGINT) AS n_frames,
+       CAST(coalesce(list_sum(list_transform(generate_series(1, n, {FRAME_STRIDE}),
+                               i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)), 0) % 256 AS BIGINT) AS frame_checksum
+FROM s
 """
 
 
@@ -162,7 +171,7 @@ _BINARY_STATS_ORACLE = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS payload_md5,
-       upper(hex(substr(text, 1, 4))) AS magic_hex
+       substr(hex(encode(text)), 1, 8) AS magic_hex
 FROM documents
 """
 
@@ -232,17 +241,21 @@ def embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embed_knn_oracle() -> str:
     fexprs = ",\n       ".join(
-        f"list_sum(list_transform(generate_series({k + 1}, length(text), {EMBED_DIM}), "
-        f"i -> ascii(substr(text, i, 1)))) AS f{k}"
+        f"list_sum(list_transform(generate_series({k + 1}, n, {EMBED_DIM}), "
+        f"i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)) AS f{k}"
         for k in range(EMBED_DIM)
     )
     sq = " + ".join(f"CAST(f{k} * f{k} AS DOUBLE)" for k in range(EMBED_DIM))
     dot = " + ".join(f"CAST(q.f{k} * c.f{k} AS DOUBLE)" for k in range(EMBED_DIM))
     return f"""
-WITH f AS (
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
   SELECT doc_id,
        {fexprs}
-  FROM documents WHERE length(text) >= {EMBED_DIM}
+  FROM b WHERE n >= {EMBED_DIM}
 ),
 n AS (SELECT *, sqrt({sq}) AS nrm FROM f),
 pairs AS (
@@ -304,8 +317,7 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dependency-free RIFF parser and emit exact PCM stats.  The
     decode stage sees ONLY bytes — the parser is the operator under
     test; the encode stage is fixture synthesis whose decoded stats a
-    SQL oracle mirrors from the source text (ASCII corpus: byte k ==
-    ascii(char k)).  Generalizes S4's bytes→records scan
+    SQL oracle mirrors byte-true from hex(encode(text)).  Generalizes S4's bytes→records scan
     (``map_reduce.cpp:152-159``) to a binary container.
 
     Scale: two chained narrow Arrow maps, zero shuffles; payload
@@ -346,11 +358,13 @@ def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WAV_DECODE_ORACLE = """
-WITH s AS (
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n FROM documents),
+s AS (
   SELECT doc_id,
-         list_transform(generate_series(1, length(text)),
-                        i -> ascii(substr(text, i, 1))) AS v
-  FROM documents
+         list_transform(generate_series(1, n),
+                        i -> ('0x' || substr(hx, 2*i - 1, 2))::INT) AS v
+  FROM h
 )
 SELECT doc_id,
        CAST(8000 AS BIGINT) AS sample_rate,
@@ -419,11 +433,13 @@ def wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WAV_DOWNSAMPLE_ORACLE = f"""
-WITH s AS (
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n FROM documents),
+s AS (
   SELECT doc_id,
-         list_transform(generate_series(1, length(text), {WAV_DECIMATE}),
-                        i -> ascii(substr(text, i, 1))) AS v
-  FROM documents
+         list_transform(generate_series(1, n, {WAV_DECIMATE}),
+                        i -> ('0x' || substr(hx, 2*i - 1, 2))::INT) AS v
+  FROM h
 )
 SELECT doc_id,
        CAST({8000 // WAV_DECIMATE} AS BIGINT) AS out_rate,
@@ -468,7 +484,8 @@ def ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PPM_DECODE_ORACLE = """
 WITH s AS (
-  SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         hex(encode(text)) AS hx FROM documents
 )
 SELECT doc_id,
        CAST(8 AS BIGINT) AS width,
@@ -476,11 +493,11 @@ SELECT doc_id,
        CAST(255 AS BIGINT) AS maxval,
        CAST(8 * ((n + 23) // 24) AS BIGINT) AS n_pixels,
        CAST(coalesce(list_sum(list_transform(generate_series(1, n, 3),
-            i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS sum_r,
+            i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)), 0) AS BIGINT) AS sum_r,
        CAST(coalesce(list_sum(list_transform(generate_series(2, n, 3),
-            i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS sum_g,
+            i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)), 0) AS BIGINT) AS sum_g,
        CAST(coalesce(list_sum(list_transform(generate_series(3, n, 3),
-            i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS sum_b
+            i -> ('0x' || substr(hx, 2*i - 1, 2))::INT)), 0) AS BIGINT) AS sum_b
 FROM s
 """
 
@@ -552,7 +569,7 @@ def image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMAGE_TILES_ORACLE = f"""
 WITH s AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
 ),
 dims AS (SELECT doc_id, n, (n + 23) // 24 AS h FROM s),
 grid AS (
@@ -565,7 +582,7 @@ bytes AS (
   SELECT doc_id,
          ((i - 1) // 3 // 8) // {TILE_PX} AS tile_y,
          (((i - 1) // 3) % 8) // {TILE_PX} AS tile_x,
-         ascii(substr(text, i, 1)) AS v
+         ('0x' || substr(hx, 2*i - 1, 2))::INT AS v
   FROM s, unnest(generate_series(1, n)) AS u(i)
 ),
 sums AS (
@@ -642,12 +659,12 @@ def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCENE_CUTS_ORACLE = f"""
 WITH s AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
 ),
 d AS (
   SELECT doc_id, (i - 1) // {SCENE_FRAME_BYTES} AS f,
-         abs(ascii(substr(text, i, 1))
-             - ascii(substr(text, i + {SCENE_FRAME_BYTES}, 1))) AS dv
+         abs(('0x' || substr(hx, 2*i - 1, 2))::INT
+             - ('0x' || substr(hx, 2*(i + {SCENE_FRAME_BYTES}) - 1, 2))::INT) AS dv
   FROM s, unnest(generate_series(1, (n // {SCENE_FRAME_BYTES} - 1)
                                     * {SCENE_FRAME_BYTES})) AS u(i)
   WHERE n // {SCENE_FRAME_BYTES} >= 2
@@ -705,6 +722,17 @@ def image_hist_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _w, _h, _mx, raster = parse_ppm_raster(encode_ppm(payload))
                 px = np.frombuffer(raster, dtype=np.uint8)
                 n = int(px.size)
+                if n == 0:
+                    # empty payload → 0-row raster (round-11 catch: an
+                    # empty document is legal input; px.min() below
+                    # would raise on an empty array)
+                    out["doc_id"].append(doc)
+                    out["n_px"].append(0)
+                    out["sum_before"].append(0)
+                    out["sum_after"].append(0)
+                    out["n_levels_before"].append(0)
+                    out["n_levels_after"].append(0)
+                    continue
                 hist = np.bincount(px, minlength=256).astype(np.int64)
                 cdf = hist.cumsum()
                 cdf_min = int(cdf[int(px.min())])
@@ -730,11 +758,11 @@ def image_hist_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HIST_EQ_ORACLE = """
 WITH s AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
 ),
 dims AS (SELECT doc_id, n, ((n + 23) // 24) * 24 AS n_pad FROM s),
 bytes AS (
-  SELECT doc_id, ascii(substr(text, i, 1)) AS v
+  SELECT doc_id, ('0x' || substr(hx, 2*i - 1, 2))::INT AS v
   FROM s, unnest(generate_series(1, n)) AS u(i)
   UNION ALL
   SELECT doc_id, 0 AS v
@@ -757,14 +785,23 @@ mapped AS (
   SELECT doc_id, v, c, n_px,
          ((cum - cdf_min) * 255) // greatest(1, n_px - cdf_min) AS nv
   FROM m
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(n_px) AS BIGINT) AS n_px,
+         CAST(sum(v * c) AS BIGINT) AS sum_before,
+         CAST(sum(nv * c) AS BIGINT) AS sum_after,
+         CAST(count(*) AS BIGINT) AS n_levels_before,
+         CAST(count(DISTINCT nv) AS BIGINT) AS n_levels_after
+  FROM mapped GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(max(n_px) AS BIGINT) AS n_px,
-       CAST(sum(v * c) AS BIGINT) AS sum_before,
-       CAST(sum(nv * c) AS BIGINT) AS sum_after,
-       CAST(count(*) AS BIGINT) AS n_levels_before,
-       CAST(count(DISTINCT nv) AS BIGINT) AS n_levels_after
-FROM mapped GROUP BY doc_id
+SELECT d.doc_id,
+       coalesce(a.n_px, 0) AS n_px,
+       coalesce(a.sum_before, 0) AS sum_before,
+       coalesce(a.sum_after, 0) AS sum_after,
+       coalesce(a.n_levels_before, 0) AS n_levels_before,
+       coalesce(a.n_levels_after, 0) AS n_levels_after
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 

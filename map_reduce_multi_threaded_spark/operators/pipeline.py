@@ -19,6 +19,8 @@ terms — both single-scan shapes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ..functions.text import ascii_lower
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import QuerySpec
@@ -47,7 +49,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) >= 5) & (F.col("lang").isin(*KEEP_LANGS))
     )
     deduped = (
-        quality.withColumn("h", F.sha2(F.lower(F.trim("text")), 256))
+        quality.withColumn("h", F.sha2(ascii_lower(F.trim("text")), 256))
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
@@ -76,7 +78,7 @@ quality AS (
 ),
 deduped AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS rn
+    SELECT *, row_number() OVER (PARTITION BY sha256(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) ORDER BY doc_id) AS rn
     FROM quality
   ) WHERE rn = 1
 )
@@ -217,9 +219,12 @@ def rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             scores = []
             for text in pdf["text"]:
-                # same tokenization as the retrieval stage: whitespace
-                # split, empties dropped, no case folding
-                lst = [w for w in re.split(r"\s+", text) if w]
+                # same tokenization as the retrieval stage: ASCII
+                # whitespace split (re.ASCII — Python \s is otherwise
+                # Unicode-aware and splits NBSP/U+3000 that the JVM and
+                # RE2 \s do not; round-11 catch), empties dropped, no
+                # case folding
+                lst = [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
                 s = 0
                 for t in terms:
                     occ = sum(1 for w in lst if w == t)
@@ -1303,10 +1308,10 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = redup.unionByName(edited)
     corpus_hashes = d.select(
-        F.sha2(F.lower(F.trim("text")), 256).alias("content_hash")
+        F.sha2(ascii_lower(F.trim("text")), 256).alias("content_hash")
     ).distinct()
     novel = (
-        batch.withColumn("content_hash", F.sha2(F.lower(F.trim("text")), 256))
+        batch.withColumn("content_hash", F.sha2(ascii_lower(F.trim("text")), 256))
         .join(corpus_hashes, "content_hash", "left_anti")
         .select("doc_id", "text")
     )
@@ -1394,11 +1399,11 @@ batch AS (
   SELECT doc_id + 2 * ib.idbase, text || ' revised'
   FROM documents, ib WHERE doc_id % 5 = 0
 ),
-corpus AS (SELECT DISTINCT sha256(lower(trim(text))) AS h FROM documents),
+corpus AS (SELECT DISTINCT sha256(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h FROM documents),
 novel AS (
   SELECT b.doc_id, b.text FROM batch b
   WHERE NOT EXISTS (
-    SELECT 1 FROM corpus c WHERE c.h = sha256(lower(trim(b.text))))
+    SELECT 1 FROM corpus c WHERE c.h = sha256(translate(trim(b.text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))
 ),
 release AS (
   SELECT doc_id, text FROM documents
@@ -1665,7 +1670,7 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     tagged = corpus.select(
-        F.sha2(F.lower(F.trim("text")), 256).alias("content_hash"),
+        F.sha2(ascii_lower(F.trim("text")), 256).alias("content_hash"),
         split.alias("split"),
     )
     return (
@@ -1696,7 +1701,7 @@ corpus AS (
   SELECT doc_id + ib.idbase, text FROM documents, ib WHERE doc_id % 3 = 0
 ),
 tagged AS (
-  SELECT sha256(lower(trim(text))) AS content_hash,
+  SELECT sha256(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS content_hash,
          CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
               WHEN {bucket} < {SPLIT_VAL_PCT} THEN 'val'
               ELSE 'test' END AS split
@@ -1815,10 +1820,15 @@ r AS (
          count(*) OVER (PARTITION BY source) AS n
   FROM scored
 )
+-- IS NOT DISTINCT FROM, not USING: the Spark side is ONE groupBy, and
+-- a NULL source is a legitimate GROUP there (round-11 all-NULL audit);
+-- an equi-join on source would silently drop the NULL group's pair.
 SELECT b.source, b.doc_id AS chosen_id, b.score AS chosen_score,
        w.doc_id AS rejected_id, w.score AS rejected_score,
        b.score - w.score AS margin
-FROM (SELECT * FROM r WHERE rb = 1) b JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
+FROM (SELECT * FROM r WHERE rb = 1) b
+JOIN (SELECT * FROM r WHERE rw = 1) w
+  ON b.source IS NOT DISTINCT FROM w.source
 WHERE b.n >= 2 AND b.doc_id != w.doc_id
 """
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.text import duck_md5_long
+from ..functions.text import ascii_lower, duck_md5_long
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -276,7 +276,7 @@ SELECT l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
        CASE WHEN count(*) > 1 THEN
          sqrt(greatest(0.0,
-              (CAST(sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+              (CAST(sum(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)
                - CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
                  * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*))
               / (count(*) - 1)))
@@ -302,12 +302,19 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HAVING count(*) > 0 encodes the ENGINE's (Spark's) rollup semantics:
+# on EMPTY input Spark's Expand+HashAggregate emits no groups at all,
+# while the SQL standard (DuckDB/Postgres) emits the () grand-total row
+# with count 0 (round-11 empty-table audit).  On non-empty input every
+# grouping-set row aggregates >= 1 source rows, so the clause is
+# vacuous there — it only pins the empty-input contract.
 _AGG_ROLLUP_ORACLE = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        {osum('l_quantity', 'sum_qty')},
        count(*) AS n_rows
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 
@@ -329,6 +336,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_rows
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """
 
 
@@ -2727,19 +2735,28 @@ def _stage_parted_events(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.tables import stage_scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
+    staged = ev.withColumn("tu", F.expr("unix_micros(ts)")).drop("ts")
     base = stage_scratch_dir(sf_dir, "parted", "events")
     marker = os.path.join(base, "_WRITTEN")
     if not os.path.exists(marker):
         (
-            ev.withColumn("tu", F.expr("unix_micros(ts)"))
-            .drop("ts")
-            .write.mode("overwrite")
+            staged.write.mode("overwrite")
             .partitionBy("event_type")
             .parquet(f"{base}/events")
         )
         with open(marker, "w") as f:
             f.write("ok")
-    return f"{base}/events"
+    # the reader gets the EXPLICIT schema: a 0-row events table writes
+    # no data files at all (only _SUCCESS), and schema inference on an
+    # empty partitioned dir throws UNABLE_TO_INFER_SCHEMA (round-11
+    # empty-table audit).  A production pipeline re-reading its own
+    # output carries the schema for the same reason.
+    return f"{base}/events", staged.schema
+
+
+def _read_parted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path, schema = _stage_parted_events(spark, sf_dir)
+    return spark.read.schema(schema).parquet(path)
 
 
 def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2757,7 +2774,7 @@ def source_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     all for the dropped partitions."""
     keep = ", ".join(f"'{t}'" for t in PRUNE_KEEP_TYPES)
     return (
-        spark.read.parquet(_stage_parted_events(spark, sf_dir))
+        _read_parted_events(spark, sf_dir)
         .where(F.expr(f"event_type IN ({keep})"))
         .groupBy("event_type")
         .agg(
@@ -3052,34 +3069,36 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = stage_scratch_dir(sf_dir, "zorder2", "events")
     marker = os.path.join(base, "_WRITTEN")
-    if not os.path.exists(marker):
-        u = ev.agg((F.max("user_id") + 1).alias("u_n"))
-        zed = (
-            ev.crossJoin(F.broadcast(u))
-            .withColumn(
-                "rel_day",
-                F.greatest(
-                    F.lit(0),
-                    F.least(
-                        F.lit(255), (F.col("day") - Z_DAY_BASE) * Z_DAY_SCALE
-                    ),
+    u = ev.agg((F.max("user_id") + 1).alias("u_n"))
+    zed = (
+        ev.crossJoin(F.broadcast(u))
+        .withColumn(
+            "rel_day",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255), (F.col("day") - Z_DAY_BASE) * Z_DAY_SCALE
                 ),
-            )
-            .withColumn("ub", F.expr("(user_id * 256) div u_n"))
-            .withColumn("zval", _zval_expr())
-            .withColumn("zbucket", F.expr(f"zval div {65536 // Z_FILES}"))
+            ),
         )
+        .withColumn("ub", F.expr("(user_id * 256) div u_n"))
+        .withColumn("zval", _zval_expr())
+        .withColumn("zbucket", F.expr(f"zval div {65536 // Z_FILES}"))
+        .drop("rel_day", "ub", "u_n")
+    )
+    if not os.path.exists(marker):
         (
             zed.repartition(Z_FILES, "zbucket")
             .sortWithinPartitions("zbucket", "zval")
-            .drop("rel_day", "ub", "u_n")
             .write.mode("overwrite")
             .partitionBy("zbucket")
             .parquet(f"{base}/events")
         )
         with open(marker, "w") as f:
             f.write("ok")
-    z = spark.read.parquet(f"{base}/events")
+    # explicit schema: a 0-row events table writes no data files, and
+    # inference on the empty dir throws (round-11 empty-table audit)
+    z = spark.read.schema(zed.schema).parquet(f"{base}/events")
     u_n = z.agg((F.max("user_id") + 1).alias("u_n"))
     return (
         z.crossJoin(F.broadcast(u_n))
@@ -3401,13 +3420,22 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(ts) div 86400000000)").alias("day"),
         F.col("value").cast(DECM).alias("v"),
     )
-    daily = ev.groupBy("event_type", "day").agg(F.sum("v").alias("y"))
+    # y pinned to DECIMAL(26,2) and day to DECIMAL(10,0) before the
+    # product, so day*y is (37,2)/(36,2) EXACT decimal on both engines.
+    # Unpinned, DuckDB's BIGINT x DECIMAL(38,2) product exceeds width
+    # 38 and silently falls back to DOUBLE window sums — invisible at
+    # driver magnitudes, wrong in the 6th decimal at the int64-edge
+    # money axis (round-11 sweep, docs/altfixture_r11.md).
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("v").cast("decimal(26,2)").alias("y")
+    )
+    day_d = F.col("day").cast("decimal(10,0)")
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
     m = (
         daily.withColumn("n", F.count(F.lit(1)).over(w))
         .withColumn("sx", F.sum("day").over(w))
         .withColumn("sy", F.sum("y").over(w))
-        .withColumn("sxy", F.sum(F.col("day") * F.col("y")).over(w))
+        .withColumn("sxy", F.sum(day_d * F.col("y")).over(w))
         .withColumn("sxx", F.sum(F.col("day") * F.col("day")).over(w))
     )
     num = F.col("n") * F.col("sxy").cast("double") - F.col("sx") * F.col(
@@ -3427,7 +3455,7 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_REG_ORACLE = """
 WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         sum(CAST(value AS DECIMAL(14,2))) AS y
+         CAST(sum(CAST(value AS DECIMAL(14,2))) AS DECIMAL(26,2)) AS y
   FROM events GROUP BY 1, 2
 ),
 m AS (
@@ -3435,16 +3463,24 @@ m AS (
          count(*) OVER w AS n,
          sum(day) OVER w AS sx,
          sum(y) OVER w AS sy,
-         sum(day * y) OVER w AS sxy,
+         sum(CAST(day AS DECIMAL(10,0)) * y) OVER w AS sxy,
          sum(day * day) OVER w AS sxx
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
+-- sxy/sy go DECIMAL -> VARCHAR -> DOUBLE: DuckDB's direct decimal ->
+-- double cast is DOUBLE-ROUNDED (int128 -> double, then / 10^scale),
+-- 1 ulp off the correctly-rounded value once the unscaled decimal
+-- exceeds 2^53; Spark's BigDecimal.doubleValue() is correctly rounded
+-- and the slope's cancellation amplifies that ulp into the 9th digit
+-- (round-11 int64-edge sweep).  The string parse is correctly rounded
+-- on both engines.
 SELECT event_type, day,
        CAST(y AS DOUBLE) AS daily_revenue,
        CASE WHEN n = 7
-            THEN round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+            THEN round((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                        - sx * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
                        / CAST(n * sxx - sx * sx AS DOUBLE), 6)
        END AS trailing_slope
 FROM m
@@ -3892,7 +3928,7 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UNPARTITIONED original so the oracle can reproduce it as
     plain SQL.  Plan-tested: `dynamicpruning` present in the fact
     scan's partition filters."""
-    parted = spark.read.parquet(_stage_parted_events(spark, sf_dir))
+    parted = _read_parted_events(spark, sf_dir)
     dim = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -4612,7 +4648,7 @@ WITH stats AS (
   SELECT event_id, event_type, value,
          count(*) OVER w AS n,
          CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
-         CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+         CAST(sum(CAST(value AS DECIMAL(28,4)) * CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s2
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
@@ -4940,11 +4976,18 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged = F.lag("cents", i).over(w)
         num = num + F.coalesce(lagged, F.lit(0)) * F.lit(weight)
         den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    # den == 0 iff every contributing value (incl. the row's own) is
+    # NULL — an all-NULL value column is legal input (round-11 all-NULL
+    # audit); unguarded, the division is an ANSI DIVIDE_BY_ZERO error
+    # on Spark and a silent NULL on DuckDB.  EWMA of no observations
+    # is NULL, guarded identically on both engines.
     return (
         ev.select(
             "event_id",
             "event_type",
-            (num.cast("double") / (den * 100).cast("double")).alias("ewma"),
+            F.when(
+                den > 0, num.cast("double") / (den * 100).cast("double")
+            ).alias("ewma"),
         )
     )
 
@@ -4966,7 +5009,9 @@ WITH ev AS (
   FROM events
 )
 SELECT event_id, event_type,
-       CAST({num_terms} AS DOUBLE) / CAST(({den_terms}) * 100 AS DOUBLE) AS ewma
+       CASE WHEN ({den_terms}) > 0
+            THEN CAST({num_terms} AS DOUBLE) / CAST(({den_terms}) * 100 AS DOUBLE)
+       END AS ewma
 FROM ev
 WINDOW w AS (PARTITION BY event_type ORDER BY tu, event_id)
 """
@@ -6144,9 +6189,9 @@ WITH m AS (
   SELECT l_returnflag, count(*) AS n,
          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
-         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
-         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+         sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * CAST(l_extendedprice AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS sxy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * CAST(l_quantity AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * CAST(l_extendedprice AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -6373,9 +6418,9 @@ WITH m AS (
   SELECT l_returnflag, count(*) AS n,
          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
-         sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
-         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+         sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * CAST(l_extendedprice AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS sxy,
+         sum(CAST(CAST(l_quantity AS DECIMAL(28,2)) * CAST(l_quantity AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS sxx,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * CAST(l_extendedprice AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS syy
   FROM lineitem GROUP BY l_returnflag
 ),
 d AS (
@@ -6671,7 +6716,7 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what ``est_exact`` would then surface as false."""
     toks = (
         load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .select(F.explode(F.split(ascii_lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
     )
     cand = (
@@ -6698,7 +6743,7 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _APPROX_TOPK_ORACLE = f"""
 SELECT w AS word, count(*) AS exact_count, TRUE AS est_exact
-FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+FROM (SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS w
       FROM documents) t
 WHERE w <> ''
 GROUP BY w
@@ -6744,7 +6789,7 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = (
         load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .select(F.explode(F.split(ascii_lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
     )
     votes = F.explode(
@@ -6816,7 +6861,7 @@ def _countmin_oracle() -> str:
     )
     return f"""
 WITH tf AS (
-  SELECT w FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+  SELECT w FROM (SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS w
                  FROM documents) t
   WHERE w <> ''
 ),

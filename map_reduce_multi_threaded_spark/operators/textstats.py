@@ -13,6 +13,8 @@ one keyed aggregate — the 100 TB cost is one scan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ..functions.text import ascii_lower
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import QuerySpec
@@ -96,7 +98,13 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     n_stop = F.expr(f"size(filter(t, x -> x in ({inlist})))")
     avg_tok = sum_tok_len / n_tokens
-    punct_ratio = n_punct / n_chars
+    # n_chars can be 0 (round-11 catch: an EMPTY document is legal
+    # input; Spark ANSI hard-errors on 0/0 while DuckDB NULLs it).
+    # Define punct_ratio of empty text as 0.0 — identical exact
+    # predicate on both engines, and it keeps the column non-NULL so
+    # downstream ordering/filters never hit engine NULL-order skew.
+    # n_tokens is never 0: split('', '\s+') is [''] on both engines.
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = n_stop / n_tokens
     keep = (
         (n_tokens >= 5)
@@ -122,11 +130,11 @@ SELECT doc_id,
        length(text) AS n_chars,
        len(t) AS n_tokens,
        list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) AS avg_token_len,
-       (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+       CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
        len(list_filter(t, x -> x IN ({_sql_list(EN_STOPWORDS)}))) * 1.0 / len(t) AS stopword_ratio,
        (len(t) >= 5 AND len(t) <= 100000
         AND list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t) BETWEEN 2 AND 20
-        AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) <= 0.2)
+        AND CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / length(text) ELSE 0.0 END <= 0.2)
          AS keep
 FROM toks
 """
@@ -301,10 +309,13 @@ def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed language distribution you would pre-aggregate an approximate
     per-lang threshold instead (see agg_approx_quantile)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    punct_ratio = (
+    # empty-text guard mirrors text_quality: ratio := 0.0 when length
+    # is 0 (ANSI 0/0 on Spark, NULL-order skew in the window otherwise)
+    punct_ratio = F.when(
+        F.length("text") > 0,
         (F.length("text") - F.length(F.regexp_replace("text", r"\p{Punct}", "")))
-        / F.length("text")
-    )
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
     w = Window.partitionBy("lang").orderBy("punct_ratio", "doc_id")
     return (
         d.withColumn("punct_ratio", punct_ratio)
@@ -317,8 +328,9 @@ def text_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILE_FILTER_ORACLE = """
 WITH scored AS (
   SELECT doc_id, lang,
-         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
-           / length(text) AS punct_ratio
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0
+           / length(text) ELSE 0.0 END AS punct_ratio
   FROM documents
 ),
 ranked AS (
@@ -995,7 +1007,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     on bounded keys."""
     toks = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .select("doc_id", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
     )
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -1020,7 +1032,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RARITY_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+    SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS w
     FROM documents
   ) WHERE w <> ''
 ),
@@ -1062,7 +1074,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     two count tables; scoring is pure joins."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.expr(r"filter(split(lower(text), '\\s+'), x -> length(x) > 0)").alias("t"),
+        F.expr(r"filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> length(x) > 0)").alias("t"),
     )
     bi = (
         d.where(F.size("t") >= 2)
@@ -1114,7 +1126,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_PERPLEXITY_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'),
+         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
                      x -> length(x) > 0) AS t
   FROM documents
 ),

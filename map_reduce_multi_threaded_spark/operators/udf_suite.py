@@ -155,9 +155,12 @@ def udtf_top_terms_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=schema)
 
         def eval(self, text, n):  # noqa: D102
+            import re
             from collections import Counter
 
-            toks = [w for w in (text or "").split() if w]
+            # ASCII \s+ split — NOT str.split(): the engine-wide
+            # tokenization contract (see udf_arrow_scalar)
+            toks = [w for w in re.split(r"\s+", text or "", flags=re.ASCII) if w]
             top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))
             vals = [t for t, _ in top[:n]]
             yield tuple(vals + [None] * (n - len(vals)))
@@ -369,14 +372,20 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pickle serializer.  Plans as ArrowEvalPython, so it passes the
     registry-wide no-BatchEvalPython policy gate.
 
-    The function counts whitespace tokens (Python ``str.split`` drops
-    empties, mirrored by the oracle's filtered split) — deliberately
-    SQL-expressible so the Arrow path itself is oracle-gated."""
+    The function counts whitespace tokens — deliberately
+    SQL-expressible so the Arrow path itself is oracle-gated.
+    Tokenization is the engine-wide ASCII ``\\s+`` contract: plain
+    ``str.split()`` is UNICODE-whitespace-aware in Python (it splits
+    on NBSP/U+3000 that neither Java nor RE2 ``\\s`` matches — found
+    by the round-11 adversarial-text sweep), so the UDF splits with
+    ``re.ASCII`` to match the JVM/DuckDB semantics exactly."""
     from pyspark.sql.functions import udf
 
     @udf(returnType="int", useArrow=True)
     def n_tokens(text: str) -> int:
-        return len(text.split())
+        import re
+
+        return len([w for w in re.split(r"\s+", text, flags=re.ASCII) if w])
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_tokens("text").alias("n_tokens"))

@@ -106,8 +106,8 @@ def word_counts_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame
 
 
 _ORACLE_TOKENS = """
-    SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')),
-                                '[[:punct:]]', '', 'g')) AS word
+    SELECT translate(regexp_replace(unnest(string_split_regex(text, '\\s+')),
+                                '[[:punct:]]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS word
     FROM documents
 """
 

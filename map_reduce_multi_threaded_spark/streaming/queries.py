@@ -383,8 +383,9 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_WORDCOUNT_ORACLE = """
 SELECT word, count(*) AS cnt
 FROM (
-  SELECT lower(regexp_replace(unnest(string_split_regex(text, '\\s+')),
-                              '[[:punct:]]', '', 'g')) AS word
+  SELECT translate(regexp_replace(unnest(string_split_regex(text, '\\s+')),
+                              '[[:punct:]]', '', 'g'),
+                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS word
   FROM documents
 )
 WHERE length(word) > 0
@@ -840,7 +841,18 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="sg_cdc_ckpt_", dir=root)
     try:
         W.write_foreach_batch(ev, out, ckpt, transform=_cdc_batch_latest)
-        log = spark.read.parquet(out)
+        # explicit schema, derived by pushing an empty frame through the
+        # same per-batch transform: a 0-row events table yields 0-row
+        # micro-batches, dynamic partition overwrite then writes NO
+        # files, and schema inference on the empty log dir throws
+        # (round-11 empty-table audit).  The empty local frame is
+        # schema-derivation only — it never enters the executed plan.
+        log_schema = (
+            _cdc_batch_latest(spark.createDataFrame([], ev.schema))
+            .withColumn("batch_id", F.lit(0))
+            .schema
+        )
+        log = spark.read.schema(log_schema).parquet(out)
         return (
             log.groupBy("user_id")
             .agg(

@@ -143,9 +143,18 @@ def stage_events_multibatch(
     t = pq.read_table(f"{sf_dir}/events.parquet")
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
     n = t.num_rows
-    max_scalar = t.column("ts")[n - 1]
-    max_ts = max_scalar.value  # ticks since epoch in the column's unit
-    cutoff = max_scalar.as_py().strftime("%Y-%m-%d %H:%M:%S")
+    if n:
+        max_scalar = t.column("ts")[n - 1]
+        max_ts = max_scalar.value  # ticks since epoch in the column's unit
+        cutoff = max_scalar.as_py().strftime("%Y-%m-%d %H:%M:%S")
+    else:
+        # 0-row events (round-11 degenerate-input audit): replay only
+        # the sentinel files so the watermark machinery still runs, and
+        # pin the cutoff BEFORE any sentinel ('1970-01-01') so every
+        # sentinel-derived window is filtered out — the streamed answer
+        # is then empty, exactly the batch/oracle answer on no events.
+        max_ts = 1_700_000_000_000_000  # 2023-11-14, any pre-sentinel base
+        cutoff = "1970-01-01 00:00:00"
     # one day in the fixture's own timestamp unit (ns for the legacy
     # TIMESTAMP(NANOS) fixture, us for the current one)
     unit = t.schema.field("ts").type.unit
@@ -365,7 +374,7 @@ def write_foreach_batch(
     if PLAN_ONLY:
         import os
 
-        raise PlanOnly(os.path.basename(path), template_plan(df))
+        raise PlanOnly(os.path.basename(path), template_plan(df), df.schema)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -422,12 +431,14 @@ PLAN_ONLY = False
 
 
 class PlanOnly(Exception):
-    """Raised by streaming sinks under PLAN_ONLY; carries the plan."""
+    """Raised by streaming sinks under PLAN_ONLY; carries the plan and
+    the result schema (schema added r11 for the FP-order audit)."""
 
-    def __init__(self, name: str, plan: str):
+    def __init__(self, name: str, plan: str, schema=None):
         super().__init__(name)
         self.name = name
         self.plan = plan
+        self.schema = schema
 
 
 def template_plan(df: DataFrame) -> str:
@@ -456,7 +467,7 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> Da
     import tempfile
 
     if PLAN_ONLY:
-        raise PlanOnly(name, template_plan(df))
+        raise PlanOnly(name, template_plan(df), df.schema)
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))

@@ -73,20 +73,81 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 DAY_US = 86_400_000_000
 EPOCH_1995 = np.datetime64("1995-01-01", "us").astype("int64")
 
+#: Round-11 adversarial-text axis (VERDICT r11 ask #3a).  Every token is
+#: valid UTF-8 and space-free; the point is tokenization/casefold/length
+#: PARITY — Spark (Java regex/UTF8String) and DuckDB (RE2/utf8proc) see
+#: the same bytes and must produce the same answer.
+ADV_TOKENS = [
+    # >= 40-char tokens: the reference strcpy's into char[40] with no
+    # length check (map_reduce.cpp:169, SURVEY §1.2) — our engine must
+    # treat length as unbounded, not an input assumption.
+    "x" * 39, "y" * 40, "z" * 64, "longtoken" * 14,
+    # accents / mixed scripts (Latin-ext, Greek, Cyrillic, CJK, Hangul)
+    "café", "naïve", "élan", "über", "straße", "STRASSE", "Łódź",
+    "δεδομένα", "ΔΕΔΟΜΕΝΑ", "Σίσυφος", "ΟΔΟΣ",
+    "данные", "ДАННЫЕ", "Москва",
+    "数据", "数据处理系统", "日本語テキスト", "한국어",
+    # Turkish dotted/dotless i and capital sharp s (casefold probes)
+    "İstanbul", "ıspanak", "DİYARBAKIR", "ẞHARP",
+    # astral-plane code point (UTF-16 surrogate pair on the JVM)
+    "𝕏ray",
+    # Unicode punctuation — outside Java \p{Punct} and RE2 [[:punct:]]
+    # (both ASCII classes), so neither engine may strip it
+    "«quoted»", "“smart”", "—dash—", "…ellipsis…", "¡hola!", "¿qué?",
+    "。終わり", "【括弧】", "halb–geviert", "ID‑42",
+    # ASCII punctuation in unusual shapes
+    "a-b_c", "x.y.z", "semi;colon", "(paren)", "quote's",
+    "42", "3.14159", "0xDEADBEEF",
+]
 
-def _money(rng: np.random.RandomState, lo: float, hi: float, n: int) -> np.ndarray:
-    """Two-decimal doubles, the fixture's monetary representation."""
-    return np.round(rng.uniform(lo, hi, n), 2)
+#: Separator pool for adversarial text: mostly plain spaces, plus tab /
+#: newline / runs (all \s in Java AND RE2) and NBSP / ideographic space
+#: (NOT \s in either — they glue two tokens into one on BOTH engines;
+#: any engine disagreement on that is exactly the bug the axis hunts).
+ADV_SEPS = [" "] * 12 + ["\t", "\n", "  ", "\u00a0", "\u3000", " \t "]
+
+#: set by gen(): tables written with zero rows / columns forced all-NULL
+#: (round-11 degenerate-input audit, VERDICT r11 ask #4).
+_EMPTY_TABLES: set = set()
+_NULL_COLUMNS: set = set()
+
+
+def _money(rng: np.random.RandomState, lo: float, hi: float, n: int,
+           scale: float = 1.0) -> np.ndarray:
+    """Two-decimal doubles, the fixture's monetary representation.
+
+    ``scale`` is the round-11 int64-edge axis (VERDICT r11 ask #3b): at
+    1e6 the largest column (o_totalprice) reaches ~5e11 — still inside
+    the engine's documented DECIMAL(14,2) money envelope (12 integer
+    digits, relational.py:44) but 6 orders beyond any driver draw, so
+    cents-scaled int64 sums (~1e17) and decimal triple products
+    (~3e21 into DECIMAL(38,6)) are exercised near their headroom.
+    np.round(x, 2) at 1e11 magnitude is still exact-2-decimal: double
+    spacing there is ~2e-5, far below the 0.01 grid."""
+    return np.round(rng.uniform(lo * scale, hi * scale, n), 2)
 
 
 def _write(out: str, name: str, schema: pa.Schema, cols: dict) -> None:
     table = pa.Table.from_pydict(cols, schema=schema)
+    if name in _EMPTY_TABLES:
+        table = table.slice(0, 0)
+    for i, field in enumerate(table.schema):
+        if f"{name}.{field.name}" in _NULL_COLUMNS:
+            table = table.set_column(
+                i, field, pa.nulls(table.num_rows, field.type))
     pq.write_table(table, os.path.join(out, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows} rows")
+    print(f"  {name}: {table.num_rows} rows"
+          + (" (EMPTY axis)" if name in _EMPTY_TABLES else ""))
 
 
 def gen(out: str, seed: int, scale: float,
-        events_start: str = "2024-01-01") -> None:
+        events_start: str = "2024-01-01", money_scale: float = 1.0,
+        text_mode: str = "normal", empty_tables: tuple = (),
+        null_columns: tuple = ()) -> None:
+    global _EMPTY_TABLES, _NULL_COLUMNS
+    _EMPTY_TABLES = set(empty_tables)
+    _NULL_COLUMNS = set(null_columns)
+    ms = money_scale
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(seed)
     events_epoch = np.datetime64(events_start, "us").astype("int64")
@@ -111,7 +172,7 @@ def gen(out: str, seed: int, scale: float,
             "n_regionkey": rng.randint(0, 5, 25).astype(np.int32)})
 
     # --- customer: duplicated acctbals (ties) --------------------------------
-    acct = _money(rng, -900.0, 9999.0, n_cust)
+    acct = _money(rng, -900.0, 9999.0, n_cust, ms)
     acct[1] = acct[0]  # exact acctbal tie
     acct[3] = acct[2]
     _write(out, "customer",
@@ -130,7 +191,7 @@ def gen(out: str, seed: int, scale: float,
            {"s_suppkey": np.arange(n_supp, dtype=np.int64),
             "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
             "s_nationkey": rng.randint(0, 25, n_supp).astype(np.int32),
-            "s_acctbal": _money(rng, 500.0, 6100.0, n_supp)})
+            "s_acctbal": _money(rng, 500.0, 6100.0, n_supp, ms)})
 
     _write(out, "part",
            pa.schema([("p_partkey", pa.int64()), ("p_name", pa.string()),
@@ -143,7 +204,7 @@ def gen(out: str, seed: int, scale: float,
             "p_brand": [f"Brand#{i + 1}" for i in rng.randint(0, 25, n_part)],
             "p_type": [P_TYPES[i] for i in rng.randint(0, 6, n_part)],
             "p_size": rng.randint(1, 51, n_part).astype(np.int32),
-            "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_part), 2)})
+            "p_retailprice": np.round((900.0 + 0.1 * np.arange(n_part)) * ms, 2)})
 
     # --- orders: hot customer (~10%), no-order customers, totalprice ties ----
     no_order_custs = set(rng.choice(n_cust, 5, replace=False).tolist())
@@ -154,7 +215,7 @@ def gen(out: str, seed: int, scale: float,
         eligible[rng.randint(0, len(eligible), n_orders)]).astype(np.int64)
     odate_days = rng.randint(0, 2404, n_orders)  # 1995-01-01 .. 2001-08-01
     odates = EPOCH_1995 + odate_days * DAY_US
-    totalprice = _money(rng, 900.0, 500000.0, n_orders)
+    totalprice = _money(rng, 900.0, 500000.0, n_orders, ms)
     # tie cluster on the hot customer: same totalprice AND same day
     hot_rows = np.flatnonzero(custkeys == hot_cust)[:4]
     totalprice[hot_rows] = totalprice[hot_rows[0]]
@@ -180,7 +241,7 @@ def gen(out: str, seed: int, scale: float,
     hot_part = int(rng.randint(0, n_part))
     partkeys = np.where(rng.uniform(size=n_li) < 0.08, hot_part,
                         rng.randint(0, n_part, n_li)).astype(np.int64)
-    extprice = _money(rng, 900.0, 105000.0, n_li)
+    extprice = _money(rng, 900.0, 105000.0, n_li, ms)
     extprice[1::97] = extprice[0]  # scattered exact price ties
     shipdates = (np.repeat(odates, lines_per_order)
                  + rng.randint(0, 123, n_li) * DAY_US)
@@ -198,7 +259,7 @@ def gen(out: str, seed: int, scale: float,
             "l_partkey": partkeys,
             "l_suppkey": rng.randint(0, n_supp, n_li).astype(np.int64),
             "l_linenumber": rng.randint(1, 8, n_li).astype(np.int32),
-            "l_quantity": rng.randint(1, 51, n_li).astype(np.float64),
+            "l_quantity": rng.randint(1, 51 if ms == 1.0 else 1_000_001, n_li).astype(np.float64),
             "l_extendedprice": extprice,
             "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
             "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
@@ -223,14 +284,37 @@ def gen(out: str, seed: int, scale: float,
             "ts": ts.astype("datetime64[us]"),
             "user_id": users,
             "event_type": [EVENT_TYPES[i] for i in rng.randint(0, 5, n_events)],
-            "value": _money(rng, 0.01, 330.0, n_events),
+            "value": _money(rng, 0.01, 330.0, n_events, ms),
             "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, n_events)]})
 
     # --- documents: dup/near-dup families, permutations ----------------------
     texts = []
-    for _ in range(n_docs):
-        n_tok = rng.randint(10, 100)
-        texts.append(" ".join(VOCAB[i] for i in rng.randint(0, len(VOCAB), n_tok)))
+    if text_mode == "adversarial":
+        # VERDICT r11 ask #3a: Unicode/long-token/pathological-whitespace
+        # text.  ~70% driver vocab keeps dedup/TF-IDF paths non-vacuous;
+        # the rest draws from ADV_TOKENS; separators from ADV_SEPS.
+        pool = VOCAB * 3 + ADV_TOKENS
+        for _ in range(n_docs):
+            n_tok = rng.randint(10, 100)
+            toks = [pool[i] for i in rng.randint(0, len(pool), n_tok)]
+            parts = [toks[0]]
+            for t in toks[1:]:
+                parts.append(ADV_SEPS[rng.randint(0, len(ADV_SEPS))])
+                parts.append(t)
+            txt = "".join(parts)
+            if rng.uniform() < 0.05:
+                txt = " " + txt               # leading whitespace
+            if rng.uniform() < 0.05:
+                txt = txt + "\t"              # trailing whitespace
+            texts.append(txt)
+        texts[7] = ""                         # empty document
+        texts[11] = " \t\n "                  # whitespace-only document
+        # (both sit inside the exact-dup injection range below, so each
+        # also gains an exact-duplicate partner — degenerate dup pairs)
+    else:
+        for _ in range(n_docs):
+            n_tok = rng.randint(10, 100)
+            texts.append(" ".join(VOCAB[i] for i in rng.randint(0, len(VOCAB), n_tok)))
     n_inject = n_docs // 40
     for i in range(n_inject):                      # exact duplicates
         texts[n_docs - 1 - i] = texts[i]
@@ -287,10 +371,30 @@ def main() -> int:
                     help="events timeline start date — e.g. 2024-02-15 "
                          "spans the Feb-29 leap day and a month boundary, "
                          "stressing calendar-sensitive queries")
+    ap.add_argument("--money-scale", type=float, default=1.0,
+                    help="multiply all money domains and widen quantities "
+                         "to 1..1e6 — 1e6 puts o_totalprice at ~5e11, the "
+                         "int64-edge axis (still inside DECIMAL(14,2))")
+    ap.add_argument("--text-mode", choices=["normal", "adversarial"],
+                    default="normal",
+                    help="adversarial = Unicode scripts/punctuation, "
+                         ">=40-char tokens, NBSP/ideographic-space glue, "
+                         "empty + whitespace-only documents")
+    ap.add_argument("--empty-tables", default="",
+                    help="comma list of tables to write with ZERO rows "
+                         "(degenerate-input audit), e.g. lineitem,events")
+    ap.add_argument("--null-columns", default="",
+                    help="comma list of table.column to force all-NULL, "
+                         "e.g. customer.c_acctbal,events.value")
     a = ap.parse_args()
+    empties = tuple(t for t in a.empty_tables.split(",") if t)
+    nulls = tuple(c for c in a.null_columns.split(",") if c)
     print(f"generating alt fixture: out={a.out} seed={a.seed} "
-          f"scale={a.scale} events_start={a.events_start}")
-    gen(a.out, a.seed, a.scale, a.events_start)
+          f"scale={a.scale} events_start={a.events_start} "
+          f"money_scale={a.money_scale} text_mode={a.text_mode} "
+          f"empty={empties} nulls={nulls}")
+    gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
+        a.text_mode, empties, nulls)
     return 0
 
 

@@ -77,3 +77,94 @@ def test_subset_exists_in_registry():
 def test_alt_fixture_oracle(spark, alt_dir, name):
     spec = {s.name: s for s in collect_specs()}[name]
     compare(spec.fn(spark, alt_dir), spec.oracle, alt_dir)
+
+
+# ---------------------------------------------------------------------------
+# round-11 axes: adversarial Unicode text / empty tables / all-NULL columns
+# (docs/altfixture_r11.md — each subset pins a bug class fixed this round)
+# ---------------------------------------------------------------------------
+
+#: queries whose round-11 Unicode failures covered distinct root causes:
+#: ASCII-only casefold portability (wordcount, dedup_exact, agg_countmin),
+#: empty-document division guards (text_quality*), byte-true multimodal
+#: oracles incl. the empty-raster guard (binary_stats, frame_sample,
+#: image_hist_eq), and re.ASCII Python tokenization (udf_arrow_scalar).
+UNICODE_SUBSET = [
+    "wordcount",
+    "dedup_exact",
+    "agg_countmin",
+    "text_quality",
+    "text_quality_quantile_filter",
+    "multimodal_binary_stats",
+    "multimodal_frame_sample",
+    "multimodal_image_hist_eq",
+    "udf_arrow_scalar",
+]
+
+#: empty lineitem+events and all-NULL c_acctbal/source: Spark rollup/cube
+#: empty-input semantics, empty-write explicit read schemas (partition
+#: prune staging), sentinel-only multibatch staging, NULL-as-a-group and
+#: concat_ws NULL-skipping.
+DEGENERATE_SUBSET = [
+    "agg_rollup",
+    "agg_cube",
+    "source_partition_prune",
+    "dedup_boilerplate",
+    "pipeline_preference_pairs",
+]
+
+
+@pytest.fixture(scope="module")
+def alt_unicode_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "unicode")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "13579", "--scale", "0.3", "--text-mode", "adversarial"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def alt_degenerate_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "degen")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "24680", "--scale", "0.3",
+         "--empty-tables", "lineitem,events",
+         "--null-columns", "customer.c_acctbal,documents.source"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def alt_nullvalue_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "nullval")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "11223", "--scale", "0.3",
+         "--null-columns", "events.value"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", UNICODE_SUBSET)
+def test_unicode_fixture_oracle(spark, alt_unicode_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_unicode_dir), spec.oracle, alt_unicode_dir)
+
+
+@pytest.mark.parametrize("name", DEGENERATE_SUBSET)
+def test_degenerate_fixture_oracle(spark, alt_degenerate_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_degenerate_dir), spec.oracle, alt_degenerate_dir)
+
+
+def test_ewma_all_null_values(spark, alt_nullvalue_dir):
+    """EWMA of no observations is NULL on both engines (den > 0 guard,
+    round-11 all-NULL audit) — unguarded this was an ANSI
+    DIVIDE_BY_ZERO on Spark and a silent NULL on DuckDB."""
+    spec = {s.name: s for s in collect_specs()}["events_ewma"]
+    compare(spec.fn(spark, alt_nullvalue_dir), spec.oracle, alt_nullvalue_dir)
