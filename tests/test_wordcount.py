@@ -21,15 +21,23 @@ from map_reduce_multi_threaded_spark.operators import wordcount
 from tests.oracle_utils import compare
 
 
+#: C-locale tolower = ASCII-only (map_reduce.cpp:167).  Python's
+#: str.lower() is FULL Unicode (final sigma, İ→i+U+0307) and silently
+#: diverges from the engine's ascii_lower on non-ASCII tokens — the
+#: round-11 adversarial-text catch; same for re \s, which is
+#: Unicode-aware without re.ASCII while C >> splits on ASCII space.
+_C_TOLOWER = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+
+
 def python_reference_counts(texts: list[str], passes: int = 1) -> Counter:
     """map_reduce.cpp:159-171 semantics: whitespace split (>>), erase
-    ispunct chars, drop empties, tolower, count; ×passes (the
-    LOOP_OVER_DIRECTORY replay)."""
+    ispunct chars, drop empties, C-locale tolower (ASCII-only), count;
+    ×passes (the LOOP_OVER_DIRECTORY replay)."""
     counts: Counter = Counter()
     punct = set(string.punctuation)
     for text in texts:
-        for tok in re.split(r"\s+", text):
-            w = "".join(ch for ch in tok if ch not in punct).lower()
+        for tok in re.split(r"\s+", text, flags=re.ASCII):
+            w = "".join(ch for ch in tok if ch not in punct).translate(_C_TOLOWER)
             if w:
                 counts[w] += 1
     for k in counts:
@@ -205,3 +213,43 @@ def test_text_dir_reads_gzip_transparently(spark, tmp_path):
         ).collect()
     }
     assert counts == {"alpha": 3, "beta": 2, "gamma": 1}
+
+
+def test_golden_vs_python_reference_adversarial_text(spark, tmp_path):
+    """The golden contract must hold beyond ASCII: mixed scripts,
+    Unicode punctuation (stripped by NEITHER engine — \\p{Punct} and
+    ispunct are ASCII classes), >=40-char tokens (the reference's
+    char[40] overflow input, treated as ordinary data here), NBSP and
+    ideographic-space glue (NOT \\s in Java/RE2/C), and case folding
+    pinned to C-locale tolower (İ/ΟΔΟΣ keep their non-ASCII casing)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "The QUICK\u00a0brown İstanbul ΟΔΟΣ straße «quoted» DON'T",
+        "x" * 45 + " \t 数据\u3000数据 ¡HOLA! a-b_c 3.14 " + "x" * 45,
+        "",
+        " \t ",
+        "ДАННЫЕ данные ẞHARP 𝕏ray …ellipsis… halb–geviert",
+    ]
+    n = len(texts)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["src0"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    expected = python_reference_counts(texts)
+    got = {r["word"]: r["cnt"]
+           for r in wordcount.word_counts(spark, str(tmp_path)).collect()}
+    assert got == dict(expected)
+    # spot-pin the class-defining facts so a future "fix" to full
+    # Unicode folding fails loudly rather than silently shifting counts
+    assert "«quoted»" in got            # Unicode punct not stripped
+    assert "οδος" not in got and "ΟΔΟΣ" in got   # no Unicode casefold
+    assert "quick\u00a0brown" in got    # NBSP glues, ASCII \s does not
+    assert "x" * 45 in got              # >=40-char token survives
