@@ -6144,9 +6144,18 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE op sequence — rounded 9 dp.  The same five-moment
     shape is how any mergeable second-order statistic (covariance
     matrices for PCA/whitening) is built at 100 TB: one partial-agg
-    pass, O(1) state per group."""
+    pass, O(1) state per group.
+
+    Zero-variance groups (a constant quantity or price column —
+    round-11 total-ties axis) emit NULL: correlation is undefined
+    there, and the unguarded spelling is 0/0 — a Spark ANSI hard
+    error while DuckDB NULLs double ÷0.  Same exact `vx > 0 AND
+    vy > 0` predicate on both engines (the agg_linreg_exact guard,
+    which had it from the start)."""
     m, _, _, _, cov, vx, vy = _returnflag_moments(spark, sf_dir)
-    corr = cov / (F.sqrt(vx) * F.sqrt(vy))
+    corr = F.when(
+        (vx > F.lit(0.0)) & (vy > F.lit(0.0)), cov / (F.sqrt(vx) * F.sqrt(vy))
+    )
     return m.select("l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price"))
 
 
@@ -6194,17 +6203,20 @@ WITH m AS (
          sum(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * CAST(l_extendedprice AS DECIMAL(28,2)) AS DECIMAL(38,4))) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
+, d AS (
+  SELECT l_returnflag, n,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+         greatest(0.0, CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS vx,
+         greatest(0.0, CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS vy
+  FROM m
+)
 SELECT l_returnflag, n,
-       round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
-              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-             / (sqrt(greatest(0.0, CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
-                * sqrt(greatest(0.0, CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
-                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))), 9) AS corr_qty_price
-FROM m
+       round(CASE WHEN vx > 0.0 AND vy > 0.0
+                  THEN cov / (sqrt(vx) * sqrt(vy)) END, 9) AS corr_qty_price
+FROM d
 """
 
 

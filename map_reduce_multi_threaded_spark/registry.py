@@ -156,14 +156,17 @@ _SWEEP_WINDOW = 50
 #: same-round green postdates the rewrite commit (commit order is in
 #: git), prune the entry in the next round's first commit.
 _REVERIFY_FIRST: dict[str, int] = {
-    # Empty at round-11 open.  History: the five r9 PPJoin/pinned-
-    # shingle flags (dedup_clusters, dedup_cluster_keep,
-    # dedup_minhash_lsh, dedup_recall_eval, graph_triangle_count)
-    # expired automatically via their r10 greens; the r10
-    # grouped_map_zscore flag is pruned per the convention above —
-    # its r10 driver green was recorded after commit b43b248 landed
-    # the two-sided zero-variance fix, so the record describes
-    # current code.
+    # History: the five r9 PPJoin/pinned-shingle flags (dedup_clusters,
+    # dedup_cluster_keep, dedup_minhash_lsh, dedup_recall_eval,
+    # graph_triangle_count) expired automatically via their r10 greens;
+    # the r10 grouped_map_zscore flag was pruned per the convention
+    # above (its r10 driver green was recorded after commit b43b248).
+    #
+    # round-11 total-ties axis catch: agg_corr_exact's unguarded 0/0 on
+    # zero-variance groups was fixed (NULL on both engines, the
+    # agg_linreg_exact guard pattern) — its newest driver green predates
+    # the rewrite, so re-record first.
+    "agg_corr_exact": 11,
 }
 
 

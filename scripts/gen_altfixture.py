@@ -111,6 +111,14 @@ ADV_SEPS = [" "] * 12 + ["\t", "\n", "  ", "\u00a0", "\u3000", " \t "]
 _EMPTY_TABLES: set = set()
 _NULL_COLUMNS: set = set()
 
+#: round-11 second-wave axis F (total ties): every value-bearing column
+#: becomes ONE constant (in-domain).  Maximum tie density: any query
+#: whose determinism silently leans on value ordering — top-k, window
+#: rank, quantiles, min/max argmax — must get its order from key
+#: tiebreaks alone or break here; zero-variance guards (the r10
+#: zscore/agg_stats class) are exercised on EVERY group at once.
+_TIE_TOTAL: bool = False
+
 
 def _money(rng: np.random.RandomState, lo: float, hi: float, n: int,
            scale: float = 1.0) -> np.ndarray:
@@ -124,6 +132,12 @@ def _money(rng: np.random.RandomState, lo: float, hi: float, n: int,
     (~3e21 into DECIMAL(38,6)) are exercised near their headroom.
     np.round(x, 2) at 1e11 magnitude is still exact-2-decimal: double
     spacing there is ~2e-5, far below the 0.01 grid."""
+    if _TIE_TOTAL:
+        # one in-domain constant per column (consume one draw so the
+        # stream position — and thus every OTHER column — matches the
+        # normal fixture for the same seed)
+        rng.uniform(lo * scale, hi * scale, n)
+        return np.full(n, np.round((lo + hi) / 2.0 * scale, 2))
     return np.round(rng.uniform(lo * scale, hi * scale, n), 2)
 
 
@@ -143,10 +157,12 @@ def _write(out: str, name: str, schema: pa.Schema, cols: dict) -> None:
 def gen(out: str, seed: int, scale: float,
         events_start: str = "2024-01-01", money_scale: float = 1.0,
         text_mode: str = "normal", empty_tables: tuple = (),
-        null_columns: tuple = ()) -> None:
-    global _EMPTY_TABLES, _NULL_COLUMNS
+        null_columns: tuple = (), dup_mode: str = "normal",
+        tie_mode: str = "normal") -> None:
+    global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
+    _TIE_TOTAL = tie_mode == "total"
     ms = money_scale
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -203,8 +219,11 @@ def gen(out: str, seed: int, scale: float,
                                        rng.randint(0, 8, n_part))],
             "p_brand": [f"Brand#{i + 1}" for i in rng.randint(0, 25, n_part)],
             "p_type": [P_TYPES[i] for i in rng.randint(0, 6, n_part)],
-            "p_size": rng.randint(1, 51, n_part).astype(np.int32),
-            "p_retailprice": np.round((900.0 + 0.1 * np.arange(n_part)) * ms, 2)})
+            "p_size": (np.full(n_part, 25, dtype=np.int32) if _TIE_TOTAL
+                       else rng.randint(1, 51, n_part).astype(np.int32)),
+            "p_retailprice": (np.full(n_part, np.round(900.0 * ms, 2))
+                              if _TIE_TOTAL else
+                              np.round((900.0 + 0.1 * np.arange(n_part)) * ms, 2))})
 
     # --- orders: hot customer (~10%), no-order customers, totalprice ties ----
     no_order_custs = set(rng.choice(n_cust, 5, replace=False).tolist())
@@ -259,10 +278,13 @@ def gen(out: str, seed: int, scale: float,
             "l_partkey": partkeys,
             "l_suppkey": rng.randint(0, n_supp, n_li).astype(np.int64),
             "l_linenumber": rng.randint(1, 8, n_li).astype(np.int32),
-            "l_quantity": rng.randint(1, 51 if ms == 1.0 else 1_000_001, n_li).astype(np.float64),
+            "l_quantity": (np.full(n_li, 25.0) if _TIE_TOTAL else
+                           rng.randint(1, 51 if ms == 1.0 else 1_000_001, n_li).astype(np.float64)),
             "l_extendedprice": extprice,
-            "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
-            "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
+            "l_discount": (np.full(n_li, 0.05) if _TIE_TOTAL else
+                           np.round(rng.randint(0, 11, n_li) / 100.0, 2)),
+            "l_tax": (np.full(n_li, 0.04) if _TIE_TOTAL else
+                      np.round(rng.randint(0, 9, n_li) / 100.0, 2)),
             "l_returnflag": [RETURNFLAGS[i] for i in rng.randint(0, 3, n_li)],
             "l_linestatus": [LINESTATUSES[i] for i in rng.randint(0, 2, n_li)],
             "l_shipdate": shipdates.astype("datetime64[us]")})
@@ -285,7 +307,9 @@ def gen(out: str, seed: int, scale: float,
             "user_id": users,
             "event_type": [EVENT_TYPES[i] for i in rng.randint(0, 5, n_events)],
             "value": _money(rng, 0.01, 330.0, n_events, ms),
-            "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, n_events)]})
+            "props": [f'{{"k": {k}}}' for k in
+                      (np.full(n_events, 50) if _TIE_TOTAL else
+                       rng.randint(0, 100, n_events))]})
 
     # --- documents: dup/near-dup families, permutations ----------------------
     texts = []
@@ -332,6 +356,26 @@ def gen(out: str, seed: int, scale: float,
         toks = texts[3 * n_inject + i].split(" ")  # multiset, new shingles
         rng.shuffle(toks)
         texts[n_docs - 3 * n_inject - 1 - i] = " ".join(toks)
+    if dup_mode == "extreme":
+        # round-11 axis E: the WHOLE corpus drawn from 8 distinct
+        # contents — 6 unrelated bases, one 1-token near-dup of base 0,
+        # one permutation of base 1 (same unigram multiset).  Giant
+        # ~n/8-member duplicate clusters: alternating-star CC at high
+        # multiplicity, every LSH band bucket saturated, PPJoin prefix
+        # pruning degenerate (identical token sets everywhere), keep/drop
+        # must pick ONE representative per ~100-member family.
+        pool = list(texts[:6])
+        nd = texts[0].split(" ")
+        nd[len(nd) // 2] = VOCAB[(VOCAB.index(nd[len(nd) // 2]) + 1)
+                                 % len(VOCAB)] if nd[len(nd) // 2] in VOCAB \
+            else VOCAB[0]
+        pool.append(" ".join(nd))
+        perm = texts[1].split(" ")
+        rng.shuffle(perm)
+        pool.append(" ".join(perm))
+        draw = rng.randint(0, len(pool), n_docs)
+        draw[:len(pool)] = np.arange(len(pool))   # every member present
+        texts = [pool[i] for i in draw]
     _write(out, "documents",
            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
                       ("lang", pa.string()), ("source", pa.string()),
@@ -340,7 +384,8 @@ def gen(out: str, seed: int, scale: float,
             "text": texts,
             "lang": [LANGS[i] for i in rng.randint(0, 5, n_docs)],
             "source": [f"src{i}" for i in rng.randint(0, 20, n_docs)],
-            "n_chars": rng.randint(47, 559, n_docs).astype(np.int64)})
+            "n_chars": (np.full(n_docs, 300, dtype=np.int64) if _TIE_TOTAL
+                        else rng.randint(47, 559, n_docs).astype(np.int64))})
 
     # --- embeddings: 10 clusters, exact-dup + near-dup vectors ---------------
     centers = rng.normal(0.0, 0.12, (10, 64))
@@ -353,6 +398,19 @@ def gen(out: str, seed: int, scale: float,
     for j in range(3):                             # 1e-3-perturbed near-dups
         vecs[n_vecs - 3 - j] = vecs[2 + j] + rng.normal(0.0, 1e-3, 64)
         labels[n_vecs - 3 - j] = labels[2 + j]
+    if dup_mode == "extreme":
+        # axis E on vectors: 8 distinct embeddings (incl. one 1e-3
+        # near-dup pair) replicated ~n/8× — kNN distances massively
+        # tied, IVF/LSH buckets collapse to 8 points, recall harness
+        # ground truth saturated
+        pool_v = vecs[:8].copy()
+        pool_v[7] = pool_v[0] + rng.normal(0.0, 1e-3, 64)
+        pool_l = labels[:8].copy()
+        pool_l[7] = pool_l[0]
+        draw_v = rng.randint(0, 8, n_vecs)
+        draw_v[:8] = np.arange(8)
+        vecs = pool_v[draw_v]
+        labels = pool_l[draw_v]
     _write(out, "embeddings",
            pa.schema([("vec_id", pa.int64()),
                       ("embedding", pa.list_(pa.float32())),
@@ -386,15 +444,29 @@ def main() -> int:
     ap.add_argument("--null-columns", default="",
                     help="comma list of table.column to force all-NULL, "
                          "e.g. customer.c_acctbal,events.value")
+    ap.add_argument("--dup-mode", choices=["normal", "extreme"],
+                    default="normal",
+                    help="extreme = documents drawn from 8 distinct texts "
+                         "and embeddings from 8 distinct vectors — giant "
+                         "~n/8-member dup clusters, saturated LSH buckets, "
+                         "massively tied kNN distances")
+    ap.add_argument("--tie-mode", choices=["normal", "total"],
+                    default="normal",
+                    help="total = every value-bearing column one in-domain "
+                         "constant (prices, quantities, discounts, acctbal, "
+                         "event values, sizes, n_chars) — maximum tie "
+                         "density for ordering/top-k/rank tiebreaks and "
+                         "zero-variance guards on every group")
     a = ap.parse_args()
     empties = tuple(t for t in a.empty_tables.split(",") if t)
     nulls = tuple(c for c in a.null_columns.split(",") if c)
     print(f"generating alt fixture: out={a.out} seed={a.seed} "
           f"scale={a.scale} events_start={a.events_start} "
           f"money_scale={a.money_scale} text_mode={a.text_mode} "
-          f"empty={empties} nulls={nulls}")
+          f"empty={empties} nulls={nulls} dup_mode={a.dup_mode} "
+          f"tie_mode={a.tie_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
-        a.text_mode, empties, nulls)
+        a.text_mode, empties, nulls, a.dup_mode, a.tie_mode)
     return 0
 
 

@@ -69,7 +69,13 @@ def alt_dir(tmp_path_factory):
 
 def test_subset_exists_in_registry():
     names = {s.name for s in collect_specs()}
-    missing = [n for n in SUBSET if n not in names]
+    missing = [
+        n
+        for subset in (SUBSET, UNICODE_SUBSET, DEGENERATE_SUBSET,
+                       DUP_EXTREME_SUBSET, TIE_TOTAL_SUBSET)
+        for n in subset
+        if n not in names
+    ]
     assert not missing, missing
 
 
@@ -160,6 +166,73 @@ def test_unicode_fixture_oracle(spark, alt_unicode_dir, name):
 def test_degenerate_fixture_oracle(spark, alt_degenerate_dir, name):
     spec = {s.name: s for s in collect_specs()}[name]
     compare(spec.fn(spark, alt_degenerate_dir), spec.oracle, alt_degenerate_dir)
+
+
+# ---------------------------------------------------------------------------
+# round-11 second-wave axes: extreme duplication / total ties
+# ---------------------------------------------------------------------------
+
+#: axis E — the whole corpus is 8 distinct texts / 8 distinct vectors:
+#: giant ~n/8-member dup clusters (alternating-star CC at high
+#: multiplicity), every LSH band bucket saturated, keep/drop picking ONE
+#: representative per ~100-member family, kNN distances massively tied.
+DUP_EXTREME_SUBSET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_cluster_keep",
+    "dedup_recall_eval",
+    "knn_bruteforce",
+    "embedding_neardup_lsh",
+]
+
+#: axis F — every value-bearing column one constant: zero variance in
+#: EVERY group at once (the class that caught agg_corr_exact's unguarded
+#: 0/0 — Spark ANSI hard-errors, DuckDB NULLs double ÷0) and maximum tie
+#: density for every ordering/top-k/rank tiebreak.
+TIE_TOTAL_SUBSET = [
+    "agg_corr_exact",
+    "agg_linreg_exact",
+    "agg_stats",
+    "grouped_map_zscore",
+    "events_anomaly_zscore",
+    "window_running",
+    "orders_rfm",
+]
+
+
+@pytest.fixture(scope="module")
+def alt_dup_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "dupx")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "55443", "--scale", "0.3", "--dup-mode", "extreme"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def alt_ties_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "ties")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "66778", "--scale", "0.3", "--tie-mode", "total"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", DUP_EXTREME_SUBSET)
+def test_dup_extreme_fixture_oracle(spark, alt_dup_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_dup_dir), spec.oracle, alt_dup_dir)
+
+
+@pytest.mark.parametrize("name", TIE_TOTAL_SUBSET)
+def test_tie_total_fixture_oracle(spark, alt_ties_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_ties_dir), spec.oracle, alt_ties_dir)
 
 
 def test_ewma_all_null_values(spark, alt_nullvalue_dir):
