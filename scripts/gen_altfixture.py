@@ -158,11 +158,12 @@ def gen(out: str, seed: int, scale: float,
         events_start: str = "2024-01-01", money_scale: float = 1.0,
         text_mode: str = "normal", empty_tables: tuple = (),
         null_columns: tuple = (), dup_mode: str = "normal",
-        tie_mode: str = "normal") -> None:
+        tie_mode: str = "normal", time_mode: str = "normal") -> None:
     global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
     _TIE_TOTAL = tie_mode == "total"
+    frozen_time = time_mode == "frozen"
     ms = money_scale
     os.makedirs(out, exist_ok=True)
     rng = np.random.RandomState(seed)
@@ -233,6 +234,11 @@ def gen(out: str, seed: int, scale: float,
         rng.uniform(size=n_orders) < 0.10, hot_cust,
         eligible[rng.randint(0, len(eligible), n_orders)]).astype(np.int64)
     odate_days = rng.randint(0, 2404, n_orders)  # 1995-01-01 .. 2001-08-01
+    if frozen_time:
+        # axis G: every order on ONE in-range date — a single
+        # date_trunc month/quarter group, empty seasonal lag joins,
+        # zero-length cohort ages, every as-of/window time tiebreak hit
+        odate_days = np.full(n_orders, 500)      # 1996-05-15
     odates = EPOCH_1995 + odate_days * DAY_US
     totalprice = _money(rng, 900.0, 500000.0, n_orders, ms)
     # tie cluster on the hot customer: same totalprice AND same day
@@ -265,6 +271,8 @@ def gen(out: str, seed: int, scale: float,
     shipdates = (np.repeat(odates, lines_per_order)
                  + rng.randint(0, 123, n_li) * DAY_US)
     shipdates[0::50] = np.repeat(odates, lines_per_order)[0::50]  # same-day
+    if frozen_time:
+        shipdates = np.repeat(odates, lines_per_order)  # ALL same-day
     _write(out, "lineitem",
            pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
                       ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
@@ -293,6 +301,12 @@ def gen(out: str, seed: int, scale: float,
     gaps = rng.exponential(15 * 60e6, n_events)  # ~15 min mean cadence, us
     gaps[100:130] = 4e6                          # 30-event burst, ~2 minutes
     gaps[1::83] = 0.0                            # exact duplicate timestamps
+    if frozen_time:
+        # axis G: EVERY event at one microsecond — one tumbling/session
+        # window holding the whole table, all-simultaneous concurrency
+        # intervals, as-of-nearest fully tied, resample of a single
+        # instant, zero session gaps
+        gaps = np.zeros(n_events)
     ts = (events_epoch + np.cumsum(gaps)).astype("int64")
     lone_user = n_users - 1
     users = np.where(rng.uniform(size=n_events) < 0.15, 0,
@@ -457,6 +471,12 @@ def main() -> int:
                          "event values, sizes, n_chars) — maximum tie "
                          "density for ordering/top-k/rank tiebreaks and "
                          "zero-variance guards on every group")
+    ap.add_argument("--time-mode", choices=["normal", "frozen"],
+                    default="normal",
+                    help="frozen = every event at ONE microsecond, every "
+                         "order on ONE date, all shipments same-day — "
+                         "degenerates every time window, session, as-of, "
+                         "lag/lead and interval-overlap path at once")
     a = ap.parse_args()
     empties = tuple(t for t in a.empty_tables.split(",") if t)
     nulls = tuple(c for c in a.null_columns.split(",") if c)
@@ -464,9 +484,9 @@ def main() -> int:
           f"scale={a.scale} events_start={a.events_start} "
           f"money_scale={a.money_scale} text_mode={a.text_mode} "
           f"empty={empties} nulls={nulls} dup_mode={a.dup_mode} "
-          f"tie_mode={a.tie_mode}")
+          f"tie_mode={a.tie_mode} time_mode={a.time_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
-        a.text_mode, empties, nulls, a.dup_mode, a.tie_mode)
+        a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode)
     return 0
 
 

@@ -72,7 +72,8 @@ def test_subset_exists_in_registry():
     missing = [
         n
         for subset in (SUBSET, UNICODE_SUBSET, DEGENERATE_SUBSET,
-                       DUP_EXTREME_SUBSET, TIE_TOTAL_SUBSET)
+                       DUP_EXTREME_SUBSET, TIE_TOTAL_SUBSET,
+                       TIME_FROZEN_SUBSET)
         for n in subset
         if n not in names
     ]
@@ -199,6 +200,39 @@ TIE_TOTAL_SUBSET = [
     "window_running",
     "orders_rfm",
 ]
+
+
+#: axis G — frozen time: every event at ONE microsecond, every order on
+#: ONE date, all shipments same-day.  One tumbling/session window holds
+#: the whole table, as-of-nearest is fully tied, session gaps are zero,
+#: seasonal lag joins are empty, resample reduces to a single instant.
+TIME_FROZEN_SUBSET = [
+    "events_tumbling",
+    "events_session",
+    "events_session_dynamic_gap",
+    "join_asof_nearest",
+    "events_concurrency",
+    "events_resample_interpolate",
+    "orders_seasonal_naive",
+    "orders_cohort_ltv",
+]
+
+
+@pytest.fixture(scope="module")
+def alt_frozen_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "frozen")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "77665", "--scale", "0.3", "--time-mode", "frozen"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", TIME_FROZEN_SUBSET)
+def test_time_frozen_fixture_oracle(spark, alt_frozen_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_frozen_dir), spec.oracle, alt_frozen_dir)
 
 
 @pytest.fixture(scope="module")
