@@ -300,3 +300,93 @@ def test_late_filter_lags_eviction_by_one_trigger(spark, tmp_path):
     # window of rows 1 (+ NOT 4): emitted once with n=1; row 2's window
     # closed by the terminal watermark; row 3's window still open
     assert got == {"22:10": 1, "23:50": 1}, got
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_oracle_dir, tmp_path):
+    """Stop a watermarked APPEND-mode replay mid-stream, restart from the
+    same checkpoint, and prove exactly-once emission across the restart:
+    the union of the two runs' outputs equals the uninterrupted batch
+    answer, with NO window emitted twice and NO window lost.
+
+    This is the fault-tolerance contract a 100 TB streaming job actually
+    relies on — the state store (partial window counts from the first
+    half) and the file-source offset log (files f000-f002 already
+    committed) must both restore from checkpoint, so the second run
+    neither reprocesses committed files nor re-emits closed windows.
+    The sink is the engine's fault-tolerant FILE sink (the memory sink
+    refuses checkpoint recovery by design) — its _spark_metadata commit
+    manifest is part of the exactly-once contract under test.
+    Deterministic by construction: run 1 sees only the first 3 staged
+    files on disk (a clean availableNow drain — no stop() race), the
+    rest appear before run 2."""
+    import glob
+    import shutil
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    staged, cutoff = W.stage_events_multibatch(sf_oracle_dir)
+    files = sorted(glob.glob(f"{staged}/*.parquet"))
+    assert len(files) == 6  # 4 data + 2 sentinels
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    for f in files[:3]:
+        shutil.copy2(f, replay / os.path.basename(f))  # copy2 keeps mtimes
+
+    def drain() -> None:
+        ev = W.read_staged_stream(spark, str(replay))
+        q = (
+            W.tumbling_counts(ev.withWatermark("ts", "10 minutes"))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sink_rows() -> list:
+        # reading the sink path goes through its _spark_metadata
+        # manifest: only COMMITTED files are visible
+        return [tuple(r) for r in spark.read.parquet(out).collect()]
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(W.STREAM_STATE_PARTITIONS)
+    )
+    try:
+        drain()
+        p1 = set(sink_rows())
+        for f in files[3:]:
+            shutil.copy2(f, replay / os.path.basename(f))
+        drain()
+        all_rows = sink_rows()
+        p2 = set(all_rows) - p1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    # append-mode windows are unique per (start, type): duplicates in
+    # the committed output would mean a re-emitted window
+    assert len(all_rows) == len(set(all_rows)), "duplicate rows in sink"
+
+    # run 1 must have made real progress (windows closed by the third
+    # file's watermark) — otherwise the restart proves nothing
+    assert p1, "first run emitted no windows; restart test is vacuous"
+    # exactly-once across restart: no window emitted by both runs
+    dup = {k[:2] for k in p1} & {k[:2] for k in p2}
+    assert not dup, f"windows re-emitted after restart: {sorted(dup)[:5]}"
+    # completeness: union == uninterrupted batch answer (cutoff drops
+    # sentinel windows and the final never-closed real window exactly as
+    # the registered stream_tumbling_multibatch query does)
+    merged = {k for k in (p1 | p2) if k[0] <= cutoff}
+    batch = {
+        tuple(r)
+        for r in W.tumbling_counts(
+            load_table(spark, sf_oracle_dir, "events")
+        ).collect()
+        if r["window_start"] <= cutoff
+    }
+    assert merged == batch
