@@ -1594,15 +1594,19 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EVENTS_SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sessions AS (
+  -- event_id tiebreak required: with tied timestamps a ts-only ROWS
+  -- frame places the new_session=1 row at an arbitrary position inside
+  -- the tie group and splits the session (round-11 frozen-time 12x
+  -- catch on the shared streaming spelling, queries.py:_SESSION_ORACLE)
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )

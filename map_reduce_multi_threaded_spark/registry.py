@@ -167,6 +167,13 @@ _REVERIFY_FIRST: dict[str, int] = {
     # agg_linreg_exact guard pattern) — its newest driver green predates
     # the rewrite, so re-record first.
     "agg_corr_exact": 11,
+    # round-11 frozen-time 12x catch: the shared session ORACLE's
+    # running-sum window lacked the event_id tiebreak — with tied
+    # timestamps DuckDB could split one session into two (engine was
+    # right).  Oracle-side rewrite; re-record all three consumers.
+    "stream_session": 11,
+    "stream_custom_sessions": 11,
+    "events_session": 11,
 }
 
 

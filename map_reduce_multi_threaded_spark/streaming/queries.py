@@ -32,15 +32,21 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sessions AS (
+  -- ORDER BY must carry the event_id tiebreak like the flagged CTE:
+  -- with tied timestamps (round-11 frozen-time axis at 12x volume) a
+  -- ts-only ROWS frame puts the new_session=1 row at an ARBITRARY
+  -- position inside the tie group, splitting one session into two for
+  -- whichever users draw an unlucky order (engine was right at 480
+  -- sessions; this oracle said 481/482)
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )

@@ -215,6 +215,11 @@ TIME_FROZEN_SUBSET = [
     "events_resample_interpolate",
     "orders_seasonal_naive",
     "orders_cohort_ltv",
+    # the frozen-time 12x catch: the shared session oracle's running-sum
+    # window needed the event_id tiebreak (a ts-only ROWS frame splits a
+    # session at DuckDB's arbitrary tie order); stream_session shares
+    # _SESSION_ORACLE with events_session and the streaming drain path
+    "stream_session",
 ]
 
 
