@@ -428,3 +428,57 @@ def test_rocksdb_state_store_parity(spark, sf_oracle_dir):
     for name in results["default"]:
         assert results["default"][name], f"{name}: empty result is vacuous"
         assert results["rocksdb"][name] == results["default"][name], name
+
+
+def test_watermark_floors_at_epoch(spark, tmp_path):
+    """Spark's event-time watermark metric FLOORS AT EPOCH 0: after a
+    batch whose max event time is 1969-12-31 23:00 (delay 10 min, true
+    value 22:50) the reported watermark is 1970-01-01T00:00:00, and a
+    pre-epoch row whose window closes at or before the epoch is dropped
+    as late ON ARRIVAL (the initial watermark is epoch, not -inf).
+
+    Round-11 pre-epoch fixture axis: all 9 sweep failures were
+    watermarked streaming queries dropping exactly their pre-epoch
+    windows; every batch query and non-watermarked stream passed.
+    Pinned as the engine's documented boundary — watermarked streams
+    require event times > 1970-01-01 (docs/PORTABILITY.md); if a Spark
+    upgrade lifts the floor this test fails and the boundary (and the
+    pre-epoch axis verdict) must be revisited."""
+    import time
+
+    src = tmp_path / "pe_src"
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        time.sleep(1.1)
+
+    write_file("b1", [(1, "1969-12-31 23:00:00")])
+    write_file("b2", [(2, "1970-01-01 01:00:00")])
+    write_file("b3", [(3, "1970-01-01 03:00:00")])
+    stream = (
+        spark.readStream.schema("event_id long, ts_s string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("start"), "n")
+    )
+    q = (
+        stream.writeStream.queryName("pe_sink")
+        .outputMode("append")
+        .format("memory")
+        .start()
+    )
+    q.processAllAvailable()
+    wms = [p["eventTime"].get("watermark") for p in q.recentProgress
+           if p["numInputRows"] > 0]
+    q.stop()
+    got = sorted((r["start"], r["n"]) for r in spark.table("pe_sink").collect())
+    # watermark after the pre-epoch batch reads epoch, not 22:50
+    assert wms[0] == "1970-01-01T00:00:00.000Z", wms
+    # the pre-epoch window was dropped; the post-epoch one emitted
+    assert got == [("1970-01-01 01:00", 1)], got
