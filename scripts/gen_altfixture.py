@@ -158,7 +158,8 @@ def gen(out: str, seed: int, scale: float,
         events_start: str = "2024-01-01", money_scale: float = 1.0,
         text_mode: str = "normal", empty_tables: tuple = (),
         null_columns: tuple = (), dup_mode: str = "normal",
-        tie_mode: str = "normal", time_mode: str = "normal") -> None:
+        tie_mode: str = "normal", time_mode: str = "normal",
+        skew_mode: str = "normal") -> None:
     global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
@@ -230,8 +231,9 @@ def gen(out: str, seed: int, scale: float,
     no_order_custs = set(rng.choice(n_cust, 5, replace=False).tolist())
     eligible = np.array([c for c in range(n_cust) if c not in no_order_custs])
     hot_cust = int(eligible[0])
+    hot_frac = 0.90 if skew_mode == "extreme" else 0.10
     custkeys = np.where(
-        rng.uniform(size=n_orders) < 0.10, hot_cust,
+        rng.uniform(size=n_orders) < hot_frac, hot_cust,
         eligible[rng.randint(0, len(eligible), n_orders)]).astype(np.int64)
     odate_days = rng.randint(0, 2404, n_orders)  # 1995-01-01 .. 2001-08-01
     if frozen_time:
@@ -264,7 +266,8 @@ def gen(out: str, seed: int, scale: float,
     okeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines_per_order)
     n_li = len(okeys)
     hot_part = int(rng.randint(0, n_part))
-    partkeys = np.where(rng.uniform(size=n_li) < 0.08, hot_part,
+    part_frac = 0.90 if skew_mode == "extreme" else 0.08
+    partkeys = np.where(rng.uniform(size=n_li) < part_frac, hot_part,
                         rng.randint(0, n_part, n_li)).astype(np.int64)
     extprice = _money(rng, 900.0, 105000.0, n_li, ms)
     extprice[1::97] = extprice[0]  # scattered exact price ties
@@ -309,7 +312,8 @@ def gen(out: str, seed: int, scale: float,
         gaps = np.zeros(n_events)
     ts = (events_epoch + np.cumsum(gaps)).astype("int64")
     lone_user = n_users - 1
-    users = np.where(rng.uniform(size=n_events) < 0.15, 0,
+    users = np.where(rng.uniform(size=n_events)
+                     < (0.90 if skew_mode == "extreme" else 0.15), 0,
                      rng.randint(1, n_users - 1, n_events)).astype(np.int64)
     users[n_events // 2] = lone_user  # exactly one event for this user
     _write(out, "events",
@@ -471,6 +475,12 @@ def main() -> int:
                          "event values, sizes, n_chars) — maximum tie "
                          "density for ordering/top-k/rank tiebreaks and "
                          "zero-variance guards on every group")
+    ap.add_argument("--skew-mode", choices=["normal", "extreme"],
+                    default="normal",
+                    help="extreme = ~90%% of orders on ONE customer, ~90%% "
+                         "of lineitems on ONE part, ~90%% of events on ONE "
+                         "user -- the salting/bounded-self-join stress; "
+                         "also a perf axis (single-key shuffle partitions)")
     ap.add_argument("--time-mode", choices=["normal", "frozen"],
                     default="normal",
                     help="frozen = every event at ONE microsecond, every "
@@ -484,9 +494,11 @@ def main() -> int:
           f"scale={a.scale} events_start={a.events_start} "
           f"money_scale={a.money_scale} text_mode={a.text_mode} "
           f"empty={empties} nulls={nulls} dup_mode={a.dup_mode} "
-          f"tie_mode={a.tie_mode} time_mode={a.time_mode}")
+          f"tie_mode={a.tie_mode} time_mode={a.time_mode} "
+          f"skew_mode={a.skew_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
-        a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode)
+        a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode,
+        a.skew_mode)
     return 0
 
 
