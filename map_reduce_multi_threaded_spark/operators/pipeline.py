@@ -20,7 +20,11 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..functions.text import ascii_lower
+from ..functions.text import ascii_lower, duck_ascii_lower
+
+#: oracle-side casefold fragments from the ONE canonical helper (ADVICE r11)
+_DUCK_LC_TEXT = duck_ascii_lower("trim(text, ' ')")
+_DUCK_LC_BTEXT = duck_ascii_lower("trim(b.text, ' ')")
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import QuerySpec
@@ -78,7 +82,7 @@ quality AS (
 ),
 deduped AS (
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY sha256(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) ORDER BY doc_id) AS rn
+    SELECT *, row_number() OVER (PARTITION BY sha256({_DUCK_LC_TEXT}) ORDER BY doc_id) AS rn
     FROM quality
   ) WHERE rn = 1
 )
@@ -1399,11 +1403,11 @@ batch AS (
   SELECT doc_id + 2 * ib.idbase, text || ' revised'
   FROM documents, ib WHERE doc_id % 5 = 0
 ),
-corpus AS (SELECT DISTINCT sha256(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h FROM documents),
+corpus AS (SELECT DISTINCT sha256({_DUCK_LC_TEXT}) AS h FROM documents),
 novel AS (
   SELECT b.doc_id, b.text FROM batch b
   WHERE NOT EXISTS (
-    SELECT 1 FROM corpus c WHERE c.h = sha256(translate(trim(b.text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))
+    SELECT 1 FROM corpus c WHERE c.h = sha256({_DUCK_LC_BTEXT}))
 ),
 release AS (
   SELECT doc_id, text FROM documents
@@ -1701,7 +1705,7 @@ corpus AS (
   SELECT doc_id + ib.idbase, text FROM documents, ib WHERE doc_id % 3 = 0
 ),
 tagged AS (
-  SELECT sha256(translate(trim(text, ' '), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS content_hash,
+  SELECT sha256({_DUCK_LC_TEXT}) AS content_hash,
          CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
               WHEN {bucket} < {SPLIT_VAL_PCT} THEN 'val'
               ELSE 'test' END AS split

@@ -29,7 +29,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.text import ascii_lower, duck_md5_long
+from ..functions.text import ascii_lower, duck_ascii_lower, duck_md5_long
+
+#: oracle-side casefold fragment from the ONE canonical helper (ADVICE r11)
+_DUCK_LC_TEXT = duck_ascii_lower("text")
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -2731,9 +2734,11 @@ SELECT fmt, n_rows, sum_acctbal FROM (
 PRUNE_KEEP_TYPES = ("click", "error")
 
 
-def _stage_parted_events(spark: SparkSession, sf_dir: str) -> str:
+def _stage_parted_events(spark: SparkSession, sf_dir: str) -> tuple[str, "StructType"]:
     """Stage events partitioned by event_type (cached scratch); shared
-    by the static-pruning and dynamic-pruning queries."""
+    by the static-pruning and dynamic-pruning queries.  Returns the
+    staged path AND the explicit read schema (a 0-row write emits no
+    data files, so the reader cannot infer it — round-11 audit)."""
     import os
 
     from ..sources.tables import stage_scratch_dir
@@ -6759,7 +6764,7 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _APPROX_TOPK_ORACLE = f"""
 SELECT w AS word, count(*) AS exact_count, TRUE AS est_exact
-FROM (SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS w
+FROM (SELECT unnest(string_split_regex({_DUCK_LC_TEXT}, '\\s+')) AS w
       FROM documents) t
 WHERE w <> ''
 GROUP BY w
@@ -6877,7 +6882,7 @@ def _countmin_oracle() -> str:
     )
     return f"""
 WITH tf AS (
-  SELECT w FROM (SELECT unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS w
+  SELECT w FROM (SELECT unnest(string_split_regex({_DUCK_LC_TEXT}, '\\s+')) AS w
                  FROM documents) t
   WHERE w <> ''
 ),

@@ -14,11 +14,14 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..functions.text import ascii_lower
+from ..functions.text import ascii_lower, duck_ascii_lower
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
+
+#: oracle-side casefold fragment from the ONE canonical helper (ADVICE r11)
+_DUCK_LC_TEXT = duck_ascii_lower("text")
 
 # marker stopwords per language, fixed priority order for argmax ties
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -1032,7 +1035,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RARITY_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS w
+    SELECT doc_id, unnest(string_split_regex({_DUCK_LC_TEXT}, '\\s+')) AS w
     FROM documents
   ) WHERE w <> ''
 ),
@@ -1126,7 +1129,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_PERPLEXITY_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
-         list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'),
+         list_filter(string_split_regex({_DUCK_LC_TEXT}, '\\s+'),
                      x -> length(x) > 0) AS t
   FROM documents
 ),

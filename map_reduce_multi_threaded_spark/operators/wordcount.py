@@ -37,7 +37,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.text import normalize_token
+from ..functions.text import duck_ascii_lower, normalize_token
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from ..sources.text import tokens_from_text
@@ -105,9 +105,14 @@ def word_counts_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame
     return word_counts(spark, sf_dir).orderBy(F.desc("cnt"), F.asc("word")).limit(k)
 
 
-_ORACLE_TOKENS = """
-    SELECT translate(regexp_replace(unnest(string_split_regex(text, '\\s+')),
-                                '[[:punct:]]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS word
+#: oracle-side token expression, casefolded via the ONE canonical helper
+#: so the SQL literal cannot drift from :func:`ascii_lower` (ADVICE r11)
+_DUCK_WORD = duck_ascii_lower(
+    "regexp_replace(unnest(string_split_regex(text, '\\s+')), '[[:punct:]]', '', 'g')"
+)
+
+_ORACLE_TOKENS = f"""
+    SELECT {_DUCK_WORD} AS word
     FROM documents
 """
 

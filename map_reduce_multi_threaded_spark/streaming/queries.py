@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.text import duck_ascii_lower
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from . import windows as W
@@ -386,12 +387,15 @@ def stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_to_memory(counts, "stream_wordcount_sink", output_mode="complete")
 
 
-_STREAM_WORDCOUNT_ORACLE = """
+#: oracle-side token expression from the ONE canonical casefold helper
+_DUCK_WORD = duck_ascii_lower(
+    "regexp_replace(unnest(string_split_regex(text, '\\s+')), '[[:punct:]]', '', 'g')"
+)
+
+_STREAM_WORDCOUNT_ORACLE = f"""
 SELECT word, count(*) AS cnt
 FROM (
-  SELECT translate(regexp_replace(unnest(string_split_regex(text, '\\s+')),
-                              '[[:punct:]]', '', 'g'),
-                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS word
+  SELECT {_DUCK_WORD} AS word
   FROM documents
 )
 WHERE length(word) > 0

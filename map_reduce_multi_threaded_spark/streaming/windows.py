@@ -143,6 +143,10 @@ def stage_events_multibatch(
     t = pq.read_table(f"{sf_dir}/events.parquet")
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
     n = t.num_rows
+    # one day in the fixture's own timestamp unit (ns for the legacy
+    # TIMESTAMP(NANOS) fixture, us for the current one)
+    unit = t.schema.field("ts").type.unit
+    day_ticks = 86_400 * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
     if n:
         max_scalar = t.column("ts")[n - 1]
         max_ts = max_scalar.value  # ticks since epoch in the column's unit
@@ -153,12 +157,12 @@ def stage_events_multibatch(
         # pin the cutoff BEFORE any sentinel ('1970-01-01') so every
         # sentinel-derived window is filtered out — the streamed answer
         # is then empty, exactly the batch/oracle answer on no events.
-        max_ts = 1_700_000_000_000_000  # 2023-11-14, any pre-sentinel base
+        # The base is derived IN-UNIT (day 19,600 since epoch ≈
+        # 2023-08-31 regardless of s/ms/us/ns — ADVICE r11: a fixed
+        # tick literal meant 1970-01-20 under the legacy ns fixture,
+        # leaving ~3 weeks of post-epoch margin instead of decades).
+        max_ts = 19_600 * day_ticks
         cutoff = "1970-01-01 00:00:00"
-    # one day in the fixture's own timestamp unit (ns for the legacy
-    # TIMESTAMP(NANOS) fixture, us for the current one)
-    unit = t.schema.field("ts").type.unit
-    day_ticks = 86_400 * {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
     chunks = [
         t.slice(i * n // n_files, (i + 1) * n // n_files - i * n // n_files)
         for i in range(n_files)

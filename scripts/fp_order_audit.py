@@ -104,8 +104,7 @@ def main() -> int:
     n_float = n_bit = n_gate_only = n_drift = 0
     for s in specs:
         if s.fn.__module__ in _STREAMING_MODULES:
-            df = None  # enumerated below via a PLAN_ONLY pass
-            continue
+            continue  # streaming specs are enumerated via a PLAN_ONLY pass
         df = s.fn(spark, a.sf_dir)
         floats = []
         for f in df.schema.fields:
