@@ -21,12 +21,17 @@ S3 8Ã— workload multiplier (:36, :130)      ``passes=N`` knob (broadcast range Ã
 ========================================  =====================================
 
 The physical plan Catalyst produces â€” partial HashAggregate â†’
-Exchange hashpartitioning(word) â†’ final HashAggregate â€” is
+Exchange hashpartitioning â†’ final HashAggregate â€” is
 operator-for-operator the reference's hand-written OpenMP/MPI plan,
 with map-side combine and hash-partitioned shuffle for free, plus
 everything the reference lacked (spill-to-disk aggregation, AQE
-partition coalescing, codegen).  At 100 TB: this is a classic
-shuffle-bound word count; the only tuning lever that matters is
+partition coalescing, codegen).  One algebraic improvement on top
+(round 12): tokens are counted by RAW surface form first and the
+scalar normalize (S5/S7) runs on the distinct-token table, then a
+second vocab-sized aggregate merges surface forms â€” identical output,
+regexp/translate off the per-instance hot path (see
+``_normalized_counts``).  At 100 TB: this is a classic shuffle-bound
+word count; the only tuning lever that matters is
 ``spark.sql.shuffle.partitions`` / AQE, and skew on stop-words is
 absorbed by the partial aggregate (each task emits at most one row per
 distinct word).
@@ -64,9 +69,40 @@ def words(spark: SparkSession, sf_dir: str, passes: int = 1) -> DataFrame:
     return toks
 
 
+def _normalized_counts(raw_tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """count raw tokens FIRST, then normalize the distinct-token table
+    and re-aggregate â€” the algebraic rewrite ``count âˆ˜ normalize =
+    sum âˆ˜ count-by-surface-form`` (counting is distributive over
+    normalize's many-to-one mapping).
+
+    Why (round-12 A/B, docs/wordcount_ab_r12.md): the per-instance hot
+    path now carries ONLY split/explode and the two hash aggregates;
+    ``regexp_replace`` + ``translate`` run once per DISTINCT surface
+    form (vocab-scale) instead of once per token instance.  Measured
+    at sf0.1: passes8 1.054 â†’ 0.418 s best-of-6, plain 0.341 â†’ 0.304.
+    The extra exchange moves a vocab-sized frame (bounded by surface
+    vocabulary even at 100 TB; worst-case all-unique tokens shuffles
+    the same rows the old plan shuffled).  Spark's ``translate`` walks
+    a per-char map while ``lower()`` has an ASCII fast path (~30%
+    gap, same A/B), but ``translate`` is the portable casefold â€” this
+    rewrite makes the spelling cost irrelevant instead of trading
+    correctness for it."""
+    raw = raw_tokens.groupBy(tok_col).agg(F.count("*").alias("c"))
+    return (
+        raw.select(normalize_token(F.col(tok_col)).alias("word"), "c")
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
 def word_counts(spark: SparkSession, sf_dir: str, passes: int = 1) -> DataFrame:
-    """scan â†’ tokenize â†’ normalize â†’ partial agg â†’ shuffle â†’ final agg."""
-    return words(spark, sf_dir, passes).groupBy("word").agg(F.count("*").alias("cnt"))
+    """scan â†’ tokenize â†’ count raw â†’ normalize distinct â†’ final agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_from_text(F.col("text"))).alias("tok"))
+    if passes > 1:
+        toks = toks.crossJoin(F.broadcast(spark.range(passes))).drop("id")
+    return _normalized_counts(toks)
 
 
 def word_counts_sorted(spark: SparkSession, sf_dir: str, passes: int = 1) -> DataFrame:
@@ -87,15 +123,12 @@ def word_counts_from_text_dir(
     and sort within partitions anyway (the CLI path)."""
     from ..sources.text import read_text_dir
 
-    toks = (
-        read_text_dir(spark, path)
-        .select(F.explode(tokens_from_text(F.col("value"))).alias("tok"))
-        .select(normalize_token(F.col("tok")).alias("word"))
-        .where(F.length("word") > 0)
+    toks = read_text_dir(spark, path).select(
+        F.explode(tokens_from_text(F.col("value"))).alias("tok")
     )
     if passes > 1:
         toks = toks.crossJoin(F.broadcast(spark.range(passes))).drop("id")
-    counts = toks.groupBy("word").agg(F.count("*").alias("cnt"))
+    counts = _normalized_counts(toks)
     return counts.orderBy("word") if sort else counts
 
 
