@@ -360,6 +360,19 @@ def rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cnt0.cast("double") / (F.col("na") + F.col("nb") - cnt0), 9
             ).alias("jac"),
         )
+        # every candidate also rides in as an (a, rel_a, NULL, NULL)
+        # row: the a != b pair frame is EMPTY with one candidate, and
+        # the greedy pass would then never see it at all (round-12
+        # single-row axis: spark=0 vs oracle=1 rows).  Redundant rel
+        # entries are idempotent in _greedy.
+        .unionByName(
+            c1.select(
+                "a",
+                "rel_a",
+                F.lit(None).cast("long").alias("b"),
+                F.lit(None).cast("double").alias("jac"),
+            )
+        )
     )
 
     lam, lam_c, topn = MMR_LAMBDA, MMR_LAMBDA_C, MMR_TOPN
@@ -369,8 +382,9 @@ def rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rel, sim = {}, {}
         for r in pdf.itertuples(index=False):
-            rel[r.a] = r.rel_a
-            sim[(r.a, r.b)] = r.jac
+            rel[int(r.a)] = r.rel_a
+            if not pd.isna(r.b):
+                sim[(int(r.a), int(r.b))] = r.jac
         remaining = sorted(rel)
         selected, rows = [], []
         while remaining and len(selected) < topn:
@@ -492,6 +506,11 @@ def pipeline_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     negs = (
         anchors.crossJoin(F.broadcast(n))
+        # a cyclic-shift derangement needs n >= 2 (offset domain
+        # [1, n-1] is empty at n = 1 and the `% (n-1)` is a 0-modulus
+        # ANSI error — round-12 single-row axis): with one anchor the
+        # negative set is correctly EMPTY on both engines
+        .where(F.col("n") >= 2)
         .select(
             "vec_id",
             "n",
@@ -550,6 +569,7 @@ negs AS (
            AS partner
   FROM anchors a, nn,
        (VALUES {", ".join(f"({j})" for j in range(1, CONTRASTIVE_NEGS + 1))}) AS t(j)
+  WHERE nn.n >= 2
 ),
 u AS (SELECT * FROM pos UNION ALL SELECT * FROM negs)
 SELECT CASE WHEN j = 0 THEN 'positive' ELSE 'negative' END AS pair_type,
@@ -633,9 +653,14 @@ def tfidf_cosine_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = F.col("num") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("qn2").cast("double"))
     )
-    scored = pre.where(F.col("matched") == 1).select(
-        "doc_id", cosine.alias("cosine")
-    )
+    # zero-norm guard (round-12 single-row axis): with ONE document
+    # every idf is ln(1) = 0, so both norms are 0 and the cosine is
+    # undefined — such docs can't rank.  Spark ANSI hard-errors on the
+    # 0/0 while DuckDB NULLs it, so the exact n2/qn2 > 0 predicate is
+    # required on BOTH engines (same pattern as agg_corr_exact).
+    scored = pre.where(
+        (F.col("matched") == 1) & (F.col("n2") > 0) & (F.col("qn2") > 0)
+    ).select("doc_id", cosine.alias("cosine"))
     top = scored.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(10)
     rank_w = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(rank_w)).select(
@@ -668,6 +693,7 @@ scored AS (
   SELECT num.doc_id,
          num.num / (sqrt(CAST(norm.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))) AS cosine
   FROM num JOIN norm USING (doc_id) CROSS JOIN qn
+  WHERE norm.n2 > 0 AND qn.qn2 > 0
 )
 SELECT rank, doc_id, cosine FROM (
   SELECT *, row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank FROM scored

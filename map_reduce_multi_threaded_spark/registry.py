@@ -184,6 +184,13 @@ _REVERIFY_FIRST: dict[str, int] = {
     "wordcount_passes8": 12,
     "wordcount_topk": 12,
     "text_zipf_slope": 12,
+    # round-12 single-row axis catches (docs/altfixture_r12.md): tfidf
+    # zero-norm 0/0 guard, contrastive `% (n-1)` 0-modulus at n=1, MMR
+    # greedy losing a lone candidate (empty a != b pair frame).  All
+    # re-verified green at 3 sfs + the single-row fixture on fix.
+    "tfidf_cosine_rank": 12,
+    "pipeline_contrastive_pairs": 12,
+    "rerank_mmr": 12,
 }
 
 

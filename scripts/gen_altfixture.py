@@ -111,6 +111,24 @@ ADV_SEPS = [" "] * 12 + ["\t", "\n", "  ", "\u00a0", "\u3000", " \t "]
 _EMPTY_TABLES: set = set()
 _NULL_COLUMNS: set = set()
 
+#: round-12 axis: EVERY table exactly ONE row (the degenerate
+#: cardinality between the round-11 empty axis and a normal draw).
+#: One group everywhere, n-1 == 0 in every variance denominator,
+#: self-joins of a 1-row table, LIMIT k > n, windows with no
+#: predecessor rows, a corpus whose vocabulary is one document.
+_SINGLE_ROW: bool = False
+
+#: FK columns re-pointed at the single surviving parent key (all key
+#: columns are arange, so row 0 of every parent holds key 0) — keeps
+#: referential integrity under the single-row slice.
+_SINGLE_ROW_FK_ZERO = {
+    "nation": ("n_regionkey",),
+    "customer": ("c_nationkey",),
+    "supplier": ("s_nationkey",),
+    "orders": ("o_custkey",),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+}
+
 #: round-11 second-wave axis F (total ties): every value-bearing column
 #: becomes ONE constant (in-domain).  Maximum tie density: any query
 #: whose determinism silently leans on value ordering — top-k, window
@@ -145,13 +163,21 @@ def _write(out: str, name: str, schema: pa.Schema, cols: dict) -> None:
     table = pa.Table.from_pydict(cols, schema=schema)
     if name in _EMPTY_TABLES:
         table = table.slice(0, 0)
+    elif _SINGLE_ROW:
+        table = table.slice(0, 1)
+        for fk in _SINGLE_ROW_FK_ZERO.get(name, ()):
+            i = table.schema.get_field_index(fk)
+            table = table.set_column(
+                i, table.schema.field(i),
+                pa.array([0], table.schema.field(i).type))
     for i, field in enumerate(table.schema):
         if f"{name}.{field.name}" in _NULL_COLUMNS:
             table = table.set_column(
                 i, field, pa.nulls(table.num_rows, field.type))
     pq.write_table(table, os.path.join(out, f"{name}.parquet"))
     print(f"  {name}: {table.num_rows} rows"
-          + (" (EMPTY axis)" if name in _EMPTY_TABLES else ""))
+          + (" (EMPTY axis)" if name in _EMPTY_TABLES else "")
+          + (" (SINGLE-ROW axis)" if _SINGLE_ROW else ""))
 
 
 def gen(out: str, seed: int, scale: float,
@@ -159,11 +185,12 @@ def gen(out: str, seed: int, scale: float,
         text_mode: str = "normal", empty_tables: tuple = (),
         null_columns: tuple = (), dup_mode: str = "normal",
         tie_mode: str = "normal", time_mode: str = "normal",
-        skew_mode: str = "normal") -> None:
-    global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL
+        skew_mode: str = "normal", rows_mode: str = "normal") -> None:
+    global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL, _SINGLE_ROW
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
     _TIE_TOTAL = tie_mode == "total"
+    _SINGLE_ROW = rows_mode == "single"
     frozen_time = time_mode == "frozen"
     ms = money_scale
     os.makedirs(out, exist_ok=True)
@@ -481,6 +508,14 @@ def main() -> int:
                          "of lineitems on ONE part, ~90%% of events on ONE "
                          "user -- the salting/bounded-self-join stress; "
                          "also a perf axis (single-key shuffle partitions)")
+    ap.add_argument("--rows-mode", choices=["normal", "single"],
+                    default="normal",
+                    help="single = every table exactly ONE row (FKs "
+                         "re-pointed at the surviving key 0) -- the "
+                         "degenerate cardinality between the empty axis "
+                         "and a normal draw: one group everywhere, "
+                         "n-1 == 0 variance denominators, 1-row "
+                         "self-joins, LIMIT k > n")
     ap.add_argument("--time-mode", choices=["normal", "frozen"],
                     default="normal",
                     help="frozen = every event at ONE microsecond, every "
@@ -495,10 +530,10 @@ def main() -> int:
           f"money_scale={a.money_scale} text_mode={a.text_mode} "
           f"empty={empties} nulls={nulls} dup_mode={a.dup_mode} "
           f"tie_mode={a.tie_mode} time_mode={a.time_mode} "
-          f"skew_mode={a.skew_mode}")
+          f"skew_mode={a.skew_mode} rows_mode={a.rows_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
         a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode,
-        a.skew_mode)
+        a.skew_mode, a.rows_mode)
     return 0
 
 

@@ -73,7 +73,7 @@ def test_subset_exists_in_registry():
         n
         for subset in (SUBSET, UNICODE_SUBSET, DEGENERATE_SUBSET,
                        DUP_EXTREME_SUBSET, TIE_TOTAL_SUBSET,
-                       TIME_FROZEN_SUBSET)
+                       TIME_FROZEN_SUBSET, SINGLE_ROW_SUBSET)
         for n in subset
         if n not in names
     ]
@@ -272,6 +272,45 @@ def test_dup_extreme_fixture_oracle(spark, alt_dup_dir, name):
 def test_tie_total_fixture_oracle(spark, alt_ties_dir, name):
     spec = {s.name: s for s in collect_specs()}[name]
     compare(spec.fn(spark, alt_ties_dir), spec.oracle, alt_ties_dir)
+
+
+#: round-12 axis — every table exactly ONE row (the degenerate
+#: cardinality between empty and normal).  Caught three real bugs on
+#: first sweep: tfidf's 0/0 on zero-norm vectors (1 doc → every idf is
+#: ln(1) = 0; Spark ANSI hard-errors, DuckDB NULLs), the contrastive
+#: derangement's `% (n-1)` 0-modulus at n = 1 (negatives must be
+#: EMPTY — no derangement of a 1-set exists), and MMR's greedy pass
+#: dropping a lone candidate because the a != b pair frame is empty.
+SINGLE_ROW_SUBSET = [
+    "tfidf_cosine_rank",
+    "pipeline_contrastive_pairs",
+    "rerank_mmr",
+    # degenerate-cardinality class representatives: n-1 == 0 variance
+    # denominators, LIMIT k > n, k-NN with k > corpus, 1-row windows,
+    # 1-row self-joins/dedup
+    "agg_stats",
+    "wordcount_topk",
+    "knn_bruteforce",
+    "window_running",
+    "dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def alt_single_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "single")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "1212", "--rows-mode", "single"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", SINGLE_ROW_SUBSET)
+def test_single_row_fixture_oracle(spark, alt_single_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_single_dir), spec.oracle, alt_single_dir)
 
 
 def test_ewma_all_null_values(spark, alt_nullvalue_dir):
