@@ -1045,6 +1045,122 @@ FROM j WHERE rn = 1
 """
 
 
+def _interval_join_user_bucketed(
+    purchases: DataFrame, errors: DataFrame, interval_min: int = 10
+) -> DataFrame:
+    """The SCALE.md hot-user interval-join recipe, executable: shard a
+    per-user interval join's hot key across coarse time buckets so one
+    dominant user no longer concentrates the join (or, streamed, the
+    stream-stream join STATE) in a single hash partition.
+
+    ``stream_stream_join``'s shape — purchases matched to the same
+    user's errors in the ``interval_min`` minutes before each purchase
+    — keys its shuffle and its state store on user alone; the round-12
+    skew bench measured 1.8-3.1x under a 90%-one-user fixture
+    (docs/bench_skew_r12.json).  With the bucket width equal to the
+    interval, every error matching a purchase in bucket b lies in
+    bucket b or b-1, so the purchase side EXPLODES to those two probe
+    buckets, the error side maps to exactly one, and the join runs as
+    an ordinary equi-join on (user, bucket): the hot user's rows spread
+    across distinct time buckets, and each matched pair is produced
+    exactly once because each error owns ONE bucket.  Both keys derive
+    from the event time the watermark already tracks, so the identical
+    spelling streams.  Cost: 2x purchase-side exchange rows — worth
+    paying only for keys heavy enough that one partition's state scan
+    dominates, the same per-key gate as every salting recipe here.
+
+    Expects the registered query's column names (purchase_id, p_user,
+    p_ts / error_id, e_user, e_ts).  Unregistered (the fixtures favor
+    the plain per-user spelling); tests/test_relational.py proves
+    output identity against the plain interval join, boundary and
+    pre-epoch rows included."""
+    bucket_us = interval_min * 60 * 1_000_000
+    pb = F.floor(F.unix_micros(F.col("p_ts")) / F.lit(bucket_us)).cast("long")
+    p = purchases.withColumn("_b", F.explode(F.array(pb, pb - F.lit(1))))
+    e = errors.withColumn(
+        "_b", F.floor(F.unix_micros(F.col("e_ts")) / F.lit(bucket_us)).cast("long")
+    )
+    return p.join(
+        e,
+        (p["p_user"] == e["e_user"])
+        & (p["_b"] == e["_b"])
+        & (e["e_ts"] >= p["p_ts"] - F.expr(f"INTERVAL {interval_min} MINUTES"))
+        & (e["e_ts"] <= p["p_ts"]),
+    ).select("purchase_id", "error_id", "p_user")
+
+
+def _asof_carry_chunked(both: DataFrame, chunk_us: int) -> DataFrame:
+    """The SCALE.md hot-user as-of recipe, executable: run
+    :func:`join_asof_nearest`'s carry passes inside fixed time CHUNKS
+    of the (user, time) sort, then stitch chunk boundaries with one
+    carry over the per-(user, chunk) SUMMARY frame — so a user holding
+    90% of the rows costs max(rows-per-chunk) per window task instead
+    of one task sorting everything (the round-12 skew bench measured
+    the single-sort carry at 10.4x under a 90%-one-user fixture,
+    docs/bench_skew_r12.json).
+
+    Pass 1 partitions the carry windows by (user, chunk): the
+    back/forward error carries are exact wherever the answer lives in
+    the same chunk and NULL at chunk edges.  Pass 2 aggregates each
+    chunk's first/last error once and carries those ACROSS chunks per
+    user — a frame whose per-user size is #chunks, bounded by
+    timespan/chunk_us and independent of row volume — and the edge
+    NULLs coalesce to the neighbor chunks' values.  Output-identical
+    to the single-sort carry: an in-chunk carry is nearer by
+    construction, and across chunks the nearest earlier (later) error
+    IS the last (first) error of the nearest earlier (later) non-empty
+    chunk.
+
+    Takes the unioned purchase+error frame the registered query builds
+    (user_id, ts, event_id, kind, err_ts — err_ts = ts on error rows,
+    NULL on purchases); returns it with back_ts/fwd_ts, ready for the
+    3-way nearest CASE.  Unregistered; tests/test_relational.py proves
+    identity at two binding chunk widths, error-less chunks and ties
+    included."""
+    order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
+    b = both.withColumn(
+        "_chunk", F.floor(F.unix_micros("ts") / F.lit(chunk_us)).cast("long")
+    )
+    wb = (
+        Window.partitionBy("user_id", "_chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id", "_chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    local = b.withColumn(
+        "back_ts", F.last("err_ts", ignorenulls=True).over(wb)
+    ).withColumn("fwd_ts", F.first("err_ts", ignorenulls=True).over(wf))
+    summary = b.groupBy("user_id", "_chunk").agg(
+        F.min("err_ts").alias("_first_err"), F.max("err_ts").alias("_last_err")
+    )
+    ws_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ws_next = (
+        Window.partitionBy("user_id")
+        .orderBy("_chunk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    stitched = summary.select(
+        "user_id",
+        "_chunk",
+        F.last("_last_err", ignorenulls=True).over(ws_prev).alias("_prev_last"),
+        F.first("_first_err", ignorenulls=True).over(ws_next).alias("_next_first"),
+    )
+    return (
+        local.join(stitched, ["user_id", "_chunk"])
+        .withColumn("back_ts", F.coalesce("back_ts", "_prev_last"))
+        .withColumn("fwd_ts", F.coalesce("fwd_ts", "_next_first"))
+        .drop("_chunk", "_prev_last", "_next_first")
+    )
+
+
 # --------------------------------------------------------------------------
 # windows / sorts / top-k
 # --------------------------------------------------------------------------

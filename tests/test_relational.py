@@ -537,6 +537,193 @@ def test_sequence_pairs_salted_recipe_is_lossless(spark, sf_oracle_dir):
         )
 
 
+def _interval_join_plain(purchases, errors, interval_min=10):
+    """The registered stream_stream_join/oracle spelling, batch form —
+    the identity baseline for the bucketed recipe."""
+    import pyspark.sql.functions as F
+
+    return purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {interval_min} MINUTES"))
+        & (F.col("e_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "error_id", "p_user")
+
+
+def _purchase_error_frames(spark, sf_oracle_dir):
+    import pyspark.sql.functions as F
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_oracle_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    return purchases, errors
+
+
+def test_interval_join_bucketed_recipe_is_identical(spark, sf_oracle_dir):
+    """SCALE.md's hot-user interval-join recipe (round 12): the
+    (user, time-bucket) equi-join spelling must reproduce the plain
+    per-user interval join exactly — same matched-pair set on the
+    fixture AND on crafted rows sitting exactly ON the interval bounds,
+    on a bucket boundary, and BEFORE THE EPOCH (negative-microsecond
+    bucketing) — and the bucket must ride in the join's own equi-key
+    list, so a hot user's rows actually shard by arrival window."""
+    import datetime
+
+    purchases, errors = _purchase_error_frames(spark, sf_oracle_dir)
+    fixture_plain = {
+        tuple(r) for r in _interval_join_plain(purchases, errors).collect()
+    }
+    bucketed_df = relational._interval_join_user_bucketed(purchases, errors)
+    assert re.search(
+        r"Join [A-Za-z]*[Hh]ash[A-Za-z]* ?(Inner, )?\[p_user#\d+L?, _b#\d+L?\]",
+        _plan(bucketed_df),
+    ) or re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[p_user#\d+L?, _b#\d+L?\]",
+        _plan(bucketed_df),
+    ), _plan(bucketed_df)
+    assert fixture_plain  # the fixture produces evidence
+    assert {tuple(r) for r in bucketed_df.collect()} == fixture_plain
+
+    # crafted boundaries: interval bound inclusive/exclusive, purchase
+    # exactly on a bucket multiple, and a pre-epoch pair
+    T = datetime.datetime
+    p_rows = [
+        (1, 10, T(1970, 1, 1, 0, 20, 0)),            # exact bucket multiple
+        (2, 11, T(1969, 12, 31, 23, 55, 0)),          # pre-epoch purchase
+    ]
+    e_rows = [
+        (101, 10, T(1970, 1, 1, 0, 20, 0)),           # e_ts == p_ts: match
+        (102, 10, T(1970, 1, 1, 0, 10, 0)),           # == p_ts - 10min: match
+        (103, 10, T(1970, 1, 1, 0, 9, 59, 999999)),   # 1us past bound: no
+        (104, 10, T(1970, 1, 1, 0, 20, 0, 1)),        # after purchase: no
+        (105, 11, T(1969, 12, 31, 23, 50, 0)),        # pre-epoch: match
+        (106, 11, T(1969, 12, 31, 23, 44, 59, 999999)),  # past bound: no
+    ]
+    cp = spark.createDataFrame(p_rows, "purchase_id long, p_user long, p_ts timestamp")
+    ce = spark.createDataFrame(e_rows, "error_id long, e_user long, e_ts timestamp")
+    crafted_plain = {tuple(r) for r in _interval_join_plain(cp, ce).collect()}
+    assert crafted_plain == {(1, 101, 10), (1, 102, 10), (2, 105, 11)}
+    assert {
+        tuple(r)
+        for r in relational._interval_join_user_bucketed(cp, ce).collect()
+    } == crafted_plain
+
+
+def test_asof_carry_chunked_recipe_is_identical(spark, sf_oracle_dir):
+    """SCALE.md's hot-user as-of recipe (round 12): the chunked carry
+    must reproduce the single-sort carry's back_ts/fwd_ts exactly at
+    two chunk widths that BIND on the fixture (many chunks per user),
+    its pass-1 windows must actually partition on (user, chunk), and
+    crafted error-less-chunk / same-ts-tie / pre-epoch rows must
+    stitch identically."""
+    import datetime
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from map_reduce_multi_threaded_spark.sources.tables import load_table
+
+    def build_both(ev):
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", F.lit(1).alias("kind"),
+            F.lit(None).cast("timestamp").alias("err_ts"),
+        )
+        errors = ev.where(F.col("event_type") == "error").select(
+            "user_id", "ts", "event_id", F.lit(0).alias("kind"),
+            F.col("ts").alias("err_ts"),
+        )
+        return purchases.unionByName(errors)
+
+    def plain_carry(both):
+        order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
+        wb = (
+            Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return both.withColumn(
+            "back_ts", F.last("err_ts", ignorenulls=True).over(wb)
+        ).withColumn("fwd_ts", F.first("err_ts", ignorenulls=True).over(wf))
+
+    def carries(df):
+        return {
+            r["event_id"]: (r["back_ts"], r["fwd_ts"])
+            for r in df.where(F.col("kind") == 1).collect()
+        }
+
+    both = build_both(load_table(spark, sf_oracle_dir, "events"))
+    base = carries(plain_carry(both))
+    assert base
+    for chunk_us in (86_400_000_000, 3_600_000_000):  # 1 day, 1 hour
+        chunked_df = relational._asof_carry_chunked(both, chunk_us)
+        # the recipe only shards if pass 1's windows key on (user, chunk)
+        assert re.search(
+            r"hashpartitioning\(user_id#\d+L?, _chunk#\d+L?", _plan(chunked_df)
+        ), chunk_us
+        # ...and only proves anything if chunking BINDS on this fixture
+        n_users, n_chunks = (
+            both.withColumn(
+                "_c", F.floor(F.unix_micros("ts") / F.lit(chunk_us))
+            )
+            .agg(
+                F.countDistinct("user_id"),
+                F.countDistinct("user_id", "_c"),
+            )
+            .first()
+        )
+        assert n_chunks > 2 * n_users, (chunk_us, n_users, n_chunks)
+        assert carries(chunked_df) == base, f"chunk_us={chunk_us} diverged"
+
+    # crafted: errors confined to one early chunk (the stitch must
+    # carry across error-less chunks), a same-ts tie (error sorts
+    # before the purchase: back_ts == ts), and pre-epoch rows
+    T = datetime.datetime
+    rows = [
+        # user 9: errors only in hour-chunk 0; purchases hours later
+        (9, T(1970, 1, 1, 0, 0, 0), 1, "error"),
+        (9, T(1970, 1, 1, 0, 5, 0), 2, "error"),
+        (9, T(1970, 1, 1, 3, 30, 0), 3, "purchase"),
+        (9, T(1970, 1, 1, 7, 0, 0), 4, "purchase"),
+        # user 8: tie — error at the purchase's exact ts, then one after
+        (8, T(1970, 1, 2, 12, 0, 0), 5, "purchase"),
+        (8, T(1970, 1, 2, 12, 0, 0), 6, "error"),
+        (8, T(1970, 1, 2, 12, 0, 0, 1), 7, "error"),
+        # user 7: pre-epoch purchase between two pre-epoch errors
+        (7, T(1969, 12, 31, 22, 0, 0), 8, "error"),
+        (7, T(1969, 12, 31, 23, 30, 0), 9, "purchase"),
+        (7, T(1969, 12, 31, 23, 45, 0), 10, "error"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    cboth = build_both(ev)
+    cbase = carries(plain_carry(cboth))
+    # spot-check the baseline itself so the identity isn't vacuous
+    e5 = T(1970, 1, 2, 12, 0, 0)
+    assert cbase[3] == (T(1970, 1, 1, 0, 5, 0), None)
+    assert cbase[5] == (e5, T(1970, 1, 2, 12, 0, 0, 1))
+    assert cbase[9] == (
+        T(1969, 12, 31, 22, 0, 0), T(1969, 12, 31, 23, 45, 0)
+    )
+    for chunk_us in (3_600_000_000, 600_000_000):  # 1 hour, 10 min
+        assert carries(
+            relational._asof_carry_chunked(cboth, chunk_us)
+        ) == cbase, f"crafted chunk_us={chunk_us} diverged"
+
+
 def test_sample_weighted_skews_heavy(spark, sf_dir):
     """ES sampling must overrepresent heavy weights: the sampled mean
     weight exceeds the population mean (deterministic on the fixture)."""
