@@ -119,7 +119,20 @@ def collect_specs() -> list[QuerySpec]:
     oldest_round = min((rank(s)[1] for s in greens), default=0)
     oldest_n = sum(1 for s in greens if rank(s)[1] == oldest_round)
     slack = max(0, _SWEEP_WINDOW - len(urgent) - oldest_n)
-    promoted = candidates[: min(_CHANGED_CARVEOUT, slack)]
+    # hand-set flags bypass the heuristic cap (their green records
+    # describe RETIRED code — epistemically void, unlike the merely-old
+    # records of the rotation cohort) but still respect the window
+    # slack; only the noisy direct_changed heuristic stays capped at
+    # _CHANGED_CARVEOUT (round 12: seven same-round rewrite flags vs a
+    # 4-slot cap would have left three rewrites un-re-recorded)
+    flagged_cands = [s for s in candidates if s.name in flagged]
+    heuristic_cands = [s for s in candidates if s.name not in flagged]
+    n_flagged = min(len(flagged_cands), slack)
+    n_heur = min(
+        len(heuristic_cands),
+        max(0, min(_CHANGED_CARVEOUT, slack) - n_flagged),
+    )
+    promoted = flagged_cands[:n_flagged] + heuristic_cands[:n_heur]
     promoted_set = {s.name for s in promoted}
     return urgent + promoted + [s for s in greens if s.name not in promoted_set]
 
@@ -161,19 +174,9 @@ _REVERIFY_FIRST: dict[str, int] = {
     # graph_triangle_count) expired automatically via their r10 greens;
     # the r10 grouped_map_zscore flag was pruned per the convention
     # above (its r10 driver green was recorded after commit b43b248).
-    #
-    # round-11 total-ties axis catch: agg_corr_exact's unguarded 0/0 on
-    # zero-variance groups was fixed (NULL on both engines, the
-    # agg_linreg_exact guard pattern) — its newest driver green predates
-    # the rewrite, so re-record first.
-    "agg_corr_exact": 11,
-    # round-11 frozen-time 12x catch: the shared session ORACLE's
-    # running-sum window lacked the event_id tiebreak — with tied
-    # timestamps DuckDB could split one session into two (engine was
-    # right).  Oracle-side rewrite; re-record all three consumers.
-    "stream_session": 11,
-    "stream_custom_sessions": 11,
-    "events_session": 11,
+    # The four r11 flags (agg_corr_exact + the three session-oracle
+    # consumers) were pruned in round 12 per the same convention: all
+    # four lead CORRECTNESS_r11 with green post-fix records.
     # round-12 perf rewrite (docs/wordcount_ab_r12.md): word_counts now
     # counts raw surface forms first and normalizes the distinct-token
     # table (regexp/translate off the per-instance hot path; passes8

@@ -263,11 +263,16 @@ def test_sweep_carveout_uses_defining_module_signal():
 
 
 def test_sweep_carveout_is_bounded_and_front_loaded():
-    """collect_specs must place at most _CHANGED_CARVEOUT promoted
-    changed-green queries ahead of the age rotation, and every
-    promoted query must be direct-changed (no free riders)."""
+    """collect_specs must bound the promoted changed-green queries
+    ahead of the age rotation — heuristic (direct_changed) promotions
+    by _CHANGED_CARVEOUT, hand-set _REVERIFY_FIRST promotions only by
+    the window slack (round 12: flags bypass the heuristic cap, since
+    their green records describe retired code) — and every promoted
+    query must be flagged or direct-changed (no free riders)."""
     from map_reduce_multi_threaded_spark.registry import (
         _CHANGED_CARVEOUT,
+        _REVERIFY_FIRST,
+        _SWEEP_WINDOW,
         _sweep_rank,
         collect_specs,
     )
@@ -284,13 +289,18 @@ def test_sweep_carveout_is_bounded_and_front_loaded():
             break
         head.append(s)
     promoted = [s for s in head if rank(s)[0] == 2]
-    assert len(promoted) <= _CHANGED_CARVEOUT, [s.name for s in promoted]
-    from map_reduce_multi_threaded_spark.registry import _REVERIFY_FIRST
 
+    def flagged(s):
+        return rank(s)[1] <= _REVERIFY_FIRST.get(s.name, -1)
+
+    n_urgent = len(head) - len(promoted)
+    oldest_n = sum(1 for s in greens if rank(s)[1] == oldest)
+    slack = max(0, _SWEEP_WINDOW - n_urgent - oldest_n)
+    heuristic = [s for s in promoted if not flagged(s)]
+    assert len(heuristic) <= _CHANGED_CARVEOUT, [s.name for s in heuristic]
+    assert len(promoted) <= slack, [s.name for s in promoted]
     assert all(
-        rank.direct_changed(s)
-        or rank(s)[1] <= _REVERIFY_FIRST.get(s.name, -1)
-        for s in promoted
+        flagged(s) or rank.direct_changed(s) for s in promoted
     ), [s.name for s in promoted if not rank.direct_changed(s)]
 
 
