@@ -258,10 +258,16 @@ def gen(out: str, seed: int, scale: float,
     no_order_custs = set(rng.choice(n_cust, 5, replace=False).tolist())
     eligible = np.array([c for c in range(n_cust) if c not in no_order_custs])
     hot_cust = int(eligible[0])
-    hot_frac = 0.90 if skew_mode == "extreme" else 0.10
+    hot_frac = 0.90 if skew_mode in ("extreme", "bimodal") else 0.10
     custkeys = np.where(
         rng.uniform(size=n_orders) < hot_frac, hot_cust,
         eligible[rng.randint(0, len(eligible), n_orders)]).astype(np.int64)
+    if skew_mode == "bimodal":
+        # split the hot mass across TWO keys (~45% each): the salting
+        # and bounded-self-join recipes have only ever seen ONE
+        custkeys = np.where(
+            (custkeys == hot_cust) & (rng.uniform(size=n_orders) < 0.5),
+            int(eligible[1]), custkeys)
     odate_days = rng.randint(0, 2404, n_orders)  # 1995-01-01 .. 2001-08-01
     if frozen_time:
         # axis G: every order on ONE in-range date — a single
@@ -293,9 +299,13 @@ def gen(out: str, seed: int, scale: float,
     okeys = np.repeat(np.arange(n_orders, dtype=np.int64), lines_per_order)
     n_li = len(okeys)
     hot_part = int(rng.randint(0, n_part))
-    part_frac = 0.90 if skew_mode == "extreme" else 0.08
+    part_frac = 0.90 if skew_mode in ("extreme", "bimodal") else 0.08
     partkeys = np.where(rng.uniform(size=n_li) < part_frac, hot_part,
                         rng.randint(0, n_part, n_li)).astype(np.int64)
+    if skew_mode == "bimodal":
+        partkeys = np.where(
+            (partkeys == hot_part) & (rng.uniform(size=n_li) < 0.5),
+            (hot_part + 1) % n_part, partkeys)
     extprice = _money(rng, 900.0, 105000.0, n_li, ms)
     extprice[1::97] = extprice[0]  # scattered exact price ties
     shipdates = (np.repeat(odates, lines_per_order)
@@ -339,9 +349,13 @@ def gen(out: str, seed: int, scale: float,
         gaps = np.zeros(n_events)
     ts = (events_epoch + np.cumsum(gaps)).astype("int64")
     lone_user = n_users - 1
-    users = np.where(rng.uniform(size=n_events)
-                     < (0.90 if skew_mode == "extreme" else 0.15), 0,
-                     rng.randint(1, n_users - 1, n_events)).astype(np.int64)
+    users = np.where(
+        rng.uniform(size=n_events)
+        < (0.90 if skew_mode in ("extreme", "bimodal") else 0.15), 0,
+        rng.randint(1, n_users - 1, n_events)).astype(np.int64)
+    if skew_mode == "bimodal":
+        users = np.where(
+            (users == 0) & (rng.uniform(size=n_events) < 0.5), 1, users)
     users[n_events // 2] = lone_user  # exactly one event for this user
     _write(out, "events",
            pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("us")),
@@ -502,12 +516,14 @@ def main() -> int:
                          "event values, sizes, n_chars) — maximum tie "
                          "density for ordering/top-k/rank tiebreaks and "
                          "zero-variance guards on every group")
-    ap.add_argument("--skew-mode", choices=["normal", "extreme"],
+    ap.add_argument("--skew-mode", choices=["normal", "extreme", "bimodal"],
                     default="normal",
                     help="extreme = ~90%% of orders on ONE customer, ~90%% "
                          "of lineitems on ONE part, ~90%% of events on ONE "
                          "user -- the salting/bounded-self-join stress; "
-                         "also a perf axis (single-key shuffle partitions)")
+                         "also a perf axis (single-key shuffle partitions). "
+                         "bimodal = the same 90%% hot mass split across "
+                         "TWO keys (~45%% each)")
     ap.add_argument("--rows-mode", choices=["normal", "single"],
                     default="normal",
                     help="single = every table exactly ONE row (FKs "
