@@ -185,7 +185,8 @@ def gen(out: str, seed: int, scale: float,
         text_mode: str = "normal", empty_tables: tuple = (),
         null_columns: tuple = (), dup_mode: str = "normal",
         tie_mode: str = "normal", time_mode: str = "normal",
-        skew_mode: str = "normal", rows_mode: str = "normal") -> None:
+        skew_mode: str = "normal", rows_mode: str = "normal",
+        gap_scale: float = 1.0) -> None:
     global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL, _SINGLE_ROW
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
@@ -338,7 +339,7 @@ def gen(out: str, seed: int, scale: float,
             "l_shipdate": shipdates.astype("datetime64[us]")})
 
     # --- events: hot user, burst, duplicate timestamps, single-event user ----
-    gaps = rng.exponential(15 * 60e6, n_events)  # ~15 min mean cadence, us
+    gaps = rng.exponential(15 * 60e6 * gap_scale, n_events)  # ~15 min mean
     gaps[100:130] = 4e6                          # 30-event burst, ~2 minutes
     gaps[1::83] = 0.0                            # exact duplicate timestamps
     if frozen_time:
@@ -524,6 +525,12 @@ def main() -> int:
                          "also a perf axis (single-key shuffle partitions). "
                          "bimodal = the same 90%% hot mass split across "
                          "TWO keys (~45%% each)")
+    ap.add_argument("--gap-scale", type=float, default=1.0,
+                    help="multiply event inter-arrival gaps (axis P: "
+                         "100 = the same event count stretched over a "
+                         "~100x longer timeline -- long-span sparse "
+                         "time; stresses resample grids, session "
+                         "horizons, as-of distances, window spans)")
     ap.add_argument("--rows-mode", choices=["normal", "single"],
                     default="normal",
                     help="single = every table exactly ONE row (FKs "
@@ -549,7 +556,7 @@ def main() -> int:
           f"skew_mode={a.skew_mode} rows_mode={a.rows_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
         a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode,
-        a.skew_mode, a.rows_mode)
+        a.skew_mode, a.rows_mode, a.gap_scale)
     return 0
 
 
