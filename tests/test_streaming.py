@@ -410,6 +410,89 @@ def test_checkpoint_restart_exactly_once(
     assert merged == batch
 
 
+def test_checkpoint_restart_exactly_once_python_state(
+    spark, sf_oracle_dir, tmp_path
+):
+    """Round-12 extension of the restart gate to the PYTHON-stateful
+    API: applyInPandasWithState session state (raw GroupState +
+    event-time timeouts) must survive a mid-replay checkpoint restart
+    exactly-once — run 1 drains only the first staged file (sessions
+    closed by gap exposure emit; idle per-user GroupState rows persist
+    to the state store), run 2 restores that Python-managed state plus
+    the file-source offset and finishes the replay.  The union of the
+    two runs must equal the uninterrupted replay's sessions with no
+    (user, session_start) emitted twice — proving the state the Python
+    worker serializes round-trips the checkpoint, not just the JVM
+    aggregation state the other restart cases cover."""
+    import glob
+    import shutil
+
+    from map_reduce_multi_threaded_spark.streaming.stateful import (
+        session_windows_custom,
+    )
+
+    staged, _ = W.stage_events_multibatch(sf_oracle_dir, n_files=2, n_sentinels=1)
+    files = sorted(glob.glob(f"{staged}/*.parquet"))
+    assert len(files) == 3  # 2 data + 1 sentinel
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain() -> None:
+        ev = W.read_staged_stream(spark, str(replay)).withWatermark(
+            "ts", "1 second"
+        )
+        q = (
+            session_windows_custom(ev)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sink_rows() -> set:
+        return {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+            if r["user_id"] >= 0  # sentinel keys carry state too
+        }
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(W.STREAM_STATE_PARTITIONS)
+    )
+    try:
+        shutil.copy2(files[0], replay / os.path.basename(files[0]))
+        drain()
+        p1 = sink_rows()
+        for f in files[1:]:
+            shutil.copy2(f, replay / os.path.basename(f))
+        drain()
+        both = sink_rows()
+        p2 = both - p1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert p1, "first run emitted no sessions; restart test is vacuous"
+    # exactly-once: no session key emitted by both runs
+    dup = {k[:2] for k in p1} & {k[:2] for k in p2}
+    assert not dup, f"sessions re-emitted after restart: {sorted(dup)[:5]}"
+    # completeness: union == the uninterrupted replay (itself
+    # oracle-gated against the batch gaps-and-islands answer)
+    uninterrupted = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in SQ.stream_custom_sessions(spark, sf_oracle_dir).collect()
+    }
+    got = {
+        (u, s.strftime("%Y-%m-%d %H:%M:%S.%f"), n) for u, s, n in both
+    }
+    assert got == uninterrupted
+
+
 #: every distinct stateful-replay STATE SHAPE the registry relies on —
 #: watermarked window aggregation, dropDuplicates dedup state,
 #: applyInPandasWithState custom sessions, stream-stream full-outer
