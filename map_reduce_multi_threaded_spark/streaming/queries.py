@@ -12,6 +12,14 @@ from ..registry import QuerySpec
 from ..sources.tables import load_table
 from . import windows as W
 
+#: microsecond timestamp render shared by queries AND the fault-
+#: tolerance gates in tests/test_streaming.py — Spark's `date_format`
+#: 'SSSSSS' must stay in lockstep with the DuckDB oracles' strftime
+#: '%f'; deriving both test sides from this one constant (ADVICE r12)
+#: makes a precision change fail loudly instead of as an opaque set
+#: mismatch.
+SESSION_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
 
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = W.read_events_stream(spark, sf_dir)
@@ -233,7 +241,7 @@ def stream_custom_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel keys (negative user_ids) carry state too — drop them here
     return out.where(F.col("user_id") >= 0).select(
         "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_start", SESSION_TS_FMT).alias("session_start"),
         "n_events",
     )
 

@@ -553,7 +553,8 @@ def main() -> int:
           f"money_scale={a.money_scale} text_mode={a.text_mode} "
           f"empty={empties} nulls={nulls} dup_mode={a.dup_mode} "
           f"tie_mode={a.tie_mode} time_mode={a.time_mode} "
-          f"skew_mode={a.skew_mode} rows_mode={a.rows_mode}")
+          f"skew_mode={a.skew_mode} rows_mode={a.rows_mode} "
+          f"gap_scale={a.gap_scale}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
         a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode,
         a.skew_mode, a.rows_mode, a.gap_scale)

@@ -454,12 +454,29 @@ def test_checkpoint_restart_exactly_once_python_state(
         )
         q.awaitTermination()
 
-    def sink_rows() -> set:
-        return {
+    def sink_rows() -> list:
+        # LIST, not set (ADVICE r12): a byte-identical re-emission after
+        # restart (same (user, session_start, n_events) row committed
+        # twice) would be silently deduplicated by a set — the
+        # exactly-once property's most likely failure mode.  Callers
+        # assert list-level uniqueness before set-ifying, mirroring
+        # test_checkpoint_restart_exactly_once.  session_start renders
+        # through the SAME Spark formatter the registered query uses
+        # (SQ.SESSION_TS_FMT), so the completeness compare below never
+        # depends on strftime/'SSSSSS' staying coincidentally aligned.
+        return [
             (r["user_id"], r["session_start"], r["n_events"])
-            for r in spark.read.parquet(out).collect()
+            for r in spark.read.parquet(out)
+            .select(
+                "user_id",
+                F.date_format("session_start", SQ.SESSION_TS_FMT).alias(
+                    "session_start"
+                ),
+                "n_events",
+            )
+            .collect()
             if r["user_id"] >= 0  # sentinel keys carry state too
-        }
+        ]
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -468,14 +485,21 @@ def test_checkpoint_restart_exactly_once_python_state(
     try:
         shutil.copy2(files[0], replay / os.path.basename(files[0]))
         drain()
-        p1 = sink_rows()
+        rows1 = sink_rows()
+        p1 = set(rows1)
         for f in files[1:]:
             shutil.copy2(f, replay / os.path.basename(f))
         drain()
-        both = sink_rows()
+        all_rows = sink_rows()
+        both = set(all_rows)
         p2 = both - p1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    # byte-identical re-emissions are invisible to the set algebra below
+    # — catch them at the committed-file level first
+    assert len(rows1) == len(p1), "duplicate rows in sink after run 1"
+    assert len(all_rows) == len(both), "duplicate rows in sink"
 
     assert p1, "first run emitted no sessions; restart test is vacuous"
     # exactly-once: no session key emitted by both runs
@@ -487,10 +511,8 @@ def test_checkpoint_restart_exactly_once_python_state(
         (r["user_id"], r["session_start"], r["n_events"])
         for r in SQ.stream_custom_sessions(spark, sf_oracle_dir).collect()
     }
-    got = {
-        (u, s.strftime("%Y-%m-%d %H:%M:%S.%f"), n) for u, s, n in both
-    }
-    assert got == uninterrupted
+    # both sides already carry SQ.SESSION_TS_FMT strings (sink_rows)
+    assert both == uninterrupted
 
 
 #: every distinct stateful-replay STATE SHAPE the registry relies on —
