@@ -26,6 +26,8 @@ driver.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -978,7 +980,64 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 """
 
 
-def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-key row-count threshold above which the as-of/interval family
+#: dispatches to its chunked/bucketed spelling (round-13, VERDICT r12
+#: ask #1).  Calibrated from the round-12 skew A/B
+#: (docs/skew_recipe_ab_r12.md): the plain single-sort carry's forward
+#: ``first(ignorenulls)`` frame is super-linear per partition (108k
+#: hot-key rows → 158 s in ONE task), so ~10k rows is where a hot key
+#: starts costing whole seconds of single-task time while the chunked
+#: spelling's extra shuffle + summary join stays in the 0.2-0.5 s
+#: range.  Driver fixtures top out near 100 rows/user at every sf, so
+#: the plain plan (cheapest on balanced keys) stays the registered
+#: default there; the env knob exists for clusters that know their key
+#: profile.
+HOT_KEY_ROWS_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_HOT_KEY_ROWS", "10000")
+)
+
+
+def _hot_key_stats(
+    df: DataFrame, key_cols: list[str], ts_col: str | None = None
+) -> tuple[int, int | None, int | None]:
+    """One partial-aggregated stats pass for the AQE-style skew gate:
+    (max rows per key, min ts µs, max ts µs).  The groupBy count
+    combines map-side, so the shuffle carries one row per key and the
+    final agg reduces on executors — O(data) scan, O(keys) shuffle, a
+    single scalar to the driver (a plan-dispatch statistic, same role
+    as AQE's runtime shuffle stats, NOT a data collect).  Empty input
+    → (0, None, None)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if ts_col is not None:
+        aggs += [
+            F.min(F.unix_micros(F.col(ts_col))).alias("_lo"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("_hi"),
+        ]
+    per_key = df.groupBy(*key_cols).agg(*aggs)
+    outer = [F.max("_n").alias("n")]
+    if ts_col is not None:
+        outer += [F.min("_lo").alias("lo"), F.max("_hi").alias("hi")]
+    row = per_key.agg(*outer).first()
+    n = row["n"] or 0
+    if ts_col is None:
+        return n, None, None
+    return n, row["lo"], row["hi"]
+
+
+def _asof_chunk_width(hot_n: int, lo_us: int, hi_us: int, threshold: int) -> int:
+    """Chunk width for the dispatched carry: aim the hot key at ~1/4 of
+    the threshold per chunk (assuming time-spread rows), clamped to
+    [16, 8192] chunks so the stitch summary frame stays tiny and a
+    time-CONCENTRATED hot key (all rows in one chunk — the documented
+    residual, same limit as any time-bucketing remedy) still bounds the
+    chunk count.  Width never below 1 µs."""
+    n_chunks = min(8192, max(16, -(-hot_n * 4 // max(1, threshold))))
+    return max(1, -(-(hi_us - lo_us) // n_chunks))
+
+
+def join_asof_nearest(
+    spark: SparkSession, sf_dir: str, *, hot_key_rows: int | None = None
+) -> DataFrame:
     """NEAREST-in-time as-of join (bidirectional): for each purchase,
     the same user's error closest in time in EITHER direction, ties to
     the earlier side.  The scalable composition extends
@@ -989,7 +1048,15 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     two window passes over ONE (user_id, time) sort, zero row
     multiplication, where the naive join-and-argmin explodes
     |purchases|×|errors| per user.  The oracle IS that naive argmin,
-    which is exactly the point."""
+    which is exactly the point.
+
+    Per-key skew gate (round-13): a cheap partial-agg stats pass
+    measures the hottest user; above ``hot_key_rows`` (default
+    :data:`HOT_KEY_ROWS_THRESHOLD`) the carry dispatches to
+    :func:`_asof_carry_chunked` — output-identity-proven, and measured
+    158 s → 0.75 s on the 100× 90%-one-key fixture
+    (docs/skew_recipe_ab_r12.md) — so a 90% key at 100 TB gets the
+    bounded-task plan without the caller knowing the key profile."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", F.lit(1).alias("kind"),
@@ -999,15 +1066,25 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.lit(0).alias("kind"), F.col("ts").alias("err_ts")
     )
     both = purchases.unionByName(errors)
-    order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
-    wb = (
-        Window.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("user_id").orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    threshold = HOT_KEY_ROWS_THRESHOLD if hot_key_rows is None else hot_key_rows
+    hot_n, lo, hi = _hot_key_stats(both, ["user_id"], "ts")
+    if hot_n > threshold:
+        carried = _asof_carry_chunked(
+            both, _asof_chunk_width(hot_n, lo, hi, threshold)
+        )
+    else:
+        order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
+        wb = (
+            Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = both.withColumn(
+            "back_ts", F.last("err_ts", ignorenulls=True).over(wb)
+        ).withColumn("fwd_ts", F.first("err_ts", ignorenulls=True).over(wf))
     tu = F.expr("unix_micros(ts)")
     back, fwd = F.col("back_ts"), F.col("fwd_ts")
     nearest = (
@@ -1017,8 +1094,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fwd)
     )
     return (
-        both.withColumn("back_ts", F.last("err_ts", ignorenulls=True).over(wb))
-        .withColumn("fwd_ts", F.first("err_ts", ignorenulls=True).over(wf))
+        carried
         .where(F.col("kind") == 1)
         .select(
             "event_id",
@@ -1070,10 +1146,12 @@ def _interval_join_user_bucketed(
     dominates, the same per-key gate as every salting recipe here.
 
     Expects the registered query's column names (purchase_id, p_user,
-    p_ts / error_id, e_user, e_ts).  Unregistered (the fixtures favor
-    the plain per-user spelling); tests/test_relational.py proves
-    output identity against the plain interval join, boundary and
-    pre-epoch rows included."""
+    p_ts / error_id, e_user, e_ts).  Since round 13
+    ``stream_stream_join`` carries the same spelling behind its static
+    hot-key gate (streams can't run a stats pre-pass, so the knob is
+    ``SPARK_GRAFT_STREAM_HOT_KEYS`` / an explicit argument);
+    tests/test_relational.py proves output identity against the plain
+    interval join, boundary and pre-epoch rows included."""
     bucket_us = interval_min * 60 * 1_000_000
     pb = F.floor(F.unix_micros(F.col("p_ts")) / F.lit(bucket_us)).cast("long")
     p = purchases.withColumn("_b", F.explode(F.array(pb, pb - F.lit(1))))
@@ -1114,9 +1192,12 @@ def _asof_carry_chunked(both: DataFrame, chunk_us: int) -> DataFrame:
     Takes the unioned purchase+error frame the registered query builds
     (user_id, ts, event_id, kind, err_ts — err_ts = ts on error rows,
     NULL on purchases); returns it with back_ts/fwd_ts, ready for the
-    3-way nearest CASE.  Unregistered; tests/test_relational.py proves
-    identity at two binding chunk widths, error-less chunks and ties
-    included."""
+    3-way nearest CASE.  Since round 13 this IS the branch
+    :func:`join_asof_nearest` dispatches to above
+    :data:`HOT_KEY_ROWS_THRESHOLD` (VERDICT r12 ask #1);
+    tests/test_relational.py proves identity at two binding chunk
+    widths, error-less chunks and ties included, and forced-dispatch
+    oracle parity."""
     order = [F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc()]
     b = both.withColumn(
         "_chunk", F.floor(F.unix_micros("ts") / F.lit(chunk_us)).cast("long")
@@ -2624,7 +2705,44 @@ FROM base LEFT JOIN r1 USING (cohort_week) LEFT JOIN r2 USING (cohort_week)
 RESAMPLE_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
 
 
-def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _last_in_bucket(ev: DataFrame, skewed: bool) -> DataFrame:
+    """Pass 1 of the resample family: the last event per (user, bucket)
+    by (tu, event_id).  Two output-identical spellings, dispatched by
+    the per-key skew gate:
+
+    * plain (balanced keys): row_number over a (user, bucket) window —
+      one keyed sort, cheapest at driver-fixture cardinalities;
+    * skewed: ``max(struct(tu, event_id, value))`` grouped by
+      (user, bucket) — a HASH aggregate whose partial combines
+      MAP-SIDE, so a hot (user, bucket) reduces before the shuffle and
+      no task ever sorts the hot key's full row set.  Identical pick
+      because the struct orders lexicographically on (tu, event_id) —
+      the same total order as the window's (tu DESC, event_id DESC)
+      tie-break — and event_id is unique, so the trailing value field
+      never decides."""
+    if not skewed:
+        w_last = Window.partitionBy("user_id", "bucket").orderBy(
+            F.desc("tu"), F.desc("event_id")
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w_last))
+            .where(F.col("rn") == 1)
+            .select("user_id", "bucket", "value")
+        )
+    return (
+        ev.groupBy("user_id", "bucket")
+        .agg(
+            F.max(
+                F.struct(F.col("tu"), F.col("event_id"), F.col("value"))
+            ).alias("_m")
+        )
+        .select("user_id", "bucket", F.col("_m.value").alias("value"))
+    )
+
+
+def events_resample_ffill(
+    spark: SparkSession, sf_dir: str, *, hot_key_rows: int | None = None
+) -> DataFrame:
     """Time-series resampling with forward fill: per user, a REGULAR
     6-hour grid from their first to last event, each point carrying the
     value of the last event at or before it — the gap-filling step
@@ -2635,7 +2753,12 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     value is PICKED (last non-null over the bucket order), never
     arithmetic — so doubles pass through untouched.  Scale: one window
     per (user, bucket), one per user — both keyed shuffles; the grid
-    explodes from per-user bounds, no driver loop."""
+    explodes from per-user bounds, no driver loop.  The per-user grid
+    carry is bounded by timespan/bucket regardless of row volume; the
+    volume-sensitive piece is pass 1, so the round-13 skew gate
+    measures the hottest (user, bucket) and dispatches
+    :func:`_last_in_bucket` to its map-side-combining aggregate
+    spelling above :data:`HOT_KEY_ROWS_THRESHOLD`."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -2643,14 +2766,9 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("tu"),
         F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("bucket"),
     )
-    w_last = Window.partitionBy("user_id", "bucket").orderBy(
-        F.desc("tu"), F.desc("event_id")
-    )
-    last_in = (
-        ev.withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("user_id", "bucket", "value")
-    )
+    threshold = HOT_KEY_ROWS_THRESHOLD if hot_key_rows is None else hot_key_rows
+    hot_n, _, _ = _hot_key_stats(ev, ["user_id", "bucket"])
+    last_in = _last_in_bucket(ev, hot_n > threshold)
     grid = (
         ev.groupBy("user_id")
         .agg(F.min("bucket").alias("mb"), F.max("bucket").alias("xb"))
@@ -2671,7 +2789,9 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_resample_interpolate(
+    spark: SparkSession, sf_dir: str, *, hot_key_rows: int | None = None
+) -> DataFrame:
     """Resampling with LINEAR INTERPOLATION — the arithmetic sibling of
     :func:`events_resample_ffill`: empty 6-hour grid buckets get
     ``prev + (next − prev) · frac`` between the neighboring known
@@ -2683,7 +2803,8 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.  Grid endpoints always hold events (the grid spans min..max
     event bucket), so every empty bucket is interior and the formula is
     total.  Scale: identical to the ffill variant — two keyed windows,
-    no joins beyond the grid fill."""
+    no joins beyond the grid fill; pass 1 carries the same per-key skew
+    gate (see :func:`events_resample_ffill`)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -2691,14 +2812,9 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts)").alias("tu"),
         F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("bucket"),
     )
-    w_last = Window.partitionBy("user_id", "bucket").orderBy(
-        F.desc("tu"), F.desc("event_id")
-    )
-    last_in = (
-        ev.withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("user_id", "bucket", "value")
-    )
+    threshold = HOT_KEY_ROWS_THRESHOLD if hot_key_rows is None else hot_key_rows
+    hot_n, _, _ = _hot_key_stats(ev, ["user_id", "bucket"])
+    last_in = _last_in_bucket(ev, hot_n > threshold)
     grid = (
         ev.groupBy("user_id")
         .agg(F.min("bucket").alias("mb"), F.max("bucket").alias("xb"))

@@ -177,23 +177,20 @@ _REVERIFY_FIRST: dict[str, int] = {
     # The four r11 flags (agg_corr_exact + the three session-oracle
     # consumers) were pruned in round 12 per the same convention: all
     # four lead CORRECTNESS_r11 with green post-fix records.
-    # round-12 perf rewrite (docs/wordcount_ab_r12.md): word_counts now
-    # counts raw surface forms first and normalizes the distinct-token
-    # table (regexp/translate off the per-instance hot path; passes8
-    # 1.05 → 0.42 s best).  Output proven identical + oracle-verified
-    # at all 3 sfs on rewrite, but these four (zipf composes
-    # word_counts) have only pre-rewrite driver greens — re-record.
-    "wordcount": 12,
-    "wordcount_passes8": 12,
-    "wordcount_topk": 12,
-    "text_zipf_slope": 12,
-    # round-12 single-row axis catches (docs/altfixture_r12.md): tfidf
-    # zero-norm 0/0 guard, contrastive `% (n-1)` 0-modulus at n=1, MMR
-    # greedy losing a lone candidate (empty a != b pair frame).  All
-    # re-verified green at 3 sfs + the single-row fixture on fix.
-    "tfidf_cosine_rank": 12,
-    "pipeline_contrastive_pairs": 12,
-    "rerank_mmr": 12,
+    # The seven r12 flags (wordcount ×3, text_zipf_slope,
+    # tfidf_cosine_rank, pipeline_contrastive_pairs, rerank_mmr) were
+    # pruned in round 13 per the convention above: VERDICT r12 records
+    # all seven with post-rewrite r12 driver greens.
+    # round-13 per-key skew gate (VERDICT r12 ask #1): the as-of/
+    # interval family now runs an AQE-style stats pre-pass and
+    # dispatches to the chunked/bucketed recipe above
+    # HOT_KEY_ROWS_THRESHOLD.  At driver fixture cardinalities the
+    # dispatched plan is byte-identical to the old plain plan, but the
+    # construction path changed — re-record.
+    "join_asof_nearest": 13,
+    "events_resample_ffill": 13,
+    "events_resample_interpolate": 13,
+    "stream_stream_join": 13,
 }
 
 

@@ -724,6 +724,91 @@ def test_asof_carry_chunked_recipe_is_identical(spark, sf_oracle_dir):
         ) == cbase, f"crafted chunk_us={chunk_us} diverged"
 
 
+def test_asof_skew_gate_dispatches_and_matches_oracle(spark, sf_oracle_dir):
+    """Round-13 per-key skew gate (VERDICT r12 ask #1): the registered
+    join_asof_nearest must pick the plain single-sort carry at fixture
+    key cardinalities (~100 rows/user — cheapest plan there) and the
+    chunked carry when the hottest key crosses the threshold — proven
+    by forcing the threshold to 0 and hash-comparing the DISPATCHED
+    plan against the same DuckDB oracle the driver uses."""
+    spec = {s.name: s for s in relational.SPECS}["join_asof_nearest"]
+    plain = relational.join_asof_nearest(spark, sf_oracle_dir)
+    assert "_chunk" not in _plan(plain)  # fixture stays under threshold
+    hot = relational.join_asof_nearest(spark, sf_oracle_dir, hot_key_rows=0)
+    assert re.search(
+        r"hashpartitioning\(user_id#\d+L?, _chunk#\d+L?", _plan(hot)
+    ), "forced dispatch did not select the chunked carry"
+    compare(hot, spec.oracle, sf_oracle_dir)
+
+
+def test_resample_skew_gate_dispatches_and_matches_oracle(spark, sf_oracle_dir):
+    """The resample family's pass-1 gate: plain branch keeps the
+    row_number window; the hot branch replaces it with the map-side-
+    combining max(struct) aggregate (no per-partition sort of the hot
+    key), and the dispatched plan still hash-matches the oracle."""
+    specs = {s.name: s for s in relational.SPECS}
+    for name, fn in (
+        ("events_resample_ffill", relational.events_resample_ffill),
+        ("events_resample_interpolate", relational.events_resample_interpolate),
+    ):
+        assert "row_number" in _plan(fn(spark, sf_oracle_dir)), name
+        hot = fn(spark, sf_oracle_dir, hot_key_rows=0)
+        p = _plan(hot)
+        assert "row_number" not in p, f"{name}: pass 1 still a window sort"
+        compare(hot, specs[name].oracle, sf_oracle_dir)
+
+
+def test_last_in_bucket_spellings_identical(spark):
+    """The two pass-1 spellings must pick the SAME row on crafted
+    frames: null values (a null value must win if its (tu, event_id)
+    is newest), negative buckets (pre-epoch), and single-row groups."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        # user 1, bucket 5: null value is the newest row — must win
+        (1, 5, 10, 100.0), (1, 5, 20, None),
+        # user 1, bucket -3: pre-epoch bucket, newest is event 31
+        (1, -3, 30, 1.5), (1, -3, 31, 2.5),
+        # user 2, singleton
+        (2, 7, 40, 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, bucket long, event_id long, value double"
+    ).withColumn("tu", F.col("event_id") * 1000)
+    plain = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in relational._last_in_bucket(ev, skewed=False).collect()
+    }
+    skewed = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in relational._last_in_bucket(ev, skewed=True).collect()
+    }
+    assert plain == {(1, 5): None, (1, -3): 2.5, (2, 7): 9.0}
+    assert skewed == plain
+
+
+def test_hot_key_stats_and_chunk_width(spark):
+    """Gate plumbing edges: empty input → (0, None, None) → plain
+    branch; chunk width stays positive at zero timespan and the chunk
+    count clamps to [16, 8192]."""
+    empty = spark.range(0).selectExpr(
+        "id AS user_id", "CAST(NULL AS timestamp) AS ts"
+    )
+    assert relational._hot_key_stats(empty, ["user_id"], "ts") == (0, None, None)
+    day = 86_400_000_000
+    # 108k hot rows over 100 days at the default 10k threshold →
+    # ceil(108000*4/10000) = 44 chunks ≈ 2.3-day width
+    w = relational._asof_chunk_width(108_000, 0, 100 * day, 10_000)
+    assert 2 * day < w < 3 * day
+    # tiny hot count clamps to 16 chunks; huge clamps to 8192
+    assert relational._asof_chunk_width(1, 0, 160 * day, 10_000) == 10 * day
+    assert (
+        relational._asof_chunk_width(10**9, 0, 8192 * day, 1) == day
+    )
+    # zero timespan (frozen time) still yields a positive width
+    assert relational._asof_chunk_width(50_000, 7, 7, 10_000) == 1
+
+
 def test_sample_weighted_skews_heavy(spark, sf_dir):
     """ES sampling must overrepresent heavy weights: the sampled mean
     weight exceeds the population mean (deterministic on the fixture)."""

@@ -515,6 +515,146 @@ def test_checkpoint_restart_exactly_once_python_state(
     assert both == uninterrupted
 
 
+def test_stream_stream_join_bucketed_matches_oracle(spark, sf_oracle_dir):
+    """The hot-key-gated spelling of the stream-stream interval join
+    (round-13 static skew gate) must hash-match the same DuckDB oracle
+    as the plain spelling — the (user, time-bucket) keying is a state
+    sharding, not a semantics change."""
+    spec = {s.name: s for s in SQ.SPECS}["stream_stream_join"]
+    compare(
+        SQ.stream_stream_join(spark, sf_oracle_dir, hot_key_bucketing=True),
+        spec.oracle,
+        sf_oracle_dir,
+    )
+
+
+def test_checkpoint_restart_exactly_once_bucketed_join(
+    spark, sf_oracle_dir, tmp_path
+):
+    """Checkpoint-restart exactly-once THROUGH a recipe-dispatched plan
+    (VERDICT r12 ask #5 — the prior 9 FT gates all ran plain
+    spellings): the bucketed stream-stream interval join — the state
+    key now includes the derived time bucket and the purchase side
+    explodes to two probe buckets — must survive a mid-replay restart
+    with every matched pair emitted exactly once.  Drives the
+    PRODUCT's join builder (queries._interval_join_streams), not a
+    test copy, over the standard time-ordered multibatch replay with a
+    fault-tolerant file sink; the union of the two runs must equal the
+    batch oracle's pair set with no pair committed twice."""
+    import glob
+    import shutil
+
+    from tests.oracle_utils import duck_con
+
+    staged, _ = W.stage_events_multibatch(sf_oracle_dir)
+    files = sorted(glob.glob(f"{staged}/*.parquet"))
+    assert len(files) == 6  # 4 data + 2 sentinels
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain() -> None:
+        purchases = (
+            W.read_staged_stream(spark, str(replay))
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        errors = (
+            W.read_staged_stream(spark, str(replay))
+            .where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "1 hour")
+        )
+        q = (
+            SQ._interval_join_streams(purchases, errors, bucketed=True)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sink_rows() -> list:
+        # list, not set: byte-identical re-emitted pairs must be visible
+        return [
+            (r["purchase_id"], r["error_id"], r["p_user"])
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(W.STREAM_STATE_PARTITIONS)
+    )
+    try:
+        for f in files[:3]:
+            shutil.copy2(f, replay / os.path.basename(f))
+        drain()
+        rows1 = sink_rows()
+        p1 = set(rows1)
+        for f in files[3:]:
+            shutil.copy2(f, replay / os.path.basename(f))
+        drain()
+        all_rows = sink_rows()
+        both = set(all_rows)
+        p2 = both - p1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert len(rows1) == len(p1), "duplicate pairs in sink after run 1"
+    assert len(all_rows) == len(both), "duplicate pairs in sink"
+    assert p1, "first run matched no pairs; restart test is vacuous"
+    assert p2, "second run matched no pairs; restart added nothing"
+    dup = p1 & p2
+    assert not dup, f"pairs re-emitted after restart: {sorted(dup)[:5]}"
+    con = duck_con(sf_oracle_dir)  # keep a reference: GC closes the connection
+    oracle = {tuple(r) for r in con.sql(SQ._STREAM_STREAM_ORACLE).fetchall()}
+    got = {t for t in both if t[2] >= 0}  # drop sentinel-key pairs
+    assert got == oracle
+
+
+def test_rocksdb_state_store_parity_bucketed_join(spark, sf_oracle_dir):
+    """RocksDB-vs-default state store parity for the recipe-dispatched
+    join state shape — the exploded (user, bucket) key must round-trip
+    both providers identically, like every plain state shape in
+    test_rocksdb_state_store_parity."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    results = {}
+    for mode in ("default", "rocksdb"):
+        if mode == "rocksdb":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            results[mode] = {
+                tuple(r)
+                for r in SQ.stream_stream_join(
+                    spark, sf_oracle_dir, hot_key_bucketing=True
+                ).collect()
+            }
+        finally:
+            if mode == "rocksdb":
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+    assert results["default"], "empty result is vacuous"
+    assert results["rocksdb"] == results["default"]
+
+
 #: every distinct stateful-replay STATE SHAPE the registry relies on —
 #: watermarked window aggregation, dropDuplicates dedup state,
 #: applyInPandasWithState custom sessions, stream-stream full-outer
