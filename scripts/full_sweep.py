@@ -8,6 +8,9 @@ summary; exit code 1 on any failure.
 Usage: python scripts/full_sweep.py [sf0.01] [sf0.1] ...
        python scripts/full_sweep.py /tmp/altdata/alt1   # absolute dir
                                                         # (alt fixture)
+       --verbose / -v : print per-query timings (always printed for
+                        queries over 5 s — adversarial fixtures can
+                        make single queries dominate a sweep, round 13)
 """
 from __future__ import annotations
 
@@ -23,7 +26,10 @@ from tests.oracle_utils import compare
 
 
 def main() -> int:
-    sfs = sys.argv[1:] or ["sf0.01", "sf0.1"]
+    verbose = any(a in ("--verbose", "-v") for a in sys.argv[1:])
+    sfs = [a for a in sys.argv[1:] if not a.startswith("-")] or [
+        "sf0.01", "sf0.1"
+    ]
     spark = get_spark(app_name="full_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     specs = collect_specs()
@@ -32,11 +38,15 @@ def main() -> int:
         sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"
         t0 = time.perf_counter()
         for spec in specs:
+            q0 = time.perf_counter()
             try:
                 compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
             except Exception as exc:  # noqa: BLE001 - report and continue
                 failures.append((sf, spec.name, str(exc)[:200]))
                 print(f"FAIL {sf} {spec.name}: {str(exc)[:200]}", flush=True)
+            dt = time.perf_counter() - q0
+            if verbose or dt > 5:
+                print(f"TIME {sf} {spec.name}: {round(dt, 1)}s", flush=True)
         print(
             f"SWEEP {sf}: {len(specs)} queries, "
             f"{len([f for f in failures if f[0] == sf])} failures, "
