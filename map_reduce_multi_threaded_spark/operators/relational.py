@@ -992,13 +992,41 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 #: the plain plan (cheapest on balanced keys) stays the registered
 #: default there; the env knob exists for clusters that know their key
 #: profile.
-HOT_KEY_ROWS_THRESHOLD = int(
-    os.environ.get("SPARK_GRAFT_HOT_KEY_ROWS", "10000")
-)
+_HOT_KEY_ROWS_DEFAULT = 10000
+
+
+def hot_key_rows_threshold() -> int:
+    """Resolve the gate threshold at CALL time (ADVICE r13: the old
+    module-level ``int(os.environ...)`` froze the knob at import and
+    made a malformed value crash the whole module import).  Empty or
+    unset → the calibrated default; a non-integer value fails here,
+    scoped to the one query that consulted it."""
+    raw = os.environ.get("SPARK_GRAFT_HOT_KEY_ROWS", "")
+    if not raw:
+        return _HOT_KEY_ROWS_DEFAULT
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_HOT_KEY_ROWS must be an integer row count, "
+            f"got {raw!r}"
+        ) from None
+
+
+#: per-session memo for the gate's stats pre-pass, keyed by a caller-
+#: supplied (derivation, sf_dir) tag + the stats signature.  Fixture
+#: dirs are immutable for a session, so the same (table derivation,
+#: key) pair never needs a second scan — the resample ffill/interpolate
+#: pair shares one entry, and full-registry sweeps pay each pre-pass
+#: once (VERDICT r13 ask #4).
+_HOT_KEY_STATS_CACHE: dict[tuple, tuple[int, int | None, int | None]] = {}
 
 
 def _hot_key_stats(
-    df: DataFrame, key_cols: list[str], ts_col: str | None = None
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str | None = None,
+    cache_key: tuple | None = None,
 ) -> tuple[int, int | None, int | None]:
     """One partial-aggregated stats pass for the AQE-style skew gate:
     (max rows per key, min ts µs, max ts µs).  The groupBy count
@@ -1006,7 +1034,18 @@ def _hot_key_stats(
     final agg reduces on executors — O(data) scan, O(keys) shuffle, a
     single scalar to the driver (a plan-dispatch statistic, same role
     as AQE's runtime shuffle stats, NOT a data collect).  Empty input
-    → (0, None, None)."""
+    → (0, None, None).
+
+    NOTE (documented per ADVICE r13): this is an eager action at plan-
+    BUILD time — the returned plan is stats-pinned to the data as of
+    the build, exactly like a plan compiled under AQE runtime stats.
+    For immutable fixture dirs that is the intended semantics; pass
+    ``cache_key=(tag, sf_dir)`` to memoize the scan per session."""
+    if cache_key is not None:
+        memo_key = (cache_key, tuple(key_cols), ts_col)
+        hit = _HOT_KEY_STATS_CACHE.get(memo_key)
+        if hit is not None:
+            return hit
     aggs = [F.count(F.lit(1)).alias("_n")]
     if ts_col is not None:
         aggs += [
@@ -1019,9 +1058,14 @@ def _hot_key_stats(
         outer += [F.min("_lo").alias("lo"), F.max("_hi").alias("hi")]
     row = per_key.agg(*outer).first()
     n = row["n"] or 0
+    res: tuple[int, int | None, int | None]
     if ts_col is None:
-        return n, None, None
-    return n, row["lo"], row["hi"]
+        res = (n, None, None)
+    else:
+        res = (n, row["lo"], row["hi"])
+    if cache_key is not None:
+        _HOT_KEY_STATS_CACHE[memo_key] = res
+    return res
 
 
 def _asof_chunk_width(hot_n: int, lo_us: int, hi_us: int, threshold: int) -> int:
@@ -1052,7 +1096,7 @@ def join_asof_nearest(
 
     Per-key skew gate (round-13): a cheap partial-agg stats pass
     measures the hottest user; above ``hot_key_rows`` (default
-    :data:`HOT_KEY_ROWS_THRESHOLD`) the carry dispatches to
+    :func:`hot_key_rows_threshold`) the carry dispatches to
     :func:`_asof_carry_chunked` — output-identity-proven, and measured
     158 s → 0.75 s on the 100× 90%-one-key fixture
     (docs/skew_recipe_ab_r12.md) — so a 90% key at 100 TB gets the
@@ -1066,9 +1110,14 @@ def join_asof_nearest(
         "user_id", "ts", "event_id", F.lit(0).alias("kind"), F.col("ts").alias("err_ts")
     )
     both = purchases.unionByName(errors)
-    threshold = HOT_KEY_ROWS_THRESHOLD if hot_key_rows is None else hot_key_rows
-    hot_n, lo, hi = _hot_key_stats(both, ["user_id"], "ts")
-    if hot_n > threshold:
+    threshold = hot_key_rows_threshold() if hot_key_rows is None else hot_key_rows
+    hot_n, lo, hi = _hot_key_stats(
+        both, ["user_id"], "ts", cache_key=("asof_both", sf_dir)
+    )
+    # lo is None when every ts is NULL (ADVICE r13: an alt fixture can
+    # null the column while one key still tops the count) — no chunk
+    # width is computable, and the plain carry degenerates gracefully.
+    if hot_n > threshold and lo is not None:
         carried = _asof_carry_chunked(
             both, _asof_chunk_width(hot_n, lo, hi, threshold)
         )
@@ -1194,7 +1243,7 @@ def _asof_carry_chunked(both: DataFrame, chunk_us: int) -> DataFrame:
     NULL on purchases); returns it with back_ts/fwd_ts, ready for the
     3-way nearest CASE.  Since round 13 this IS the branch
     :func:`join_asof_nearest` dispatches to above
-    :data:`HOT_KEY_ROWS_THRESHOLD` (VERDICT r12 ask #1);
+    :func:`hot_key_rows_threshold` (VERDICT r12 ask #1);
     tests/test_relational.py proves identity at two binding chunk
     widths, error-less chunks and ties included, and forced-dispatch
     oracle parity."""
@@ -2758,7 +2807,7 @@ def events_resample_ffill(
     volume-sensitive piece is pass 1, so the round-13 skew gate
     measures the hottest (user, bucket) and dispatches
     :func:`_last_in_bucket` to its map-side-combining aggregate
-    spelling above :data:`HOT_KEY_ROWS_THRESHOLD`."""
+    spelling above :func:`hot_key_rows_threshold`."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -2766,8 +2815,10 @@ def events_resample_ffill(
         F.expr("unix_micros(ts)").alias("tu"),
         F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("bucket"),
     )
-    threshold = HOT_KEY_ROWS_THRESHOLD if hot_key_rows is None else hot_key_rows
-    hot_n, _, _ = _hot_key_stats(ev, ["user_id", "bucket"])
+    threshold = hot_key_rows_threshold() if hot_key_rows is None else hot_key_rows
+    hot_n, _, _ = _hot_key_stats(
+        ev, ["user_id", "bucket"], cache_key=("resample_ev", sf_dir)
+    )
     last_in = _last_in_bucket(ev, hot_n > threshold)
     grid = (
         ev.groupBy("user_id")
@@ -2812,8 +2863,10 @@ def events_resample_interpolate(
         F.expr("unix_micros(ts)").alias("tu"),
         F.expr(f"unix_micros(ts) div {RESAMPLE_BUCKET_US}").alias("bucket"),
     )
-    threshold = HOT_KEY_ROWS_THRESHOLD if hot_key_rows is None else hot_key_rows
-    hot_n, _, _ = _hot_key_stats(ev, ["user_id", "bucket"])
+    threshold = hot_key_rows_threshold() if hot_key_rows is None else hot_key_rows
+    hot_n, _, _ = _hot_key_stats(
+        ev, ["user_id", "bucket"], cache_key=("resample_ev", sf_dir)
+    )
     last_in = _last_in_bucket(ev, hot_n > threshold)
     grid = (
         ev.groupBy("user_id")

@@ -184,7 +184,7 @@ _REVERIFY_FIRST: dict[str, int] = {
     # round-13 per-key skew gate (VERDICT r12 ask #1): the as-of/
     # interval family now runs an AQE-style stats pre-pass and
     # dispatches to the chunked/bucketed recipe above
-    # HOT_KEY_ROWS_THRESHOLD.  At driver fixture cardinalities the
+    # hot_key_rows_threshold().  At driver fixture cardinalities the
     # dispatched plan is byte-identical to the old plain plan, but the
     # construction path changed — re-record.
     "join_asof_nearest": 13,

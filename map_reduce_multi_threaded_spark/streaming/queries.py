@@ -284,9 +284,11 @@ FROM events GROUP BY user_id
 #: 1.8-3.1x under a 90%-one-key fixture and the batch A/B put the plain
 #: spelling's quadratic hot-key pair scan at >600 s (capped) where the
 #: bucketed form took 0.44 s (docs/skew_recipe_ab_r12.md).
-STREAM_HOT_KEY_BUCKETING = (
-    os.environ.get("SPARK_GRAFT_STREAM_HOT_KEYS", "") == "1"
-)
+def stream_hot_key_bucketing() -> bool:
+    """Resolve the knob at CALL time (ADVICE r13: the old module-level
+    read froze the env var at import, so setting it after importing the
+    package silently did nothing)."""
+    return os.environ.get("SPARK_GRAFT_STREAM_HOT_KEYS", "") == "1"
 
 #: the registered interval, shared by both spellings
 _SSJ_INTERVAL_MIN = 10
@@ -303,7 +305,7 @@ def stream_stream_join(
     reach back to it (ts + 10 min < watermark).  Single-batch drain
     makes the result equal the batch interval join (the oracle).
 
-    Hot-key gate (round 13): under :data:`STREAM_HOT_KEY_BUCKETING`
+    Hot-key gate (round 13): under :func:`stream_hot_key_bucketing`
     (or ``hot_key_bucketing=True``) the join keys on
     (user, 10-min time bucket) instead of user alone — the
     ``_interval_join_user_bucketed`` recipe spelling
@@ -316,7 +318,7 @@ def stream_stream_join(
     import pyspark.sql.functions as F
 
     gate = (
-        STREAM_HOT_KEY_BUCKETING if hot_key_bucketing is None else hot_key_bucketing
+        stream_hot_key_bucketing() if hot_key_bucketing is None else hot_key_bucketing
     )
     ev1 = W.read_events_stream(spark, sf_dir)
     purchases = (

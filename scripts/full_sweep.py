@@ -26,7 +26,15 @@ from tests.oracle_utils import compare
 
 
 def main() -> int:
-    verbose = any(a in ("--verbose", "-v") for a in sys.argv[1:])
+    known_flags = ("--verbose", "-v")
+    unknown = [
+        a for a in sys.argv[1:] if a.startswith("-") and a not in known_flags
+    ]
+    if unknown:
+        # ADVICE r13: a typo like `-sf0.1` used to be silently dropped,
+        # quietly sweeping the default fixtures instead of failing.
+        sys.exit(f"unknown flag(s): {' '.join(unknown)}; known: {known_flags}")
+    verbose = any(a in known_flags for a in sys.argv[1:])
     sfs = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "sf0.01", "sf0.1"
     ]

@@ -809,6 +809,72 @@ def test_hot_key_stats_and_chunk_width(spark):
     assert relational._asof_chunk_width(50_000, 7, 7, 10_000) == 1
 
 
+def test_hot_key_threshold_env_read_at_call_time(monkeypatch):
+    """ADVICE r13: the knob must take effect AFTER import (the old
+    module-level read froze it), and a malformed value must fail as a
+    scoped ValueError, not crash module import."""
+    monkeypatch.delenv("SPARK_GRAFT_HOT_KEY_ROWS", raising=False)
+    assert relational.hot_key_rows_threshold() == 10_000
+    monkeypatch.setenv("SPARK_GRAFT_HOT_KEY_ROWS", "123")
+    assert relational.hot_key_rows_threshold() == 123
+    monkeypatch.setenv("SPARK_GRAFT_HOT_KEY_ROWS", "lots")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_HOT_KEY_ROWS"):
+        relational.hot_key_rows_threshold()
+
+
+def test_stream_hot_key_knob_read_at_call_time(monkeypatch):
+    from map_reduce_multi_threaded_spark.streaming import queries as SQ
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_HOT_KEYS", raising=False)
+    assert SQ.stream_hot_key_bucketing() is False
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_HOT_KEYS", "1")
+    assert SQ.stream_hot_key_bucketing() is True
+
+
+def test_hot_key_stats_memoized_per_cache_key(spark):
+    """With cache_key the pre-pass runs once per (tag, keys, ts_col)
+    per session — the resample pair shares one scan (VERDICT r13 ask
+    #4).  Proven by poisoning the memo and seeing the poisoned value
+    come back instead of a recomputation."""
+    relational._HOT_KEY_STATS_CACHE.clear()
+    df = spark.range(5).selectExpr("id % 2 AS user_id")
+    tag = ("test_memo", "/nonexistent")
+    r1 = relational._hot_key_stats(df, ["user_id"], cache_key=tag)
+    assert r1 == (3, None, None)
+    memo_key = (tag, ("user_id",), None)
+    assert relational._HOT_KEY_STATS_CACHE[memo_key] == r1
+    relational._HOT_KEY_STATS_CACHE[memo_key] = (999, None, None)
+    assert relational._hot_key_stats(df, ["user_id"], cache_key=tag) == (
+        999, None, None,
+    )
+    # no cache_key → always recomputed, memo untouched
+    assert relational._hot_key_stats(df, ["user_id"]) == (3, None, None)
+    relational._HOT_KEY_STATS_CACHE.clear()
+
+
+def test_asof_gate_all_null_ts_falls_back_plain(spark, tmp_path):
+    """ADVICE r13: every ts NULL but one key above the threshold must
+    fall back to the PLAIN carry (no chunk width is computable from a
+    null timespan), building a valid degenerate plan instead of
+    raising TypeError at plan-build time."""
+    import pyspark.sql.functions as F
+
+    rows = [(1, "purchase", i) for i in range(4)] + [(1, "error", 10)]
+    ev = (
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, event_id long"
+        )
+        .withColumn("ts", F.lit(None).cast("timestamp"))
+        .withColumn("value", F.lit(1.0))
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = relational.join_asof_nearest(spark, str(tmp_path), hot_key_rows=2)
+    assert "_chunk" not in _plan(out)
+    got = out.collect()
+    assert len(got) == 4
+    assert all(r["nearest_error_ts"] is None for r in got)
+
+
 def test_sample_weighted_skews_heavy(spark, sf_dir):
     """ES sampling must overrepresent heavy weights: the sampled mean
     weight exceeds the population mean (deterministic on the fixture)."""
