@@ -1127,13 +1127,26 @@ def join_asof_nearest(
             Window.partitionBy("user_id").orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # Forward carry as a DESCENDING running frame (reversed order,
+        # unboundedPreceding→currentRow, last ignorenulls) — identical
+        # rows to first(ignorenulls) over (currentRow,
+        # unboundedFollowing), but incremental O(n) per partition where
+        # the forward frame rescans O(run-length) per row on sparse
+        # err_ts (the r12 A/B's "bigger finding": 158 s for 108k rows
+        # in one task was the scan product, not the sort).  Costs one
+        # extra sort of the same exchange; removes the super-linear
+        # term from the BELOW-threshold branch too (a <10k-row key
+        # with long purchase runs no longer pays O(run²)).
+        order_desc = [
+            F.col("ts").desc(), F.col("kind").desc(), F.col("event_id").desc()
+        ]
         wf = (
-            Window.partitionBy("user_id").orderBy(*order)
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            Window.partitionBy("user_id").orderBy(*order_desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = both.withColumn(
             "back_ts", F.last("err_ts", ignorenulls=True).over(wb)
-        ).withColumn("fwd_ts", F.first("err_ts", ignorenulls=True).over(wf))
+        ).withColumn("fwd_ts", F.last("err_ts", ignorenulls=True).over(wf))
     tu = F.expr("unix_micros(ts)")
     back, fwd = F.col("back_ts"), F.col("fwd_ts")
     nearest = (
@@ -2876,16 +2889,27 @@ def events_resample_interpolate(
     wb = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wf = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
-        0, Window.unboundedFollowing
+    # Forward carry as a DESCENDING running frame, not a
+    # (currentRow, unboundedFollowing) first(ignorenulls): Spark
+    # evaluates running frames incrementally (O(n) per partition) but
+    # scans an unboundedFollowing frame forward from every row until
+    # the first non-null — O(run-length) per row, super-linear on
+    # sparse grids.  The round-14 skew audit measured the difference
+    # on the 100×/90%-one-key fixture: this query CAPPED at >120 s
+    # with the forward frame (sparse users × 8.5-year spans → 36M grid
+    # rows with thousand-bucket null runs) vs seconds with the
+    # descending spelling (docs/skew_audit_r14.json) — the same
+    # pathology the r12 A/B found in the as-of carry.
+    wf = Window.partitionBy("user_id").orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     known_bucket = F.when(F.col("value").isNotNull(), F.col("bucket"))
     filled = (
         grid.join(last_in, ["user_id", "bucket"], "left")
         .withColumn("pv", F.last("value", ignorenulls=True).over(wb))
         .withColumn("pb", F.last(known_bucket, ignorenulls=True).over(wb))
-        .withColumn("nv", F.first("value", ignorenulls=True).over(wf))
-        .withColumn("nb", F.first(known_bucket, ignorenulls=True).over(wf))
+        .withColumn("nv", F.last("value", ignorenulls=True).over(wf))
+        .withColumn("nb", F.last(known_bucket, ignorenulls=True).over(wf))
     )
     interp = F.expr(
         "CASE WHEN value IS NOT NULL THEN value "

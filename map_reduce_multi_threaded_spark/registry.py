@@ -181,16 +181,19 @@ _REVERIFY_FIRST: dict[str, int] = {
     # tfidf_cosine_rank, pipeline_contrastive_pairs, rerank_mmr) were
     # pruned in round 13 per the convention above: VERDICT r12 records
     # all seven with post-rewrite r12 driver greens.
-    # round-13 per-key skew gate (VERDICT r12 ask #1): the as-of/
-    # interval family now runs an AQE-style stats pre-pass and
-    # dispatches to the chunked/bucketed recipe above
-    # hot_key_rows_threshold().  At driver fixture cardinalities the
-    # dispatched plan is byte-identical to the old plain plan, but the
-    # construction path changed — re-record.
-    "join_asof_nearest": 13,
-    "events_resample_ffill": 13,
-    "events_resample_interpolate": 13,
-    "stream_stream_join": 13,
+    # The four r13 skew-gate flags (join_asof_nearest,
+    # events_resample_ffill, events_resample_interpolate,
+    # stream_stream_join) were pruned in round 14 per the convention:
+    # CORRECTNESS_r13 records all four green, recorded by the driver's
+    # end-of-round sweep after the gate commits (4ede4be, b78eb9b).
+    # round-14 forward-carry rewrite (skew audit, VERDICT r13 ask #1):
+    # the super-linear (currentRow, unboundedFollowing)
+    # first(ignorenulls) frames became descending-order RUNNING frames
+    # — identical output (oracle-verified at sf0.01 AND hash-exact on
+    # the 100× skew fixture for the resample), different plan — so the
+    # driver should re-record both.
+    "join_asof_nearest": 14,
+    "events_resample_interpolate": 14,
 }
 
 

