@@ -213,13 +213,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonically-oriented edge list a<b, so each triangle is counted
     exactly once).
 
-    Scale: the classic shape — join cost is Σ deg(v)², tamed in
-    practice because near-dup components are tiny; on power-law graphs
-    you'd pre-filter by degree (count only on the low-degree
-    orientation), which the a<b orientation already approximates.
-    Edge derivation rides the PPJoin exact join (r9) — same pair set
-    as the all-pairs spelling the oracle still uses, without the
-    quadratic co-occurrence term."""
+    Scale: wedge generation is inherently Σ over b of
+    indeg(b)·outdeg(b) under the a<b orientation — Ω(#wedges) work no
+    exact count can avoid — but the WEDGE STREAM must never hit a
+    shuffle: the round-14 dup-extreme×skew sweep (giant ~1000-doc
+    near-dup cliques, 1.3e9 wedges) killed the old plan, which
+    shuffled every wedge row into the closing (a,c) join (30+ GB
+    exchange → read-ahead heap OOM after 28 min).  The fix is the
+    MapReduce classic: partial-aggregate wedges per (a,c) in the SAME
+    stage that generates them (map-side combine → at most one row per
+    node pair crosses the wire, ≤ |E| rows per component), then join
+    the closing edge and sum.  Edge derivation rides the PPJoin exact
+    join (r9) — same pair set as the all-pairs spelling the oracle
+    still uses, without the quadratic co-occurrence term."""
     from .dedup import _ppjoin_pairs_from, shingles
 
     e = (
@@ -230,10 +236,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    return (
+    wedges = (
         e1.join(e2, "b")
-        .join(e3, ["a", "c"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("w_n"))
+    )
+    return (
+        wedges.join(e3, ["a", "c"])
+        .agg(F.coalesce(F.sum("w_n"), F.lit(0)).cast("long").alias("n_triangles"))
     )
 
 

@@ -194,6 +194,13 @@ _REVERIFY_FIRST: dict[str, int] = {
     # driver should re-record both.
     "join_asof_nearest": 14,
     "events_resample_interpolate": 14,
+    # round-14 dup-extreme×skew sweep: the triangle count's wedge
+    # stream now partial-aggregates per (a,c) BEFORE the closing edge
+    # join (map-side combine) — the old plan shuffled every wedge row
+    # and heap-OOMed on giant near-dup cliques.  Same count (verified
+    # against the exact clique-structure formula on the 2.3e9-triangle
+    # fixture), different plan — re-record.
+    "graph_triangle_count": 14,
 }
 
 

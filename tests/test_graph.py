@@ -106,3 +106,52 @@ def test_common_neighbors_vs_python_sets(spark, sf_oracle_dir):
                 want[(sup[sa], sa, sb)] = (common, union, 1000000 * common // union)
     assert got == want
     assert want, "sf0.01 fixture should produce same-nation overlapping pairs"
+
+
+def test_triangle_wedges_aggregate_before_closing_join(spark, sf_oracle_dir):
+    """Round-14 scale fix: the wedge stream must be partial-aggregated
+    per (a,c) BEFORE the closing edge join — the old plan shuffled
+    every wedge row and heap-OOMed on giant near-dup cliques (2.3e9
+    wedges, docs/altfixture_r14.md).  Assert the plan carries the
+    wedge-count aggregate upstream of the final join, and that the
+    map-side partial half exists (two HashAggregates for w_n)."""
+    df = graph.graph_triangle_count(spark, sf_oracle_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "w_n" in plan, plan
+    # partial + final pair for the wedge aggregate, before the sum agg
+    idx_sum = plan.index("n_triangles")
+    assert plan.count("HashAggregate", idx_sum) >= 2, plan
+
+
+def test_triangle_count_exact_on_crafted_cliques(spark, tmp_path):
+    """K4 ∪ K3 ∪ an open path must count C(4,3)+C(3,3)+0 = 5 when fed
+    through the wedge-aggregate composition (bypassing the PPJoin edge
+    derivation, which is oracle-gated elsewhere)."""
+    import pyspark.sql.functions as F
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k3 = [(a, b) for a in range(10, 13) for b in range(10, 13) if a < b]
+    path = [(20, 21), (21, 22)]  # wedge, no closing edge
+    e = spark.createDataFrame(k4 + k3 + path, "doc_a long, doc_b long")
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, "b").groupBy("a", "c").agg(F.count(F.lit(1)).alias("w_n"))
+    got = (
+        wedges.join(e3, ["a", "c"])
+        .agg(F.coalesce(F.sum("w_n"), F.lit(0)).cast("long").alias("n_triangles"))
+        .collect()[0]["n_triangles"]
+    )
+    assert got == 5
+    # empty-graph degenerate: coalesce keeps the 0 row
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    ee1 = empty.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    ee2 = empty.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ee3 = empty.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    w = ee1.join(ee2, "b").groupBy("a", "c").agg(F.count(F.lit(1)).alias("w_n"))
+    z = (
+        w.join(ee3, ["a", "c"])
+        .agg(F.coalesce(F.sum("w_n"), F.lit(0)).cast("long").alias("n_triangles"))
+        .collect()[0]["n_triangles"]
+    )
+    assert z == 0
