@@ -982,17 +982,21 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
 
 #: per-key row-count threshold above which the as-of/interval family
 #: dispatches to its chunked/bucketed spelling (round-13, VERDICT r12
-#: ask #1).  Calibrated from the round-12 skew A/B
-#: (docs/skew_recipe_ab_r12.md): the plain single-sort carry's forward
-#: ``first(ignorenulls)`` frame is super-linear per partition (108k
-#: hot-key rows → 158 s in ONE task), so ~10k rows is where a hot key
-#: starts costing whole seconds of single-task time while the chunked
-#: spelling's extra shuffle + summary join stays in the 0.2-0.5 s
-#: range.  Driver fixtures top out near 100 rows/user at every sf, so
-#: the plain plan (cheapest on balanced keys) stays the registered
-#: default there; the env knob exists for clusters that know their key
-#: profile.
-_HOT_KEY_ROWS_DEFAULT = 10000
+#: ask #1).  RECALIBRATED round 14: the original 10k setting priced
+#: the OLD plain carry, whose forward ``first(ignorenulls)`` frame was
+#: super-linear per partition (108k hot rows → 158 s in one task,
+#: docs/skew_recipe_ab_r12.md).  That frame is gone — the carry is now
+#: a descending running frame, linear per partition — and the re-run
+#: A/B on the same 100×/90%-one-key fixture (270k hot rows) measures
+#: plain at 1.08 s vs 4.26 s for the chunked dispatch, identical
+#: output (docs/skew_audit_r14.md).  The binding constraint is
+#: therefore single-TASK time on a linear sort+carry (~1-2 s/M rows
+#: on one core), not frame math: 1M rows/key is where the hot key's
+#: one task starts costing seconds while chunking's extra shuffle +
+#: stitch stays comfortably cheaper.  At a 90%-key 100 TB table the
+#: gate still fires (the hot key is ~1e12 rows); on balanced keys and
+#: every driver fixture the cheaper plain plan stays registered.
+_HOT_KEY_ROWS_DEFAULT = 1_000_000
 
 
 def hot_key_rows_threshold() -> int:

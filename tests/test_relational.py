@@ -796,7 +796,7 @@ def test_hot_key_stats_and_chunk_width(spark):
     )
     assert relational._hot_key_stats(empty, ["user_id"], "ts") == (0, None, None)
     day = 86_400_000_000
-    # 108k hot rows over 100 days at the default 10k threshold →
+    # 108k hot rows over 100 days at an (r13-era) 10k threshold →
     # ceil(108000*4/10000) = 44 chunks ≈ 2.3-day width
     w = relational._asof_chunk_width(108_000, 0, 100 * day, 10_000)
     assert 2 * day < w < 3 * day
@@ -814,7 +814,7 @@ def test_hot_key_threshold_env_read_at_call_time(monkeypatch):
     module-level read froze it), and a malformed value must fail as a
     scoped ValueError, not crash module import."""
     monkeypatch.delenv("SPARK_GRAFT_HOT_KEY_ROWS", raising=False)
-    assert relational.hot_key_rows_threshold() == 10_000
+    assert relational.hot_key_rows_threshold() == 1_000_000
     monkeypatch.setenv("SPARK_GRAFT_HOT_KEY_ROWS", "123")
     assert relational.hot_key_rows_threshold() == 123
     monkeypatch.setenv("SPARK_GRAFT_HOT_KEY_ROWS", "lots")
