@@ -35,8 +35,75 @@ DIM = 64
 K_NEIGHBORS = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors in the fixture
 COSINE_THRESHOLD = 0.4
-N_PLANES = 6  # 2^6 = 64 buckets per table
+N_PLANES = 6  # FLOOR plane count (2^6 = 64 buckets/table); see lsh_planes()
+P_MAX = 16  # plane-count ceiling — the oracle's literal masks stop here
 N_TABLES = 8  # OR-amplification: recall 1-(1-p^6)^8 vs p^6 single-table
+
+#: target mean bucket occupancy for the adaptive plane count — the
+#: quantity FIXED plane counts fail to hold: with p frozen at 6, LSH
+#: candidates grow as corpus²/64 (still quadratic), and the round-14
+#: 100× stress sweep measured embedding_neardup_lsh capping >300 s at
+#: 80k vectors (docs/stress100_r14.md).  Holding occupancy ~constant
+#: (p = log2(n/32)) keeps per-table candidates ≈ n·occupancy/2 —
+#: linear in the corpus — at the standard LSH price: per-table recall
+#: for MODERATE-similarity pairs decays as (1-θ/π)^p while true
+#: near-duplicates (θ≈0, the dedup target) stay ~certain collisions.
+LSH_TARGET_OCCUPANCY = 32
+
+
+def lsh_planes(n: int) -> int:
+    """Adaptive plane count: ceil(log2(n / occupancy)), clamped to
+    [N_PLANES, P_MAX].  Exactly mirrored by the oracles' SQL
+    (`_duck_lsh_params`); at every driver fixture (≤2000 embeddings)
+    this is the historical constant 6, so fixture results are
+    bit-identical to the fixed-plane era."""
+    import math
+
+    return min(P_MAX, max(N_PLANES, math.ceil(math.log2(max(n, 1) / 32.0))))
+
+
+#: target cluster cardinality for SemDeDup's adaptive k (same flaw,
+#: same fix: k frozen at 4 makes the within-cluster pair scan
+#: corpus²/4 — capped >300 s at 80k vectors — where SemDeDup's own
+#: recipe grows k with the corpus, ~10⁵ clusters over 5 B embeddings).
+KMEANS_TARGET_CLUSTER = 512
+
+
+def kmeans_k(n: int) -> int:
+    """Adaptive k: ceil(n / 512) clamped to [4, 1024], mirrored in SQL
+    by `_duck_kmeans_params`; every driver fixture stays at the
+    historical k=4."""
+    import math
+
+    return min(1024, max(4, math.ceil(n / 512.0)))
+
+
+#: per-session corpus-count memo (same role as the relational skew
+#: gate's stats cache: one build-time scan per fixture dir, plan
+#: dispatch pinned to build time — fixture dirs are immutable).
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    if sf_dir not in _CORPUS_COUNT_CACHE:
+        _CORPUS_COUNT_CACHE[sf_dir] = load_table(
+            spark, sf_dir, "embeddings"
+        ).count()
+    return _CORPUS_COUNT_CACHE[sf_dir]
+
+
+#: the two parameter formulas as DuckDB SQL — MUST stay the exact
+#: expression twins of lsh_planes()/kmeans_k() (both engines compute
+#: correctly-rounded IEEE log2/ceil on the same double, so the clamp
+#: lands identically; tests/test_similarity.py sweeps the parity).
+_DUCK_LSH_PARAMS = (
+    "(SELECT LEAST(16, GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1)"
+    " / 32.0)) AS INT))) AS p FROM embeddings)"
+)
+_DUCK_KMEANS_PARAMS = (
+    "(SELECT LEAST(1024, GREATEST(4, CAST(ceil(count(*) / 512.0)"
+    " AS INT))) AS kk FROM embeddings)"
+)
 
 
 def rademacher_sign(t: int, i: int, j: int) -> float:
@@ -238,17 +305,17 @@ WHERE {_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
 # plane components derived inline from md5('plane:t:i:j') on BOTH
 # engines — planes never exist as data.
 
-def _plane_signs():
-    """(N_TABLES·N_PLANES, DIM) ±1.0 matrix from md5('plane:t:i:j') —
+def _plane_signs(n_planes: int = N_PLANES):
+    """(N_TABLES·n_planes, DIM) ±1.0 matrix from md5('plane:t:i:j') —
     the same digests the DuckDB oracle's literal masks are built from,
     so the planes exist nowhere as data files."""
     import numpy as np
 
-    s = np.empty((N_TABLES * N_PLANES, DIM))
+    s = np.empty((N_TABLES * n_planes, DIM))
     for t in range(N_TABLES):
-        for i in range(N_PLANES):
+        for i in range(n_planes):
             for j in range(DIM):
-                s[t * N_PLANES + i, j] = rademacher_sign(t, i, j + 1)
+                s[t * n_planes + i, j] = rademacher_sign(t, i, j + 1)
     return s
 
 
@@ -271,18 +338,23 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    signs = _plane_signs()
-    weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+    # adaptive plane count (round 14): one memoized build-time count
+    # pins p = lsh_planes(n); the oracle computes the identical p in
+    # SQL (_DUCK_LSH_PARAMS), so the driver gate still checks the
+    # ALGORITHM.  Driver fixtures (≤2000 vectors) stay at p = 6.
+    p = lsh_planes(corpus_count(spark, sf_dir))
+    signs = _plane_signs(p)
+    weights = 1 << np.arange(p, dtype=np.int64)
 
     @pandas_udf("array<long>")
     def buckets(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         e = np.stack(emb.to_numpy()).astype(np.float64)  # float32→float64 exact
-        acc = np.zeros((e.shape[0], N_TABLES * N_PLANES))
+        acc = np.zeros((e.shape[0], N_TABLES * p))
         for j in range(DIM):
             acc += e[:, j : j + 1] * signs[:, j]
-        bits = (acc > 0).reshape(-1, N_TABLES, N_PLANES)
+        bits = (acc > 0).reshape(-1, N_TABLES, p)
         b = (bits * weights).sum(axis=2)
         return pd.Series(list(b))
 
@@ -366,14 +438,22 @@ def _duck_proj(t: int, i: int) -> str:
 
 def _duck_buckets_sql() -> str:
     """The multi-table bucket assignment as one UNION ALL SQL block —
-    shared by every oracle that consumes LSH candidates."""
+    shared by every oracle that consumes LSH candidates.  Round 14:
+    the bucket takes the first `pp.p` of P_MAX mask literals, with p
+    computed from count(*) by the exact SQL twin of
+    :func:`lsh_planes` — so the oracle follows the adaptive plane
+    count instead of pinning the old fixed 6."""
     per_table = []
     for t in range(N_TABLES):
         terms = " + ".join(
-            f"(CASE WHEN {_duck_proj(t, i)} > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(N_PLANES)
+            f"(CASE WHEN {i} < pp.p AND {_duck_proj(t, i)} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(P_MAX)
         )
-        per_table.append(f"SELECT vec_id, {t} AS t, ({terms}) AS bucket FROM embeddings")
+        per_table.append(
+            f"SELECT vec_id, {t} AS t, ({terms}) AS bucket "
+            f"FROM embeddings CROSS JOIN {_DUCK_LSH_PARAMS} pp"
+        )
     return "\n  UNION ALL\n  ".join(per_table)
 
 
@@ -716,7 +796,7 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 #    quantizer knn_ivf's sampled centroids stand in for
 # ---------------------------------------------------------------------------
 
-KMEANS_K = 4
+KMEANS_K = 4  # FLOOR; see kmeans_k() — adaptive with corpus count since r14
 KMEANS_ITERS = 3
 KMEANS_Q = 1_000_000  # quantization scale: 1e-6 embedding units
 
@@ -754,9 +834,16 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration = one broadcast join + one 64-column keyed aggregation —
     the canonical distributed-k-means shuffle shape."""
     v = _quantized(spark, sf_dir).localCheckpoint(eager=False)
+    # adaptive k (round 14): k = ceil(n/512) clamped [4, 1024] — the
+    # SemDeDup composition's within-cluster pair scan is quadratic in
+    # cluster SIZE, so k must grow with the corpus to hold it bounded
+    # (k frozen at 4 capped >300 s at 80k vectors, docs/stress100_r14.md).
+    # Driver fixtures (≤2000 vectors) keep the historical k = 4; the
+    # oracle computes the identical k in SQL (_DUCK_KMEANS_PARAMS).
+    kk = kmeans_k(corpus_count(spark, sf_dir))
     cents = v.where(
         (F.col("vec_id") >= _CENTROID_BASE)
-        & (F.col("vec_id") < _CENTROID_BASE + KMEANS_K)
+        & (F.col("vec_id") < _CENTROID_BASE + kk)
     ).select((F.col("vec_id") - _CENTROID_BASE).alias("k"), F.col("qv").alias("cv"))
     assign = None
     for it in range(KMEANS_ITERS):
@@ -797,7 +884,8 @@ def _kmeans_oracle() -> str:
   FROM embeddings
 ),
 c0 AS (SELECT vec_id - {_CENTROID_BASE} AS k, qv AS cv FROM q
-       WHERE vec_id >= {_CENTROID_BASE} AND vec_id < {_CENTROID_BASE + KMEANS_K})"""
+       WHERE vec_id >= {_CENTROID_BASE}
+         AND vec_id < {_CENTROID_BASE} + (SELECT kk FROM {_DUCK_KMEANS_PARAMS} kp))"""
     ]
     for it in range(KMEANS_ITERS):
         parts.append(f"""s{it + 1} AS (

@@ -81,6 +81,10 @@ def main() -> int:
     ap.add_argument("fixture")
     ap.add_argument("--cap", type=float, default=120.0)
     ap.add_argument("--names", default="", help="comma list; default = auto-detect")
+    ap.add_argument("--all", action="store_true",
+                    help="run every query in --modules regardless of the "
+                         "user-keyed plan filter (engine-only 100x stress "
+                         "sweep — no oracle, any key can be the hot one)")
     ap.add_argument("--modules", default="relational",
                     help="comma list of operator-module suffixes to scan")
     ap.add_argument("--json", default="", help="write results JSON here")
@@ -90,10 +94,16 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     mods = tuple(a.modules.split(","))
     only = set(n for n in a.names.split(",") if n)
-    specs = [
-        s for s in collect_specs()
-        if s.fn.__module__.rsplit(".", 1)[-1] in mods and (not only or s.name in only)
-    ]
+    if only:
+        # explicit names take precedence over everything (round 14:
+        # --all + --names used to run the whole module, so a re-time
+        # of one fixed query burned its cap on the brute baselines)
+        specs = [s for s in collect_specs() if s.name in only]
+    else:
+        specs = [
+            s for s in collect_specs()
+            if s.fn.__module__.rsplit(".", 1)[-1] in mods
+        ]
     results: dict[str, dict] = {}
     for spec in specs:
         b0 = time.perf_counter()
@@ -106,8 +116,8 @@ def main() -> int:
             continue
         build_s = time.perf_counter() - b0
         user_only = bool(_USER_ONLY_EXCHANGE.search(plan))
-        if only:
-            pass  # explicit names always run
+        if only or a.all:
+            pass  # explicit names / --all always run
         elif not user_only:
             continue
         t, err = _timed_noop(spark, spec.name, df, a.cap)
