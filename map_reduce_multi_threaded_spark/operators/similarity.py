@@ -54,12 +54,18 @@ LSH_TARGET_OCCUPANCY = 32
 def lsh_planes(n: int) -> int:
     """Adaptive plane count: ceil(log2(n / occupancy)), clamped to
     [N_PLANES, P_MAX].  Exactly mirrored by the oracles' SQL
-    (`_duck_lsh_params`); at every driver fixture (≤2000 embeddings)
-    this is the historical constant 6, so fixture results are
-    bit-identical to the fixed-plane era."""
+    (`_DUCK_LSH_PARAMS`, built from the same constants); at every
+    driver fixture (≤2000 embeddings) this is the historical constant
+    6, so fixture results are bit-identical to the fixed-plane era."""
     import math
 
-    return min(P_MAX, max(N_PLANES, math.ceil(math.log2(max(n, 1) / 32.0))))
+    return min(
+        P_MAX,
+        max(
+            N_PLANES,
+            math.ceil(math.log2(max(n, 1) / float(LSH_TARGET_OCCUPANCY))),
+        ),
+    )
 
 
 #: target cluster cardinality for SemDeDup's adaptive k (same flaw,
@@ -67,15 +73,21 @@ def lsh_planes(n: int) -> int:
 #: corpus²/4 — capped >300 s at 80k vectors — where SemDeDup's own
 #: recipe grows k with the corpus, ~10⁵ clusters over 5 B embeddings).
 KMEANS_TARGET_CLUSTER = 512
+KMEANS_K = 4  # FLOOR k; every driver fixture (≤2048 vectors) clamps here
+KMEANS_K_MAX = 1024  # k ceiling — centroid rebuilds stay a bounded agg
 
 
 def kmeans_k(n: int) -> int:
-    """Adaptive k: ceil(n / 512) clamped to [4, 1024], mirrored in SQL
-    by `_duck_kmeans_params`; every driver fixture stays at the
+    """Adaptive k: ceil(n / KMEANS_TARGET_CLUSTER) clamped to
+    [KMEANS_K, KMEANS_K_MAX], mirrored in SQL by `_DUCK_KMEANS_PARAMS`
+    (built from the SAME constants); every driver fixture stays at the
     historical k=4."""
     import math
 
-    return min(1024, max(4, math.ceil(n / 512.0)))
+    return min(
+        KMEANS_K_MAX,
+        max(KMEANS_K, math.ceil(n / float(KMEANS_TARGET_CLUSTER))),
+    )
 
 
 #: per-session corpus-count memo (same role as the relational skew
@@ -92,17 +104,22 @@ def corpus_count(spark: SparkSession, sf_dir: str) -> int:
     return _CORPUS_COUNT_CACHE[sf_dir]
 
 
-#: the two parameter formulas as DuckDB SQL — MUST stay the exact
-#: expression twins of lsh_planes()/kmeans_k() (both engines compute
+#: the two parameter formulas as DuckDB SQL — the exact expression
+#: twins of lsh_planes()/kmeans_k(), built from the SAME constants so
+#: a clamp edit cannot desync them (both engines compute
 #: correctly-rounded IEEE log2/ceil on the same double, so the clamp
-#: lands identically; tests/test_similarity.py sweeps the parity).
+#: lands identically; tests/test_similarity.py::
+#: test_param_formula_parity_vs_duckdb sweeps the parity over
+#: thousands of n including every clamp and power-of-two boundary).
 _DUCK_LSH_PARAMS = (
-    "(SELECT LEAST(16, GREATEST(6, CAST(ceil(log2(GREATEST(count(*), 1)"
-    " / 32.0)) AS INT))) AS p FROM embeddings)"
+    f"(SELECT LEAST({P_MAX}, GREATEST({N_PLANES}, "
+    f"CAST(ceil(log2(GREATEST(count(*), 1)"
+    f" / {float(LSH_TARGET_OCCUPANCY)})) AS INT))) AS p FROM embeddings)"
 )
 _DUCK_KMEANS_PARAMS = (
-    "(SELECT LEAST(1024, GREATEST(4, CAST(ceil(count(*) / 512.0)"
-    " AS INT))) AS kk FROM embeddings)"
+    f"(SELECT LEAST({KMEANS_K_MAX}, GREATEST({KMEANS_K}, "
+    f"CAST(ceil(count(*) / {float(KMEANS_TARGET_CLUSTER)})"
+    f" AS INT))) AS kk FROM embeddings)"
 )
 
 
@@ -796,7 +813,10 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 #    quantizer knn_ivf's sampled centroids stand in for
 # ---------------------------------------------------------------------------
 
-KMEANS_K = 4  # FLOOR; see kmeans_k() — adaptive with corpus count since r14
+# KMEANS_K (the floor) and KMEANS_K_MAX live next to kmeans_k() at the
+# top of the module so the formula, its SQL twin and the clamp
+# constants stay one screen apart (ADVICE r14: the duplicate literal
+# here had decoupled from the formula).
 KMEANS_ITERS = 3
 KMEANS_Q = 1_000_000  # quantization scale: 1e-6 embedding units
 
@@ -825,9 +845,12 @@ _COSINE_TO_CENT = (
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster) after 3 Lloyd iterations of cosine k-means.
 
-    Seeds are corpus vectors 10..13 (same family as knn_ivf's coarse
-    cells — this IS the training loop that would turn them into a real
-    IVF quantizer).  Per iteration: broadcast the K centroids, score
+    Seeds are corpus vectors 10..10+k-1 with k = :func:`kmeans_k`
+    (same family as knn_ivf's coarse cells — this IS the training loop
+    that would turn them into a real IVF quantizer).  Seed selection
+    assumes vec_ids are contiguous from 0 (true of every fixture
+    contract, FIXTURES.md), so ids 10..10+k-1 all exist; at the k=1024
+    clamp that is vec_id ≤ 1033.  Per iteration: broadcast the K centroids, score
     every vector (argmax cosine, lowest-k tie break), then rebuild
     centroids as exact integer member-sums (cosine only cares about
     direction, so the un-normalized sum IS the mean centroid).  Each

@@ -186,21 +186,24 @@ _REVERIFY_FIRST: dict[str, int] = {
     # stream_stream_join) were pruned in round 14 per the convention:
     # CORRECTNESS_r13 records all four green, recorded by the driver's
     # end-of-round sweep after the gate commits (4ede4be, b78eb9b).
-    # round-14 forward-carry rewrite (skew audit, VERDICT r13 ask #1):
-    # the super-linear (currentRow, unboundedFollowing)
-    # first(ignorenulls) frames became descending-order RUNNING frames
-    # — identical output (oracle-verified at sf0.01 AND hash-exact on
-    # the 100× skew fixture for the resample), different plan — so the
-    # driver should re-record both.
-    "join_asof_nearest": 14,
-    "events_resample_interpolate": 14,
-    # round-14 dup-extreme×skew sweep: the triangle count's wedge
-    # stream now partial-aggregates per (a,c) BEFORE the closing edge
-    # join (map-side combine) — the old plan shuffled every wedge row
-    # and heap-OOMed on giant near-dup cliques.  Same count (verified
-    # against the exact clique-structure formula on the 2.3e9-triangle
-    # fixture), different plan — re-record.
-    "graph_triangle_count": 14,
+    # The three r14 rewrite flags (join_asof_nearest,
+    # events_resample_interpolate, graph_triangle_count) were pruned
+    # in round 15 per the convention above: CORRECTNESS_r14 records
+    # all three green, and VERDICT r14 confirms those records postdate
+    # the rewrites ("fresh r14 driver greens").
+    # round-14 end-of-round snapshot (adaptive LSH plane count +
+    # adaptive k-means k, similarity.py): the driver fixtures clamp to
+    # the historical p=6/k=4 so fixture RESULTS are bit-identical, but
+    # the existing green records predate the rewrite and never
+    # exercised the formula dispatch — VERDICT r14 ask #1c front-loads
+    # the whole adaptive-parameter family for re-recording (the
+    # adaptive BRANCH itself is oracle-gated by the round-15 5k-vector
+    # fixture tests in tests/test_similarity.py).
+    "embedding_neardup_lsh": 14,
+    "knn_lsh": 14,
+    "knn_recall_eval": 14,
+    "kmeans_assign": 14,
+    "dedup_semantic": 14,
 }
 
 

@@ -19,8 +19,8 @@ hot.  This module closes that loop operationally:
   no longer blind).
 
 Scale: the watch aggregation is a map-side-combined groupBy count per
-micro-batch — O(batch) scan, O(keys-in-batch) shuffle, two tiny
-actions per batch (a 1-row agg + a LIMIT 1 for the hottest key).  It
+micro-batch — O(batch) scan, O(keys-in-batch) shuffle, ONE tiny
+action per batch (total + hottest key from the same 1-row agg).  It
 is a monitor you attach to a sampled or shadow stream in production,
 not a tax on the production query itself.
 """
@@ -28,6 +28,7 @@ not a tax on the production query itself.
 from __future__ import annotations
 
 import logging
+import os
 import shutil
 import tempfile
 
@@ -73,19 +74,29 @@ def state_rows_per_batch(sink_name: str) -> list[dict]:
 
 def hot_key_batch_profile(batch_df: DataFrame, key_col: str) -> dict:
     """One micro-batch's key profile: total rows, the hottest key and
-    its count/share.  Two actions over a map-side-combined per-key
+    its count/share.  ONE action over a map-side-combined per-key
     count — the same partial-agg shape as the batch gate's
-    ``_hot_key_stats`` (operators/relational.py)."""
+    ``_hot_key_stats`` (operators/relational.py); total and hottest
+    key come from the same 1-row aggregate so the batch is scanned
+    once (ADVICE r14: the old orderBy().first() + count() pair
+    recomputed the batch).  Tie-break: equal counts pick the smallest
+    key (min over struct(-n, key))."""
     counts = batch_df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
-    top = counts.orderBy(F.desc("_n"), F.asc(key_col)).first()
-    if top is None:
+    row = counts.agg(
+        F.sum("_n").alias("total"),
+        F.min(
+            F.struct((-F.col("_n")).alias("neg_n"), F.col(key_col).alias("k"))
+        ).alias("top"),
+    ).first()
+    if row is None or row["total"] is None:
         return {"total": 0, "hot_key": None, "hot_n": 0, "share": 0.0}
-    total = batch_df.count()
+    total = row["total"]
+    hot_n = -row["top"]["neg_n"]
     return {
         "total": total,
-        "hot_key": top[key_col],
-        "hot_n": top["_n"],
-        "share": top["_n"] / total if total else 0.0,
+        "hot_key": row["top"]["k"],
+        "hot_n": hot_n,
+        "share": hot_n / total if total else 0.0,
     }
 
 
@@ -131,7 +142,7 @@ def run_hot_key_watch(
             )
         report["batches"].append(prof)
 
-    ckpt = tempfile.mkdtemp(prefix="sg_watch_", dir="/dev/shm" if shutil.os.path.isdir("/dev/shm") else None)
+    ckpt = tempfile.mkdtemp(prefix="sg_watch_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         query = (
             stream_df.writeStream.foreachBatch(sink)

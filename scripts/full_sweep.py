@@ -56,9 +56,18 @@ def main() -> int:
     sfs = [a for a in sys.argv[1:] if not a.startswith("-")] or [
         "sf0.01", "sf0.1"
     ]
+    specs = collect_specs()
+    # ADVICE r14: a misspelled --start-after used to make seen_start
+    # never flip, silently skipping EVERY query and exiting 0 green —
+    # the same silent-skip mode the unknown-flag check above closes.
+    known_names = {s.name for s in specs}
+    bad_names = sorted(
+        (skip | ({start_after} if start_after else set())) - known_names
+    )
+    if bad_names:
+        sys.exit(f"unknown query name(s): {', '.join(bad_names)}")
     spark = get_spark(app_name="full_sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    specs = collect_specs()
     failures = []
     for sf in sfs:
         sf_dir = sf if os.path.isabs(sf) else f"/root/testdata/{sf}"

@@ -47,13 +47,25 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _timed_noop(spark, name: str, df, cap: float):
+def _timed_noop(spark, name: str, df, cap: float, observe_rows: bool = False):
     """Run df to the noop sink in a worker thread under a job group;
-    cancel the group at the cap.  Returns (seconds | None, err | None);
-    (None, None) means capped."""
+    cancel the group at the cap.  Returns (seconds | None, err | None,
+    rows | None); (None, None, None) means capped.  With
+    ``observe_rows`` the OUTPUT row count rides the same action via
+    Dataset.observe (round 15: quadratic-OUTPUT queries need the
+    volume recorded alongside the wall time — part of a 'capped' cost
+    can be irreducible output, and the cap policy must distinguish
+    that from a bad plan)."""
     sc = spark.sparkContext
     group = f"skew_audit_{name}"
     out: dict = {}
+    obs = None
+    if observe_rows:
+        from pyspark.sql import Observation
+        import pyspark.sql.functions as F
+
+        obs = Observation(f"rows_{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
 
     def work():
         sc.setJobGroup(group, name, interruptOnCancel=True)
@@ -61,6 +73,8 @@ def _timed_noop(spark, name: str, df, cap: float):
         try:
             df.write.format("noop").mode("overwrite").save()
             out["t"] = time.perf_counter() - t0
+            if obs is not None:
+                out["rows"] = obs.get["rows"]
         except Exception as exc:  # noqa: BLE001 - cancellation lands here
             out["err"] = str(exc)[:200]
 
@@ -70,10 +84,10 @@ def _timed_noop(spark, name: str, df, cap: float):
     if th.is_alive():
         sc.cancelJobGroup(group)
         th.join(60)
-        return None, None
+        return None, None, None
     if "err" in out:
-        return None, out["err"]
-    return out["t"], None
+        return None, out["err"], None
+    return out["t"], None, out.get("rows")
 
 
 def main() -> int:
@@ -87,13 +101,29 @@ def main() -> int:
                          "sweep — no oracle, any key can be the hot one)")
     ap.add_argument("--modules", default="relational",
                     help="comma list of operator-module suffixes to scan")
+    ap.add_argument("--observe-rows", action="store_true",
+                    help="record each query's OUTPUT row count via "
+                         "Dataset.observe on the same noop action — "
+                         "use when the output itself may be the cost "
+                         "(quadratic-output dedup families)")
+    ap.add_argument("--exempt", default="",
+                    help="comma list of queries to record as "
+                         "'exempt_brute_baseline' WITHOUT running — "
+                         "for labeled quadratic-by-design correctness "
+                         "baselines whose scale path is a separate "
+                         "registered query")
     ap.add_argument("--json", default="", help="write results JSON here")
     a = ap.parse_args()
 
-    spark = get_spark(app_name="skew_window_audit")
-    spark.sparkContext.setLogLevel("ERROR")
     mods = tuple(a.modules.split(","))
     only = set(n for n in a.names.split(",") if n)
+    all_names = {s.name for s in collect_specs()}
+    bad = sorted((only | set(n for n in a.exempt.split(",") if n)) - all_names)
+    if bad:
+        # round 15: a typo in --names used to silently run nothing
+        sys.exit(f"unknown query name(s): {', '.join(bad)}")
+    spark = get_spark(app_name="skew_window_audit")
+    spark.sparkContext.setLogLevel("ERROR")
     if only:
         # explicit names take precedence over everything (round 14:
         # --all + --names used to run the whole module, so a re-time
@@ -104,8 +134,17 @@ def main() -> int:
             s for s in collect_specs()
             if s.fn.__module__.rsplit(".", 1)[-1] in mods
         ]
+    exempt = set(n for n in a.exempt.split(",") if n)
     results: dict[str, dict] = {}
     for spec in specs:
+        if spec.name in exempt:
+            results[spec.name] = {
+                "status": "exempt_brute_baseline",
+                "note": "quadratic-by-design correctness baseline; "
+                        "scale path is a separate registered query",
+            }
+            print(f"EXEMPT  {spec.name} (brute baseline)", flush=True)
+            continue
         b0 = time.perf_counter()
         try:
             df = spec.fn(spark, a.fixture)
@@ -120,7 +159,8 @@ def main() -> int:
             pass  # explicit names / --all always run
         elif not user_only:
             continue
-        t, err = _timed_noop(spark, spec.name, df, a.cap)
+        t, err, rows = _timed_noop(spark, spec.name, df, a.cap,
+                                   observe_rows=a.observe_rows)
         if t is None and err is None:
             results[spec.name] = {"status": "capped", "cap_s": a.cap,
                                   "build_s": round(build_s, 2)}
@@ -131,7 +171,11 @@ def main() -> int:
         else:
             results[spec.name] = {"status": "ok", "secs": round(t, 2),
                                   "build_s": round(build_s, 2)}
-            print(f"OK      {spec.name}: {t:.2f}s", flush=True)
+            if rows is not None:
+                results[spec.name]["out_rows"] = int(rows)
+            print(f"OK      {spec.name}: {t:.2f}s"
+                  + (f" ({rows} rows)" if rows is not None else ""),
+                  flush=True)
     if a.json:
         with open(a.json, "w") as fh:
             json.dump({"fixture": a.fixture, "cap_s": a.cap,

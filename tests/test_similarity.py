@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import subprocess
+import sys
+
 import pytest
 
 from map_reduce_multi_threaded_spark.operators import similarity
@@ -205,3 +208,117 @@ def test_semantic_dedup_is_subset_of_brute_neardup(spark, sf_oracle_dir):
     # measured 30/50 = 0.6 at sf0.01 (4 clusters over a near-uniform
     # fixture); chance co-clustering is ~1/k = 0.25
     assert recall >= 0.35, (len(sem), len(brute))
+
+
+# ---------------------------------------------------------------------------
+# round 15: adaptive-parameter verification (VERDICT r14 ask #1).
+# The r14 snapshot made lsh_planes()/kmeans_k() adaptive; every driver
+# fixture (≤2048 vectors) clamps to the historical p=6/k=4, so WITHOUT
+# these tests the branch that activates beyond 2048 vectors — exactly
+# the 100 TB regime — would be exercised by no test and no oracle gate.
+# ---------------------------------------------------------------------------
+
+def _param_sweep_ns() -> list[int]:
+    """n values spanning every interesting boundary of both formulas:
+    a dense 1..4200 sweep (crosses the p 6→7→8 steps at 2048/4096 and
+    the k 4→5..9 steps every 512), powers of two ±1 up to 4M (the
+    p-clamp at n=32·2^16=2,097,152 sits on one), the occupancy-step
+    boundaries 32·2^p ±1, and the k-cap boundary ceil(n/512)=1024."""
+    ns = set(range(1, 4201))
+    for j in range(1, 23):
+        ns.update({2**j - 1, 2**j, 2**j + 1})
+    for p in range(5, 18):
+        base = 32 * 2**p
+        ns.update({base - 1, base, base + 1})
+    for b in (512 * 1023, 512 * 1023 + 1, 512 * 1024, 512 * 1024 + 1):
+        ns.update({b - 1, b, b + 1})
+    ns.add(10**7)
+    return sorted(ns)
+
+
+def test_param_formula_parity_vs_duckdb():
+    """lsh_planes(n)/kmeans_k(n) must equal the DuckDB-evaluated SQL
+    twins (_DUCK_LSH_PARAMS/_DUCK_KMEANS_PARAMS) for every n — a drift
+    here desyncs engine and oracle SILENTLY at adaptive scale (driver
+    fixtures clamp to the floor, so only this sweep can see it).  The
+    formula text under test is the oracles' byte-for-byte SQL; only
+    the table reference is swapped for range(n) (count(*) over
+    range(n) is n), and the real-view cross-check below proves that
+    substitution faithful."""
+    import duckdb
+
+    from map_reduce_multi_threaded_spark.operators import similarity as S
+
+    assert "FROM embeddings)" in S._DUCK_LSH_PARAMS
+    assert "FROM embeddings)" in S._DUCK_KMEANS_PARAMS
+    con = duckdb.connect()
+    for n in _param_sweep_ns():
+        q_l = S._DUCK_LSH_PARAMS.replace("FROM embeddings", f"FROM range({n})")
+        q_k = S._DUCK_KMEANS_PARAMS.replace("FROM embeddings", f"FROM range({n})")
+        p, kk = con.sql(f"SELECT {q_l} AS p, {q_k} AS kk").fetchone()
+        assert p == S.lsh_planes(n), (n, p, S.lsh_planes(n))
+        assert kk == S.kmeans_k(n), (n, kk, S.kmeans_k(n))
+
+
+def test_param_formula_parity_via_real_view():
+    """Cross-check the range(n) substitution above against the REAL
+    spelling — a view named embeddings — at the boundary ns, so the
+    sweep's table-swap cannot hide a binding difference."""
+    import duckdb
+
+    from map_reduce_multi_threaded_spark.operators import similarity as S
+
+    for n in (1, 500, 2000, 2048, 2049, 4096, 4097, 5000, 80000):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM range({n})")
+        p = con.sql(f"SELECT * FROM {S._DUCK_LSH_PARAMS} t").fetchone()[0]
+        kk = con.sql(f"SELECT * FROM {S._DUCK_KMEANS_PARAMS} t").fetchone()[0]
+        assert p == S.lsh_planes(n), (n, p)
+        assert kk == S.kmeans_k(n), (n, kk)
+        con.close()
+
+
+#: the five registered queries whose plans depend on the adaptive
+#: parameters (lsh_buckets consumers + kmeans consumers)
+ADAPTIVE_QUERIES = [
+    "embedding_neardup_lsh",
+    "knn_lsh",
+    "knn_recall_eval",
+    "kmeans_assign",
+    "dedup_semantic",
+]
+
+
+@pytest.fixture(scope="module")
+def adaptive_dir(tmp_path_factory) -> str:
+    """A 5,000-vector fixture — the first regime where BOTH formulas
+    leave their floors (p=8, k=10) and the DuckDB truth side is still
+    feasible.  Same generator/contract as the driver fixtures
+    (scripts/gen_altfixture.py), different seed and scale."""
+    out = str(tmp_path_factory.mktemp("adaptive5k") / "alt")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "1515", "--scale", "6.25"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+def test_adaptive_fixture_is_in_adaptive_regime(spark, adaptive_dir):
+    """Guard against fixture drift: the oracle-parity tests below only
+    verify the adaptive BRANCH if the corpus actually leaves the
+    clamps."""
+    n = similarity.corpus_count(spark, adaptive_dir)
+    assert n == 5000, n
+    assert similarity.lsh_planes(n) == 8
+    assert similarity.kmeans_k(n) == 10
+
+
+@pytest.mark.parametrize("name", ADAPTIVE_QUERIES)
+def test_adaptive_branch_oracle_parity(spark, adaptive_dir, name):
+    """Spark-vs-DuckDB agreement AT adaptive parameters (p=8, k=10) —
+    the verification the r14 snapshot change landed without.  Every
+    query here also carries a _REVERIFY_FIRST flag so the driver
+    re-records it at the (clamped) fixture scale."""
+    spec = {s.name: s for s in similarity.SPECS}[name]
+    compare(spec.fn(spark, adaptive_dir), spec.oracle, adaptive_dir)
