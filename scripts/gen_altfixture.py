@@ -186,7 +186,8 @@ def gen(out: str, seed: int, scale: float,
         null_columns: tuple = (), dup_mode: str = "normal",
         tie_mode: str = "normal", time_mode: str = "normal",
         skew_mode: str = "normal", rows_mode: str = "normal",
-        gap_scale: float = 1.0, doc_mode: str = "normal") -> None:
+        gap_scale: float = 1.0, doc_mode: str = "normal",
+        mega_tokens: int = 100_000) -> None:
     global _EMPTY_TABLES, _NULL_COLUMNS, _TIE_TOTAL, _SINGLE_ROW
     _EMPTY_TABLES = set(empty_tables)
     _NULL_COLUMNS = set(null_columns)
@@ -438,18 +439,21 @@ def gen(out: str, seed: int, scale: float,
         texts = [pool[i] for i in draw]
     if doc_mode == "megadoc":
         # round-15 axis (VERDICT r14 ask #6): per-DOCUMENT fan-out skew
-        # — one ~100k-token document (plus a 1-token near-duplicate of
-        # it, so near-dup verification must ship two 100k-shingle
-        # arrays to one candidate pair) against a corpus of 10-100
-        # token docs.  Every doc_id-keyed shuffle (shingle build,
-        # per-doc textstats aggs) gets a ~2000× hot key, and the
-        # PPJoin length/prefix prunes face a pathological outlier.
-        mega_len = 100_000
-        mega = [VOCAB[i] for i in rng.randint(0, len(VOCAB), mega_len)]
+        # — one mega_tokens-token document (plus a 1-token
+        # near-duplicate of it, so near-dup verification must ship two
+        # mega-shingle arrays to one candidate pair) against a corpus
+        # of 10-100 token docs.  Every doc_id-keyed shuffle (shingle
+        # build, per-doc textstats aggs) gets a ~mega/50× hot key, and
+        # the PPJoin length/prefix prunes face a pathological outlier.
+        # (Default 100k tokens = the engine-side audit axis; the CI
+        # oracle subset uses a smaller mega because several DuckDB
+        # truth spellings are super-linear in the outlier's length —
+        # see tests/test_altfixture.py MEGADOC_SUBSET.)
+        mega = [VOCAB[i] for i in rng.randint(0, len(VOCAB), mega_tokens)]
         mid = n_docs // 2
         texts[mid] = " ".join(mega)
         near = list(mega)
-        near[mega_len // 2] = VOCAB[rng.randint(0, len(VOCAB))]
+        near[mega_tokens // 2] = VOCAB[rng.randint(0, len(VOCAB))]
         texts[mid + 1] = " ".join(near)
     _write(out, "documents",
            pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
@@ -568,6 +572,10 @@ def main() -> int:
                          "shuffles get a ~2000x hot key; near-dup "
                          "verify ships two 100k-shingle arrays to one "
                          "pair)")
+    ap.add_argument("--mega-tokens", type=int, default=100_000,
+                    help="token length of the megadoc (smaller values "
+                         "keep the naive DuckDB truth spellings "
+                         "feasible for oracle-compared subsets)")
     a = ap.parse_args()
     empties = tuple(t for t in a.empty_tables.split(",") if t)
     nulls = tuple(c for c in a.null_columns.split(",") if c)
@@ -580,7 +588,7 @@ def main() -> int:
           f"gap_scale={a.gap_scale} doc_mode={a.doc_mode}")
     gen(a.out, a.seed, a.scale, a.events_start, a.money_scale,
         a.text_mode, empties, nulls, a.dup_mode, a.tie_mode, a.time_mode,
-        a.skew_mode, a.rows_mode, a.gap_scale, a.doc_mode)
+        a.skew_mode, a.rows_mode, a.gap_scale, a.doc_mode, a.mega_tokens)
     return 0
 
 

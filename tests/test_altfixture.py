@@ -73,7 +73,8 @@ def test_subset_exists_in_registry():
         n
         for subset in (SUBSET, UNICODE_SUBSET, DEGENERATE_SUBSET,
                        DUP_EXTREME_SUBSET, TIE_TOTAL_SUBSET,
-                       TIME_FROZEN_SUBSET, SINGLE_ROW_SUBSET)
+                       TIME_FROZEN_SUBSET, SINGLE_ROW_SUBSET,
+                       MEGADOC_SUBSET)
         for n in subset
         if n not in names
     ]
@@ -311,6 +312,50 @@ def alt_single_dir(tmp_path_factory):
 def test_single_row_fixture_oracle(spark, alt_single_dir, name):
     spec = {s.name: s for s in collect_specs()}[name]
     compare(spec.fn(spark, alt_single_dir), spec.oracle, alt_single_dir)
+
+
+# ---------------------------------------------------------------------------
+# round-15 axis: mega-doc (per-document fan-out skew)
+# ---------------------------------------------------------------------------
+
+#: axis M — one mega-document plus its 1-token near-duplicate in an
+#: otherwise 10-100-token corpus (docs/stress100_r15.md §3): per-doc
+#: shingle fan-out ~200× the median, the PPJoin length filter must
+#: prune the outlier against the small corpus, near-dup verification
+#: ships two mega-shingle arrays to exactly one candidate pair, and the
+#: keep rule must pick the mega-doc as its family representative.
+#: The CI fixture uses a 10k-token mega: the naive DuckDB truth
+#: spellings are SUPER-LINEAR in the outlier's length (measured: all
+#: five heavy oracles ≤3 s at 5k tokens, 5-11 s at 10k, >120 s at
+#: 100k — the engine side stays ≤7 s even at 100k/scale-10,
+#: docs/skew_audit_r15_megadoc.json, so the 100k regime is
+#: engine-audited there and oracle-gated here at 10k).
+MEGADOC_SUBSET = [
+    "dedup_prefix_filter",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_cluster_keep",
+    "text_duplicate_spans",
+    "text_token_count",
+]
+
+
+@pytest.fixture(scope="module")
+def alt_megadoc_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("altfixture") / "megadoc")
+    subprocess.run(
+        [sys.executable, "scripts/gen_altfixture.py", "--out", out,
+         "--seed", "1551", "--scale", "0.3", "--doc-mode", "megadoc",
+         "--mega-tokens", "10000"],
+        check=True, cwd="/root/repo", capture_output=True,
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", MEGADOC_SUBSET)
+def test_megadoc_fixture_oracle(spark, alt_megadoc_dir, name):
+    spec = {s.name: s for s in collect_specs()}[name]
+    compare(spec.fn(spark, alt_megadoc_dir), spec.oracle, alt_megadoc_dir)
 
 
 def test_ewma_all_null_values(spark, alt_nullvalue_dir):
