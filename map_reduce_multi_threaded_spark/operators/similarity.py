@@ -836,10 +836,55 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", qv.alias("qv"))
 
 
-_COSINE_TO_CENT = (
-    "aggregate(zip_with(qv, cv, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x)"
-    " / sqrt(aggregate(transform(cv, b -> CAST(b AS DOUBLE) * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x))"
-)
+def _cluster_scorer(cent_ids, cent_mat):
+    """Arrow-batched argmax-cosine scorer against the driver-held
+    centroid matrix (round 15 — replaces the broadcast-join of
+    interpreted ``aggregate(zip_with(...))`` folds, which cost ~245 s
+    per Lloyd pass at 80k×157 on the stress fixture; this pass is
+    sub-second).
+
+    Bit-exactness vs the SQL oracle, same argument as
+    :func:`lsh_buckets` (the oracle-proven precedent): the dot
+    accumulates SEQUENTIALLY over dimensions (one vectorized
+    multiply-add per dim, each scalar rounded like the JVM/DuckDB
+    left-to-right fold — numpy does not fuse the multiply and add),
+    centroid norms use the same per-dim Python fold + one IEEE sqrt,
+    and the score is one double division per (row, centroid).  Ties:
+    ``np.argmax`` returns the FIRST maximum, and ``cent_ids`` is
+    sorted ascending, so equal scores pick the LOWEST k — exactly the
+    retired ``max_by(struct(score, -k))`` tie-break and the oracle's
+    ``row_number ORDER BY score DESC, k ASC``.
+
+    An empty cluster simply drops out of ``cent_ids`` (as it dropped
+    out of the old broadcast side and drops out of the oracle's
+    ``c{it}`` CTE) — the matrix holds PRESENT centroids only, never a
+    zero row that would divide by zero."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.asarray(cent_ids, dtype=np.int64)
+    cv = np.asarray(cent_mat, dtype=np.float64)  # |cv| < 2^53: exact
+    norms = np.empty(len(ids))
+    for c in range(len(ids)):
+        acc = 0.0
+        for j in range(DIM):
+            acc = acc + cv[c, j] * cv[c, j]
+        norms[c] = math.sqrt(acc)
+
+    @pandas_udf("long")
+    def best_k(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        q = np.stack(qv.to_numpy()).astype(np.float64)
+        acc = np.zeros((q.shape[0], len(ids)))
+        for j in range(DIM):
+            acc += q[:, j : j + 1] * cv[:, j]
+        scores = acc / norms
+        return pd.Series(ids[np.argmax(scores, axis=1)])
+
+    return best_k
 
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,12 +895,27 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     that would turn them into a real IVF quantizer).  Seed selection
     assumes vec_ids are contiguous from 0 (true of every fixture
     contract, FIXTURES.md), so ids 10..10+k-1 all exist; at the k=1024
-    clamp that is vec_id ≤ 1033.  Per iteration: broadcast the K centroids, score
-    every vector (argmax cosine, lowest-k tie break), then rebuild
-    centroids as exact integer member-sums (cosine only cares about
-    direction, so the un-normalized sum IS the mean centroid).  Each
-    iteration = one broadcast join + one 64-column keyed aggregation —
-    the canonical distributed-k-means shuffle shape."""
+    clamp that is vec_id ≤ 1033.  Per iteration: score every vector
+    against the current centroids (argmax cosine, lowest-k tie break)
+    in ONE Arrow-batched narrow map (:func:`_cluster_scorer`), then
+    rebuild centroids as exact integer member-sums (cosine only cares
+    about direction, so the un-normalized sum IS the mean centroid) —
+    one 64-column keyed aggregation per iteration, the only shuffle.
+
+    Driver state — the documented exception to the no-collect rule,
+    same class as the skew gate's 1-row ``.first()`` statistic:
+    centroids live on the driver between iterations as a k×64 int64
+    matrix (k ≤ 1024, so ≤ 65,536 values — bounded by the
+    :func:`kmeans_k` clamp, independent of corpus size).  This is the
+    canonical distributed-Lloyd shape — Spark MLlib's own KMeans
+    collects cluster centers to the driver every iteration — and it
+    replaces shipping n×k joined rows through the scoring operator:
+    the r14-era broadcast-join spelling evaluated an interpreted
+    64-term fold per (vector, centroid) pair, n²/512 pairs per pass
+    at the adaptive k, measured ~245 s/pass at 80k vectors
+    (docs/stress100_r14/15).  The two collects per run move ≤ 2·k·64
+    integers; the scoring scan is O(n) rows with all 64·k
+    multiply-adds vectorized in one Arrow batch."""
     v = _quantized(spark, sf_dir).localCheckpoint(eager=False)
     # adaptive k (round 14): k = ceil(n/512) clamped [4, 1024] — the
     # SemDeDup composition's within-cluster pair scan is quadratic in
@@ -864,30 +924,23 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Driver fixtures (≤2000 vectors) keep the historical k = 4; the
     # oracle computes the identical k in SQL (_DUCK_KMEANS_PARAMS).
     kk = kmeans_k(corpus_count(spark, sf_dir))
-    cents = v.where(
+    seed_rows = v.where(
         (F.col("vec_id") >= _CENTROID_BASE)
         & (F.col("vec_id") < _CENTROID_BASE + kk)
-    ).select((F.col("vec_id") - _CENTROID_BASE).alias("k"), F.col("qv").alias("cv"))
+    ).collect()  # ≤ k ≤ 1024 rows (see docstring: bounded driver state)
+    cents = sorted((int(r["vec_id"]) - _CENTROID_BASE, r["qv"]) for r in seed_rows)
     assign = None
     for it in range(KMEANS_ITERS):
-        # argmax(score DESC, k ASC) as a max_by aggregate instead of a
-        # row_number window: no per-partition sort of the vectors×K
-        # scored frame each iteration (round 7; same rewrite as LPA —
-        # struct compares score then -k, ties to the LOWEST k)
-        assign = (
-            v.join(F.broadcast(cents))
-            .withColumn("score", F.expr(_COSINE_TO_CENT))
-            .groupBy("vec_id")
-            .agg(F.expr("max_by(struct(k, qv), struct(score, -k))").alias("a"))
-            .select("vec_id", F.col("a.k").alias("k"), F.col("a.qv").alias("qv"))
-        )
+        best_k = _cluster_scorer([c[0] for c in cents], [c[1] for c in cents])
+        assign = v.withColumn("k", best_k("qv"))
         if it < KMEANS_ITERS - 1:
-            sums = assign.groupBy("k").agg(
+            sum_rows = assign.groupBy("k").agg(
                 *[F.sum(F.element_at("qv", i + 1)).alias(f"c{i}") for i in range(DIM)]
+            ).collect()  # ≤ k ≤ 1024 rows of integer member-sums
+            cents = sorted(
+                (int(r["k"]), [int(r[f"c{i}"]) for i in range(DIM)])
+                for r in sum_rows
             )
-            cents = sums.select(
-                "k", F.array(*[F.col(f"c{i}") for i in range(DIM)]).alias("cv")
-            ).localCheckpoint(eager=True)  # K rows; cuts the growing lineage
     return assign.select("vec_id", F.col("k").alias("cluster"))
 
 

@@ -202,8 +202,14 @@ _REVERIFY_FIRST: dict[str, int] = {
     "embedding_neardup_lsh": 14,
     "knn_lsh": 14,
     "knn_recall_eval": 14,
-    "kmeans_assign": 14,
-    "dedup_semantic": 14,
+    # round-15 scoring rewrite: kmeans_assign's per-iteration scoring
+    # moved from the broadcast-join of interpreted folds to one
+    # Arrow-batched narrow map against driver-held centroids
+    # (bit-identical output — oracle-exact at sf0.01 AND on the
+    # 5k-vector adaptive fixture at k=10; 80k stress: 735 s → 10.4 s).
+    # dedup_semantic composes it, so both flags move to 15.
+    "kmeans_assign": 15,
+    "dedup_semantic": 15,
 }
 
 
