@@ -858,11 +858,15 @@ def _cluster_scorer(cent_ids, cent_mat):
     An empty cluster simply drops out of ``cent_ids`` (as it dropped
     out of the old broadcast side and drops out of the oracle's
     ``c{it}`` CTE) — the matrix holds PRESENT centroids only, never a
-    zero row that would divide by zero."""
+    zero row that would divide by zero.
+
+    Returns the PLAIN batch function (unit-testable without a Spark
+    session; tie-break and empty-cluster semantics are pinned in
+    tests/test_similarity.py) — :func:`kmeans_assign` wraps it as a
+    ``pandas_udf("long")`` at plan-build time."""
     import math
 
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     ids = np.asarray(cent_ids, dtype=np.int64)
     cv = np.asarray(cent_mat, dtype=np.float64)  # |cv| < 2^53: exact
@@ -873,7 +877,6 @@ def _cluster_scorer(cent_ids, cent_mat):
             acc = acc + cv[c, j] * cv[c, j]
         norms[c] = math.sqrt(acc)
 
-    @pandas_udf("long")
     def best_k(qv: pd.Series) -> pd.Series:
         if len(qv) == 0:
             return pd.Series([], dtype="int64")
@@ -929,9 +932,13 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("vec_id") < _CENTROID_BASE + kk)
     ).collect()  # ≤ k ≤ 1024 rows (see docstring: bounded driver state)
     cents = sorted((int(r["vec_id"]) - _CENTROID_BASE, r["qv"]) for r in seed_rows)
+    from pyspark.sql.functions import pandas_udf
+
     assign = None
     for it in range(KMEANS_ITERS):
-        best_k = _cluster_scorer([c[0] for c in cents], [c[1] for c in cents])
+        best_k = pandas_udf("long")(
+            _cluster_scorer([c[0] for c in cents], [c[1] for c in cents])
+        )
         assign = v.withColumn("k", best_k("qv"))
         if it < KMEANS_ITERS - 1:
             sum_rows = assign.groupBy("k").agg(

@@ -278,6 +278,38 @@ def test_param_formula_parity_via_real_view():
         con.close()
 
 
+def test_cluster_scorer_tie_break_and_missing_cluster():
+    """The r15 Arrow scorer must reproduce the retired
+    max_by(struct(score, -k)) semantics: equal scores pick the LOWEST
+    centroid id, and an id absent from the centroid set (empty
+    cluster) simply cannot be assigned — never a zero-norm division.
+    Exercised directly on the underlying pandas function."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        DIM,
+        _cluster_scorer,
+    )
+
+    base = [1] * DIM
+    # centroids 0 and 2 are the SAME direction (scaled) -> every vector
+    # ties between them -> must pick id 0; id 1 is "empty" (absent).
+    scorer = _cluster_scorer([0, 2], [base, [2 * x for x in base]])
+    vecs = pd.Series([np.array(base, dtype=np.int64),
+                      np.array([-x for x in base], dtype=np.int64)])
+    out = scorer(vecs)
+    assert list(out) == [0, 0]  # tie -> lowest id; worst vector still lowest
+    # distinct directions: each vector picks its own centroid by id
+    e0 = [1] + [0] * (DIM - 1)
+    e1 = [0, 1] + [0] * (DIM - 2)
+    scorer2 = _cluster_scorer([3, 7], [e0, e1])
+    out2 = scorer2(pd.Series([np.array(e0, dtype=np.int64),
+                              np.array(e1, dtype=np.int64)]))
+    assert list(out2) == [3, 7]
+    assert list(scorer2(pd.Series([], dtype=object))) == []
+
+
 #: the five registered queries whose plans depend on the adaptive
 #: parameters (lsh_buckets consumers + kmeans consumers)
 ADAPTIVE_QUERIES = [
