@@ -210,6 +210,14 @@ _REVERIFY_FIRST: dict[str, int] = {
     # dedup_semantic composes it, so both flags move to 15.
     "kmeans_assign": 15,
     "dedup_semantic": 15,
+    # round-15 giant-family OOM fix: the incremental near-dup screen's
+    # corpus index is now exact-collapsed (one representative per
+    # distinct text + family weight; member-level n_candidates /
+    # best-match reconstructed exactly) — the raw-member banding
+    # heap-OOMed the 8 GB JVM at 80k docs / 10k-member families and
+    # the collapsed index runs it in 7.1 s.  Output identical (the
+    # unchanged member-level oracle gates it) — re-record.
+    "dedup_incremental_lsh": 15,
 }
 
 
