@@ -506,13 +506,86 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def _row_umax():
+    """Arrow-batched per-row max|u| over the unit-normalized vector —
+    the map side of the global quantization scale g = max over the
+    corpus of max|u| (round 15).  Norms accumulate SEQUENTIALLY over
+    dimensions (the :func:`_cluster_scorer` precedent: one vectorized
+    multiply-add per dim, each scalar rounded like the JVM/DuckDB
+    left-to-right fold), the division is elementwise IEEE, and
+    max/abs are order-free and exact — so feeding these row maxima to
+    an ordinary ``max()`` aggregate yields BIT-IDENTICAL g to the
+    retired interpreted ``aggregate(u, 0D, greatest(acc, abs(x)))``
+    fold (whose 0D seed is absorbed by max|u| ≥ 0)."""
+    import numpy as np
+
+    def umax(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        c = np.stack(emb.to_numpy()).astype(np.float64)
+        acc = np.zeros(c.shape[0])
+        for j in range(DIM):
+            acc = acc + c[:, j] * c[:, j]
+        u = c / np.sqrt(acc)[:, None]
+        return pd.Series(np.max(np.abs(u), axis=1))
+
+    return umax
+
+
+def _sq_dots_scorer(q_embs):
+    """Arrow-batched scalar-quantize-and-score against the driver-held
+    RAW query embeddings (round 15 — replaces the corpus×queries
+    broadcast join of interpreted BIGINT folds AND the interpreted
+    per-row norm/unit/quantize ``transform`` chain, which together
+    measured 58.3 s at 80k vectors on the 100× stress fixture; this
+    plus :func:`_row_umax` is two sub-second Arrow passes).
+
+    Per batch, with the broadcast scale g: normalize (sequential
+    per-dim accumulation + IEEE sqrt + elementwise divide — the
+    :func:`_cluster_scorer` bit-exactness argument), quantize
+    ``floor(u * 127 / g)`` in the same association the SQL spelled
+    (``(u * 127D) / g``, one correctly-rounded double op each), and
+    take all queries\' INTEGER dots in one matmul.  The query codes
+    are derived from ``q_embs`` inside the batch function by the
+    IDENTICAL normalize+quantize path, so engine and oracle agree by
+    construction.  Integer dots are exact and order-free (|q| ≤ 127,
+    {DIM} dims ⇒ |dot| ≤ ~1.03e6 ≪ int64).
+
+    Returns the PLAIN batch function (unit-tested without a Spark
+    session in tests/test_similarity.py) — :func:`knn_scalar_quant`
+    wraps it as a ``pandas_udf("array<bigint>")`` at plan-build
+    time."""
+    import numpy as np
+
+    qe = np.stack([np.asarray(q, dtype=np.float64) for q in q_embs])
+
+    def _unit(mat):
+        acc = np.zeros(mat.shape[0])
+        for j in range(DIM):
+            acc = acc + mat[:, j] * mat[:, j]
+        return mat / np.sqrt(acc)[:, None]
+
+    uq = _unit(qe)
+
+    def dots(emb: pd.Series, g: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        gv = float(g.iloc[0])
+        qm = np.floor(uq * 127.0 / gv).astype(np.int64)
+        c = np.stack(emb.to_numpy()).astype(np.float64)
+        cq = np.floor(_unit(c) * 127.0 / gv).astype(np.int64)
+        return pd.Series(list(cq @ qm.T))
+
+    return dots
+
+
 def knn_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors per query under int8 SCALAR quantization — the
-    compression half of the standard SQ-ANN playbook (PQ's simpler
-    sibling, embedding_pq): per-dimension [min, max] over the corpus →
-    each float mapped to ⌊(x−lo)·255/span⌋ ∈ [0, 255] → candidates
-    ranked by the INTEGER quantized dot product, with the exact cosine
-    of each returned pair reported alongside.
+    compression half of the standard SQ-ANN playbook (PQ\'s simpler
+    sibling, embedding_pq): one global scale over the unit-normalized
+    corpus → each float mapped to ⌊u·127/g⌋ — candidates ranked by the
+    INTEGER quantized dot product, with the exact cosine of each
+    returned pair reported alongside.
 
     Two details make the integer dot a faithful cosine proxy (both
     were measured, not assumed — each wrong variant ranks at CHANCE
@@ -527,56 +600,95 @@ def knn_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
       without per-vector correction terms: its offsets inject a
       query-independent Σwᵢuᵇᵢ component that swamps the signal.
 
-    Scale: the scale pass is one corpus scan collapsing to ONE scalar
-    broadcast back — quantization is then a narrow map (the quantized
-    corpus is 64 B/vector vs 256 B float32; a production store packs
-    it to binary and keeps floats cold).  Queries broadcast as in
-    :func:`knn_bruteforce`; the corpus is scanned once; the integer
-    dot is exact and order-free on BOTH engines (no float-sum
-    portability caveat at all), which is why the ranking — not just
-    the score — hash-matches the oracle.  Composable with the
-    LSH/IVF bucketing paths: this query certifies the compression,
-    those certify the candidate pruning."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "u", F.expr("transform(emb_d, x -> x / norm)")
+    Scale (round-15 spelling — measured 58.3 s → 6.9 s on the timed
+    noop action at 80k vectors on the 100× stress fixture, 12.5 s
+    including the bounded query-collect job): TWO Arrow passes over
+    the raw
+    parquet scan and nothing interpreted anywhere.  Pass 1
+    (:func:`_row_umax`) computes per-row max|u| and collapses to the
+    ONE scalar g, broadcast back in-plan (no collect).  Pass 2
+    (:func:`_sq_dots_scorer`) normalizes, quantizes and scores every
+    corpus row against the ≤{N_QUERIES} driver-held query embeddings
+    (bounded driver state — the documented no-collect exception
+    class, see kmeans_assign) in one integer matmul; only NARROW
+    (query_id, neighbor_id, approx_dot) rows reach the ranking
+    exchange (guide §2.3: project before the exchange — the float
+    and code arrays used to ride through the window sort).  The
+    exact cosine — the same fold expression as before, bit-identical
+    — is attached to the ≤queries×k winners only, AFTER the join, so
+    the extra corpus scan it needs does no per-row float work.  The
+    integer dot is exact and order-free on BOTH engines (no
+    float-sum portability caveat at all), which is why the ranking —
+    not just the score — hash-matches the oracle.  Composable with
+    the LSH/IVF bucketing paths: this query certifies the
+    compression, those certify the candidate pruning."""
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # ≤ N_QUERIES raw query embeddings: bounded driver state (the
+    # documented no-collect exception class — see kmeans_assign).
+    q_rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in raw.where(F.col("vec_id") < N_QUERIES).collect()
     )
-    gmax = emb.agg(
-        F.max(
-            F.expr("aggregate(u, 0D, (acc, x) -> greatest(acc, abs(x)))")
-        ).alias("g")
+    if not q_rows:
+        return raw.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).cast("long").alias("approx_dot"),
+            F.lit(0.0).alias("cosine"),
+        ).where(F.lit(False))
+    from pyspark.sql.functions import pandas_udf
+
+    umax = pandas_udf("double")(_row_umax())
+    gmax = raw.agg(F.max(umax("embedding")).alias("g"))
+    dots = pandas_udf("array<bigint>")(
+        _sq_dots_scorer([e for _, e in q_rows])
     )
-    quant = emb.crossJoin(F.broadcast(gmax)).withColumn(
-        "q", F.expr("transform(u, x -> CAST(floor(x * 127D / g) AS INT))")
-    )
-    qs = quant.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    cs = quant.select(
+    qid_arr = F.array(*[F.lit(i).cast("long") for i, _ in q_rows])
+    cand = raw.crossJoin(F.broadcast(gmax)).select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("q").alias("cq"),
-        F.col("emb_d").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
+        dots("embedding", "g").alias("dots"),
     )
-    adot = F.expr(
-        "aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * y), "
-        "0L, (acc, x) -> acc + x)"
+    pairs = (
+        cand.select(
+            "neighbor_id", F.posexplode("dots").alias("pos", "approx_dot")
+        )
+        .withColumn("query_id", F.element_at(qid_arr, F.col("pos") + 1))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .drop("pos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    top = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= K_NEIGHBORS)
+    )
+    # exact cosine of the ≤ queries×k winners: the SAME fold
+    # expressions as the retired in-window spelling, evaluated AFTER
+    # the join on the winner rows only — bit-identical values, and the
+    # corpus scan feeding the join ships raw bytes, no interpreted
+    # per-row work.
+    qq = raw.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_raw"),
+    )
+    cc = raw.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_raw"),
+    )
+    joined = (
+        cc.join(F.broadcast(top.join(F.broadcast(qq), "query_id")), "neighbor_id")
+        .withColumn("q_emb", F.transform(F.col("q_raw"), lambda x: x.cast("double")))
+        .withColumn("c_emb", F.transform(F.col("c_raw"), lambda x: x.cast("double")))
+        .withColumn("q_norm", F.sqrt(F.expr(_DOT.format(a="q_emb", b="q_emb"))))
+        .withColumn("c_norm", F.sqrt(F.expr(_DOT.format(a="c_emb", b="c_emb"))))
     )
     cos = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (
         F.col("q_norm") * F.col("c_norm")
     )
-    pairs = cs.join(
-        F.broadcast(qs), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("approx_dot", adot)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_dot"), F.asc("neighbor_id")
-    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= K_NEIGHBORS)
-        .withColumn("cosine", cos)
+        joined.withColumn("cosine", cos)
         .select("query_id", "rank", "neighbor_id", "approx_dot", "cosine")
     )
 
@@ -1032,6 +1144,54 @@ PQ_SUB = DIM // PQ_M
 PQ_K = 4            #: codewords per subspace (corpus seed vectors)
 
 
+def _pq_scorer(ks, books):
+    """Arrow-batched product-quantization assigner against the
+    driver-held codebook (round 15 — replaces the explode → broadcast
+    join → two keyed aggregations spelling, whose n×M×K interpreted
+    16-term folds measured 40.1 s at 80k vectors on the 100× stress
+    fixture).
+
+    ``ks`` is the ascending list of present codeword ids; ``books[m]``
+    is the matrix of their m-th subvectors.  All arithmetic is INTEGER
+    (squared L2 over the int64-quantized components — |diff|² ≤ ~4e12,
+    ×{PQ_SUB} terms stays far under int64), so equality with the SQL
+    fold is exact by order-freeness, no floating-point argument
+    needed.  Ties: ``np.argmin`` returns the FIRST minimum and ``ks``
+    ascends, so equal distances pick the lowest k — the retired
+    min-of-(d, k) struct and the oracle's ``min({'d':…,'k':…})``.
+
+    Returns the PLAIN batch function (unit-tested without a Spark
+    session in tests/test_similarity.py) — :func:`embedding_pq` wraps
+    it as a struct-returning ``pandas_udf`` at plan-build time."""
+    import numpy as np
+
+    ks_arr = np.asarray(ks, dtype=np.int64)
+    cw = [np.asarray(b, dtype=np.int64) for b in books]  # M × (K, PQ_SUB)
+    k_strs = [str(int(k)) for k in ks_arr]
+
+    def assign(qv: pd.Series) -> pd.DataFrame:
+        if len(qv) == 0:
+            return pd.DataFrame({"code": pd.Series([], dtype=object),
+                                 "sq_err": pd.Series([], dtype="int64")})
+        q = np.stack(qv.to_numpy()).astype(np.int64)  # (rows, DIM)
+        best_ks = []
+        sq_err = np.zeros(q.shape[0], dtype=np.int64)
+        for m in range(PQ_M):
+            sv = q[:, m * PQ_SUB : (m + 1) * PQ_SUB]  # (rows, PQ_SUB)
+            diff = sv[:, None, :] - cw[m][None, :, :]  # (rows, K, PQ_SUB)
+            d = np.einsum("rks,rks->rk", diff, diff)  # exact int64
+            arg = np.argmin(d, axis=1)  # first min ⇒ lowest k
+            best_ks.append(arg)
+            sq_err += d[np.arange(q.shape[0]), arg]
+        codes = [
+            "|".join(k_strs[best_ks[m][r]] for m in range(PQ_M))
+            for r in range(q.shape[0])
+        ]
+        return pd.DataFrame({"code": codes, "sq_err": sq_err})
+
+    return assign
+
+
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code assignment (Jégou et al. 2011) — the
     compression half of IVF-PQ ANN: split each 64-dim vector into
@@ -1042,54 +1202,48 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: distances are squared L2 over INTEGER-quantized
     components — pure bigint arithmetic end to end, no floats anywhere;
-    argmin ties break on codeword id via min-of-(dist, k) struct.
-    Scale: codebooks are M×K tiny rows (broadcast); each vector emits
-    M×K candidate rows — a constant fan-out map — and the argmin is an
-    ordinary keyed min-of-struct aggregate with map-side partials; the
-    code-array rebuild groups M rows per vector.  At 100 TB the output
-    (M small ints per vector) is the point: ~32× smaller than the raw
-    vectors."""
+    argmin ties break on codeword id (numpy's first-minimum over
+    k-ascending codewords ≡ the retired min-of-(dist, k) struct ≡ the
+    oracle's min-struct).  Scale (round-15 spelling): the codebook
+    is M×K×{PQ_SUB} integers of bounded driver state (M=K=4 — the
+    documented no-collect exception class, see kmeans_assign), and
+    the whole assignment is ONE Arrow-batched narrow map per vector
+    (:func:`_pq_scorer`): slice, all M×K integer distances in
+    vectorized int64, argmin, sum — zero joins, zero exchanges (the
+    retired spelling exploded n×M sub rows, broadcast-joined the
+    codebook into n×M×K interpreted 16-term folds, and paid two keyed
+    aggregations to reassemble: measured 40.1 s at 80k vectors on the
+    100× stress fixture).  At 100 TB the output (M small ints per
+    vector) is the point: ~32× smaller than the raw vectors."""
     v = _quantized(spark, sf_dir)
-    sub = v.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), "
-                f"m -> struct(m AS m, slice(qv, m * {PQ_SUB} + 1, {PQ_SUB}) AS sv))"
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-    books = (
-        sub.where((F.col("vec_id") >= _CENTROID_BASE) & (F.col("vec_id") < _CENTROID_BASE + PQ_K))
-        .select("m", (F.col("vec_id") - _CENTROID_BASE).alias("k"), F.col("sv").alias("cw"))
+    # M×K×PQ_SUB-int codebook: bounded driver state.  books[m][k] is
+    # the m-th subvector of seed vector (_CENTROID_BASE + k); a seed
+    # absent from the corpus drops its k column in every subspace,
+    # exactly as it dropped out of the retired broadcast join and
+    # drops out of the oracle's books CTE.
+    seed_rows = sorted(
+        (int(r["vec_id"]), list(r["qv"]))
+        for r in v.where(
+            (F.col("vec_id") >= _CENTROID_BASE)
+            & (F.col("vec_id") < _CENTROID_BASE + PQ_K)
+        ).collect()
     )
-    dist = F.expr(
-        "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
-    )
-    best = (
-        sub.join(F.broadcast(books), "m")
-        .select("vec_id", "m", F.struct(dist.alias("d"), F.col("k").alias("k")).alias("dk"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dk").alias("best"))
-    )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("m").alias("m"), F.col("best.k").alias("k")))
-            ).alias("mk"),
-            F.sum("best.d").alias("sq_err"),
-        )
-        .select(
+    if not seed_rows:
+        return v.select(
             "vec_id",
-            # '|'-joined string, not a raw array: top-level ARRAY columns
-            # break pandas-based result canonicalizers (unhashable ndarray),
-            # so the output contract is scalars only.
-            F.array_join(
-                F.expr("transform(mk, x -> cast(x.k as string))"), "|"
-            ).alias("code"),
-            "sq_err",
-        )
+            F.lit("").alias("code"),
+            F.lit(0).cast("long").alias("sq_err"),
+        ).where(F.lit(False))
+    ks = [vid - _CENTROID_BASE for vid, _ in seed_rows]
+    books = [
+        [qv[m * PQ_SUB : (m + 1) * PQ_SUB] for _, qv in seed_rows]
+        for m in range(PQ_M)
+    ]
+    from pyspark.sql.functions import pandas_udf
+
+    assign = pandas_udf("code string, sq_err long")(_pq_scorer(ks, books))
+    return v.select("vec_id", assign("qv").alias("a")).select(
+        "vec_id", F.col("a.code").alias("code"), F.col("a.sq_err").alias("sq_err")
     )
 
 

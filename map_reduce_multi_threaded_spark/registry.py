@@ -218,6 +218,17 @@ _REVERIFY_FIRST: dict[str, int] = {
     # the collapsed index runs it in 7.1 s.  Output identical (the
     # unchanged member-level oracle gates it) — re-record.
     "dedup_incremental_lsh": 15,
+    # round-15 Arrow-scorer rewrites (same treatment as kmeans_assign,
+    # same bounded-driver-state exception): knn_scalar_quant scores
+    # all queries' INTEGER dots in one narrow map and ranks NARROW
+    # rows (the float/code arrays no longer ride the window exchange);
+    # embedding_pq assigns codes in one narrow map against the
+    # driver-held 4x4x16-int codebook (explode/join/2-agg retired).
+    # Integer arithmetic end to end -- equality with the unchanged
+    # oracles is exact by order-freeness; both re-verified hash-exact
+    # at sf0.001/0.01/0.1 before commit -- re-record.
+    "knn_scalar_quant": 15,
+    "embedding_pq": 15,
 }
 
 

@@ -354,3 +354,107 @@ def test_adaptive_branch_oracle_parity(spark, adaptive_dir, name):
     re-records it at the (clamped) fixture scale."""
     spec = {s.name: s for s in similarity.SPECS}[name]
     compare(spec.fn(spark, adaptive_dir), spec.oracle, adaptive_dir)
+
+
+def test_sq_scorers_match_fold_semantics():
+    """The r15 scalar-quant Arrow scorers must equal the retired
+    interpreted spellings exactly: _row_umax vs a direct sequential
+    Python fold (norm accumulation order matters — it must round like
+    the SQL left-to-right fold), and _sq_dots_scorer vs a per-element
+    Python normalize→quantize→int-dot chain in the SQL\'s own
+    association ((u*127)/g, floor, int64 products)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        DIM,
+        _row_umax,
+        _sq_dots_scorer,
+    )
+
+    rng = np.random.RandomState(11)
+    corpus = [rng.uniform(-3, 3, DIM).astype(np.float64) for _ in range(7)]
+    queries = [list(rng.uniform(-3, 3, DIM)) for _ in range(3)]
+
+    def seq_norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    # _row_umax == max_i |x_i / norm| with the sequential-fold norm
+    umax = _row_umax()
+    got = umax(pd.Series(corpus))
+    for r, v in enumerate(corpus):
+        nrm = seq_norm(v)
+        assert got[r] == max(abs(float(x) / nrm) for x in v), r
+    assert list(umax(pd.Series([], dtype=object))) == []
+
+    # _sq_dots_scorer == quantize both sides with ((u*127)/g, floor)
+    # then exact integer dots
+    g = float(got.max())
+    scorer = _sq_dots_scorer(queries)
+    out = scorer(pd.Series(corpus), pd.Series([g] * len(corpus)))
+
+    def quant(v):
+        nrm = seq_norm(v)
+        return [int(math.floor((float(x) / nrm) * 127.0 / g)) for x in v]
+
+    qqs = [quant(q) for q in queries]
+    for r, v in enumerate(corpus):
+        cq = quant(v)
+        for qi, qv in enumerate(qqs):
+            fold = sum(a * b for a, b in zip(qv, cq))
+            assert int(out[r][qi]) == fold, (r, qi)
+    assert list(scorer(pd.Series([], dtype=object), pd.Series([], dtype="float64"))) == []
+
+
+def test_pq_scorer_tie_break_and_exactness():
+    """The r15 PQ assigner must reproduce the retired
+    min-of-(dist, k) struct semantics: lowest squared-L2 wins, ties
+    pick the LOWEST codeword id; sq_err is the exact integer sum of
+    the per-subspace minima; codewords self-assign with zero error."""
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        DIM,
+        PQ_M,
+        PQ_SUB,
+        _pq_scorer,
+    )
+
+    # codebook: codeword 0 = all zeros, codeword 2 = all zeros too
+    # (deliberate duplicate -> every tie must resolve to k=0),
+    # codeword 5 = all ones.
+    z, o = [0] * PQ_SUB, [1] * PQ_SUB
+    ks = [0, 2, 5]
+    books = [[z, z, o] for _ in range(PQ_M)]
+    scorer = _pq_scorer(ks, books)
+    rows = pd.Series([
+        np.zeros(DIM, dtype=np.int64),          # ties 0/2 -> code 0|0|0|0
+        np.ones(DIM, dtype=np.int64),           # exact codeword 5
+        np.asarray([2] * DIM, dtype=np.int64),  # nearest is the ones word
+    ])
+    out = scorer(rows)
+    assert list(out["code"]) == [
+        "|".join(["0"] * PQ_M),
+        "|".join(["5"] * PQ_M),
+        "|".join(["5"] * PQ_M),
+    ]
+    # sq_err: 0 for both exact matches; (2-1)^2 * DIM for the third
+    assert list(out["sq_err"]) == [0, 0, DIM]
+    empty = scorer(pd.Series([], dtype=object))
+    assert list(empty["code"]) == [] and list(empty["sq_err"]) == []
+
+
+@pytest.mark.parametrize("name", ["knn_scalar_quant", "embedding_pq"])
+def test_arrow_rewrites_oracle_parity_at_5k(spark, adaptive_dir, name):
+    """The r15 Arrow-scorer rewrites of knn_scalar_quant/embedding_pq
+    against their UNCHANGED oracles at 5,000 vectors — a second scale
+    point beyond the driver fixtures, same gate the adaptive branch
+    got."""
+    spec = {s.name: s for s in similarity.SPECS}[name]
+    compare(spec.fn(spark, adaptive_dir), spec.oracle, adaptive_dir)
