@@ -458,3 +458,93 @@ def test_arrow_rewrites_oracle_parity_at_5k(spark, adaptive_dir, name):
     got."""
     spec = {s.name: s for s in similarity.SPECS}[name]
     compare(spec.fn(spark, adaptive_dir), spec.oracle, adaptive_dir)
+
+
+def test_sq_and_pq_scorers_property_vs_reference_folds():
+    """Hypothesis sweep of the r15 Arrow scorers against direct Python
+    reference folds on arbitrary vectors — the crafted-case tests
+    above pin the semantics; this pins them under adversarial draws
+    (denormal-ish magnitudes, sign mixes, ties from duplicated rows)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        DIM,
+        PQ_M,
+        PQ_SUB,
+        _pq_scorer,
+        _row_umax,
+        _sq_dots_scorer,
+    )
+
+    finite = st.floats(min_value=-1e3, max_value=1e3,
+                       allow_nan=False, allow_infinity=False)
+    nonzero_vec = st.lists(finite, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0.0 for x in v)
+    )
+    int_vec = st.lists(st.integers(min_value=-2_000_000, max_value=2_000_000),
+                       min_size=DIM, max_size=DIM)
+
+    def seq_norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(nonzero_vec, min_size=1, max_size=5),
+           st.lists(nonzero_vec, min_size=1, max_size=3))
+    def sq_case(corpus, queries):
+        umax = _row_umax()
+        got = umax(pd.Series([np.asarray(v) for v in corpus]))
+        for r, v in enumerate(corpus):
+            nrm = seq_norm(v)
+            assert got[r] == max(abs(float(x) / nrm) for x in v)
+        g = float(got.max())
+        out = _sq_dots_scorer(queries)(
+            pd.Series([np.asarray(v) for v in corpus]),
+            pd.Series([g] * len(corpus)),
+        )
+
+        def quant(v):
+            nrm = seq_norm(v)
+            return [int(math.floor((float(x) / nrm) * 127.0 / g)) for x in v]
+
+        qqs = [quant(q) for q in queries]
+        for r, v in enumerate(corpus):
+            cq = quant(v)
+            for qi, qv in enumerate(qqs):
+                assert int(out[r][qi]) == sum(a * b for a, b in zip(qv, cq))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(int_vec, min_size=1, max_size=5),
+           st.lists(st.tuples(st.integers(0, 63), int_vec),
+                    min_size=1, max_size=4, unique_by=lambda t: t[0]))
+    def pq_case(corpus, seeds):
+        seeds = sorted(seeds)
+        ks = [k for k, _ in seeds]
+        books = [[qv[m * PQ_SUB:(m + 1) * PQ_SUB] for _, qv in seeds]
+                 for m in range(PQ_M)]
+        out = _pq_scorer(ks, books)(
+            pd.Series([np.asarray(v, dtype=np.int64) for v in corpus]))
+        for r, v in enumerate(corpus):
+            codes, err = [], 0
+            for m in range(PQ_M):
+                sv = v[m * PQ_SUB:(m + 1) * PQ_SUB]
+                best = None
+                for ki, (k, qv) in enumerate(seeds):
+                    cw = qv[m * PQ_SUB:(m + 1) * PQ_SUB]
+                    d = sum((a - b) * (a - b) for a, b in zip(sv, cw))
+                    if best is None or (d, k) < best:
+                        best = (d, k)
+                codes.append(str(best[1]))
+                err += best[0]
+            assert out["code"][r] == "|".join(codes), r
+            assert int(out["sq_err"][r]) == err, r
+
+    sq_case()
+    pq_case()
