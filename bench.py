@@ -374,7 +374,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "runs": run_detail,
         "sf": sf,
         "sf_dir": sf_dir,
         # actual run counts vary 2-4 when the regression-gate retry
@@ -384,6 +383,24 @@ def main() -> None:
     }
     if regressions:
         out["regressions"] = regressions
+    # Output contract (round 16, VERDICT r15 #1): the driver captures
+    # only the TAIL of stdout, and eight consecutive rounds of
+    # BENCH_r{N}.json came back `parsed: null` because the per-query
+    # `runs` retry detail blew the single JSON line past the capture
+    # window (truncating its HEAD, i.e. the opening brace).  The full
+    # record — including `runs` — now goes to bench_out.json next to
+    # this script, and stdout gets one COMPACT line (metric, value,
+    # per-query best seconds, sf) as the LAST thing printed.  Nothing
+    # is dropped from `queries` and the timing methodology is
+    # unchanged; only where the retry detail lands moved.
+    full = dict(out)
+    full["runs"] = run_detail
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout: the stdout line still carries the contract
+        print(f"bench_out.json not written: {exc}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

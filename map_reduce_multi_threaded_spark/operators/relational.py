@@ -36,7 +36,7 @@ from ..functions.text import ascii_lower, duck_ascii_lower, duck_md5_long
 #: oracle-side casefold fragment from the ONE canonical helper (ADVICE r11)
 _DUCK_LC_TEXT = duck_ascii_lower("text")
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_unsplittable_scan
 
 # --------------------------------------------------------------------------
 # deterministic aggregate helpers (Spark side)
@@ -2818,13 +2818,13 @@ def events_resample_ffill(
     bucket' is a row_number with (ts, event_id) tie-break; the filled
     value is PICKED (last non-null over the bucket order), never
     arithmetic — so doubles pass through untouched.  Scale: one window
-    per (user, bucket), one per user — both keyed shuffles; the grid
-    explodes from per-user bounds, no driver loop.  The per-user grid
-    carry is bounded by timespan/bucket regardless of row volume; the
-    volume-sensitive piece is pass 1, so the round-13 skew gate
-    measures the hottest (user, bucket) and dispatches
-    :func:`_last_in_bucket` to its map-side-combining aggregate
-    spelling above :func:`hot_key_rows_threshold`."""
+    per (user, bucket), one per user — both keyed shuffles over EVENT
+    rows only; the grid explodes from per-gap bounds AFTER the carry
+    window (round 16 — see the inline note), so grid volume never
+    rides a sort or join.  The volume-sensitive piece is pass 1, so
+    the round-13 skew gate measures the hottest (user, bucket) and
+    dispatches :func:`_last_in_bucket` to its map-side-combining
+    aggregate spelling above :func:`hot_key_rows_threshold`."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -2837,24 +2837,42 @@ def events_resample_ffill(
         ev, ["user_id", "bucket"], cache_key=("resample_ev", sf_dir)
     )
     last_in = _last_in_bucket(ev, hot_n > threshold)
-    grid = (
-        ev.groupBy("user_id")
-        .agg(F.min("bucket").alias("mb"), F.max("bucket").alias("xb"))
-        .select("user_id", F.explode(F.expr("sequence(mb, xb)")).alias("bucket"))
-    )
+    # Round 16 (guide §2.4/§1.2 "the distributed algorithm"): the
+    # retired spelling exploded the per-user grid FIRST and then ran
+    # the carry window over every grid row — at the 100× stress
+    # fixture that is a 36M-row join plus a 36M-row window sort for
+    # 300k event rows (sparse users × multi-year spans), measured
+    # 15.4 s.  The carried value is constant between consecutive
+    # event buckets, so compute it per EVENT-BUCKET row (the same
+    # running window, ≤ |events| rows) and explode each row's
+    # (bucket, next_bucket) gap afterwards — a narrow map.  Output
+    # rows are identical: every grid bucket in [min, max] is either
+    # an event bucket or interior to exactly one gap, and its carried
+    # value is the gap row's pv (no event buckets intervene by
+    # construction).
     w_ff = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        grid.join(last_in, ["user_id", "bucket"], "left")
-        .select(
-            "user_id",
-            "bucket",
-            F.last("value", ignorenulls=True).over(w_ff).alias("value_ff"),
-        )
+    w_lead = Window.partitionBy("user_id").orderBy("bucket")
+    en = last_in.select(
+        "user_id",
+        "bucket",
+        F.last("value", ignorenulls=True).over(w_ff).alias("pv"),
+        F.lead("bucket").over(w_lead).alias("nxt"),
     )
+    # one explode emits the event bucket AND its gap: [bucket, nxt-1]
+    # (just [bucket] for the last row) — every grid point in between
+    # carries the same pv, and a single branch keeps the plan at the
+    # same two exchanges as the retired grid-join spelling.
+    return en.select(
+        "user_id",
+        F.col("pv").alias("value_ff"),
+        F.explode(
+            F.expr("sequence(bucket, coalesce(nxt - 1, bucket))")
+        ).alias("bucket"),
+    ).select("user_id", "bucket", "value_ff")
 
 
 def events_resample_interpolate(
@@ -2870,9 +2888,11 @@ def events_resample_interpolate(
     same operand order — so even this floating-point query hash-matches
     exactly.  Grid endpoints always hold events (the grid spans min..max
     event bucket), so every empty bucket is interior and the formula is
-    total.  Scale: identical to the ffill variant — two keyed windows,
-    no joins beyond the grid fill; pass 1 carries the same per-key skew
-    gate (see :func:`events_resample_ffill`)."""
+    total.  Scale: identical to the ffill variant — the carry windows
+    run over event-bucket rows only and the grid explodes from per-gap
+    bounds afterwards (round 16, see the inline note); no grid-sized
+    join or sort anywhere.  Pass 1 carries the same per-key skew gate
+    (see :func:`events_resample_ffill`)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -2885,41 +2905,69 @@ def events_resample_interpolate(
         ev, ["user_id", "bucket"], cache_key=("resample_ev", sf_dir)
     )
     last_in = _last_in_bucket(ev, hot_n > threshold)
-    grid = (
-        ev.groupBy("user_id")
-        .agg(F.min("bucket").alias("mb"), F.max("bucket").alias("xb"))
-        .select("user_id", F.explode(F.expr("sequence(mb, xb)")).alias("bucket"))
-    )
+    # Round 16 (guide §2.4/§1.2; same move as events_resample_ffill):
+    # the retired spelling exploded the 36M-row grid FIRST, left-joined
+    # the event buckets onto it and ran FOUR carried columns over two
+    # grid-sized window sorts — measured 55.7 s at the 100× stress
+    # fixture for 300k event rows.  All four carried values are
+    # constant across each gap between consecutive event buckets, so
+    # compute them per EVENT-BUCKET row (the same running frames, the
+    # descending spelling kept from the r14 lesson — a
+    # (currentRow, unboundedFollowing) first(ignorenulls) frame scans
+    # O(run-length) per row) and explode each row's (bucket, next)
+    # gap afterwards.  A gap bucket's previous-known pair is its left
+    # edge's (pv, pb) — the running frame includes the current row —
+    # and its next-known pair is the NEXT event-bucket row's (nv, nb)
+    # (no event buckets intervene, so "first known at-or-after" is the
+    # same point), carried onto the left edge by one lead().  The
+    # interpolation expression is textually identical, evaluated on
+    # identical picked operands — bit-identical doubles.
     wb = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    # Forward carry as a DESCENDING running frame, not a
-    # (currentRow, unboundedFollowing) first(ignorenulls): Spark
-    # evaluates running frames incrementally (O(n) per partition) but
-    # scans an unboundedFollowing frame forward from every row until
-    # the first non-null — O(run-length) per row, super-linear on
-    # sparse grids.  The round-14 skew audit measured the difference
-    # on the 100×/90%-one-key fixture: this query CAPPED at >120 s
-    # with the forward frame (sparse users × 8.5-year spans → 36M grid
-    # rows with thousand-bucket null runs) vs seconds with the
-    # descending spelling (docs/skew_audit_r14.json) — the same
-    # pathology the r12 A/B found in the as-of carry.
     wf = Window.partitionBy("user_id").orderBy(F.col("bucket").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    w_lead = Window.partitionBy("user_id").orderBy("bucket")
     known_bucket = F.when(F.col("value").isNotNull(), F.col("bucket"))
-    filled = (
-        grid.join(last_in, ["user_id", "bucket"], "left")
-        .withColumn("pv", F.last("value", ignorenulls=True).over(wb))
+    en = (
+        last_in.withColumn("pv", F.last("value", ignorenulls=True).over(wb))
         .withColumn("pb", F.last(known_bucket, ignorenulls=True).over(wb))
         .withColumn("nv", F.last("value", ignorenulls=True).over(wf))
         .withColumn("nb", F.last(known_bucket, ignorenulls=True).over(wf))
+        .withColumn("nxt", F.lead("bucket").over(w_lead))
+        .withColumn("nvn", F.lead("nv").over(w_lead))
+        .withColumn("nbn", F.lead("nb").over(w_lead))
+    )
+    # one explode emits the event bucket AND its gap: [bucket, nxt-1]
+    # (just [bucket] for the last row) — a single branch keeps the
+    # plan at the same two exchanges as the retired grid-join
+    # spelling.  The event-bucket point (g = bucket) evaluates the
+    # original expression on its own carried values; a gap point uses
+    # the same previous-known pair and the NEXT row's next-known pair.
+    exploded = en.select(
+        "user_id",
+        "bucket",
+        "value",
+        "pv",
+        "pb",
+        "nv",
+        "nb",
+        "nvn",
+        "nbn",
+        F.explode(
+            F.expr("sequence(bucket, coalesce(nxt - 1, bucket))")
+        ).alias("g"),
     )
     interp = F.expr(
-        "CASE WHEN value IS NOT NULL THEN value "
-        "ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END"
+        "CASE WHEN g = bucket THEN "
+        "  CASE WHEN value IS NOT NULL THEN value "
+        "  ELSE pv + (nv - pv) * (CAST(g - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END "
+        "ELSE pv + (nvn - pv) * (CAST(g - pb AS DOUBLE) / CAST(nbn - pb AS DOUBLE)) END"
     )
-    return filled.select("user_id", "bucket", interp.alias("value_li"))
+    return exploded.select(
+        "user_id", F.col("g").alias("bucket"), interp.alias("value_li")
+    )
 
 
 _RESAMPLE_INTERP_ORACLE = f"""
@@ -3132,7 +3180,9 @@ def sql_collated_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_long
 
     d = (
-        load_table(spark, sf_dir, "documents")
+        spread_unsplittable_scan(  # round 16: guide §2.5
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
         .select(
             "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "term")
         )

@@ -97,11 +97,48 @@ _CORPUS_COUNT_CACHE: dict[str, int] = {}
 
 
 def corpus_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-corpus row count for the adaptive parameter formulas.
+
+    Round 16 (VERDICT r15 #5, guide §6): the count is read from the
+    parquet FOOTER metadata (every footer records num_rows — the same
+    statistic `count(*)` compiles to a metadata-only scan for on most
+    engines) instead of running a Spark count() job: at sf0.1 the job
+    cost ~0.3 s of every first `dedup_semantic`/`kmeans_assign` build,
+    and at 100 TB a footer read is O(files) driver metadata, not a
+    cluster job.  Falls back to the count() job for any layout pyarrow
+    cannot resolve (nested dirs of a partitioned table, non-local fs).
+    Fixture dirs are immutable, so the per-session memo stands."""
     if sf_dir not in _CORPUS_COUNT_CACHE:
-        _CORPUS_COUNT_CACHE[sf_dir] = load_table(
-            spark, sf_dir, "embeddings"
-        ).count()
+        _CORPUS_COUNT_CACHE[sf_dir] = _parquet_num_rows(
+            f"{sf_dir}/embeddings.parquet"
+        ) or load_table(spark, sf_dir, "embeddings").count()
     return _CORPUS_COUNT_CACHE[sf_dir]
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Sum of footer num_rows over a parquet file or a flat directory
+    of part files; None when the layout is not one of those (caller
+    falls back to a count() job).  A zero-row fixture also returns
+    None — indistinguishable from "no footers found" here, and the
+    count() fallback gives the same 0."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows or None
+        if os.path.isdir(path):
+            total = 0
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, name)
+                    ).metadata.num_rows
+            return total or None
+    except Exception:  # noqa: BLE001 — any footer-read surprise → Spark job
+        return None
+    return None
 
 
 #: the two parameter formulas as DuckDB SQL — the exact expression
@@ -167,27 +204,86 @@ _DUCK_DOT = (
 # 1. brute-force cosine top-k
 # ---------------------------------------------------------------------------
 
+def _cos_scorer(q_embs):
+    """Arrow-batched exact-cosine scorer against the ≤{N_QUERIES}
+    driver-held raw query embeddings (round 16, VERDICT r15 #7, guide
+    §4.1/§4.2 — replaces the BroadcastNestedLoopJoin of interpreted
+    64-term ``aggregate(zip_with(...))`` folds, n×queries of them).
+
+    Bit-exactness vs the retired fold and the unchanged oracle — the
+    :func:`_cluster_scorer` argument verbatim: dots and squared norms
+    accumulate SEQUENTIALLY over dimensions from a +0.0 seed (one
+    vectorized multiply-add per dim, each scalar correctly rounded
+    like the JVM/DuckDB left-to-right fold; numpy does not fuse the
+    multiply and add), sqrt is one IEEE op, and the cosine divides by
+    the PRODUCT q_norm·c_norm computed first — the same operand order
+    as the retired ``dot / (q_norm * c_norm)`` projection.
+
+    Returns the PLAIN batch function (unit-tested without a Spark
+    session in tests/test_similarity.py); :func:`knn_bruteforce`
+    wraps it as a ``pandas_udf("array<double>")``."""
+    import numpy as np
+
+    qe = np.stack([np.asarray(q, dtype=np.float64) for q in q_embs])
+
+    def _norms(mat):
+        acc = np.zeros(mat.shape[0])
+        for j in range(DIM):
+            acc = acc + mat[:, j] * mat[:, j]
+        return np.sqrt(acc)
+
+    qn = _norms(qe)
+
+    def cosines(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        c = np.stack(emb.to_numpy()).astype(np.float64)
+        dots = np.zeros((c.shape[0], qe.shape[0]))
+        for j in range(DIM):
+            dots = dots + c[:, j : j + 1] * qe[:, j]
+        # orig: fold(q,c) / (q_norm * c_norm) — denominator is the
+        # q·c norm product computed first; elementwise order per
+        # (row, query) is identical (each op one correctly-rounded
+        # double)
+        denom = qn[None, :] * _norms(c)[:, None]
+        return pd.Series(list(dots / denom))
+
+    return cosines
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id<10).
 
-    The queries side is broadcast — the corpus is scanned exactly once
-    regardless of its size; per-partition top-k then a tiny final
-    merge (window over ≤ P×k rows per query)."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb_d").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
+    The corpus is scanned exactly once regardless of its size; one
+    Arrow-batched narrow map scores every row against the driver-held
+    queries (:func:`_cos_scorer` — bounded ≤{N_QUERIES}-row collect,
+    the documented no-collect exception class, see kmeans_assign);
+    only NARROW (query_id, neighbor_id, cosine) rows reach the
+    ranking exchange (guide §2.3).  This stays the EXACT ground-truth
+    baseline for the recall harness — only the execution engine of
+    the same fold changed, bit-identically (see _cos_scorer)."""
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rows = sorted(
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in raw.where(F.col("vec_id") < N_QUERIES).collect()
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb_d").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    sim = F.expr(_DOT.format(a="q_emb", b="c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    if not q_rows:
+        return raw.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+        ).where(F.lit(False))
+    from pyspark.sql.functions import pandas_udf
+
+    cos = pandas_udf("array<double>")(_cos_scorer([e for _, e in q_rows]))
+    qid_arr = F.array(*[F.lit(i).cast("long") for i, _ in q_rows])
     pairs = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", sim)
+        raw.select(F.col("vec_id").alias("neighbor_id"), cos("embedding").alias("coss"))
+        .select("neighbor_id", F.posexplode("coss").alias("pos", "cosine"))
+        .withColumn("query_id", F.element_at(qid_arr, F.col("pos") + 1))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .drop("pos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -526,6 +622,13 @@ def _row_umax():
         acc = np.zeros(c.shape[0])
         for j in range(DIM):
             acc = acc + c[:, j] * c[:, j]
+        if not np.all(acc > 0.0):
+            # ADVICE r15: a zero-norm vector would divide to NaN here
+            # and land in floor().astype(int64) downstream, whose
+            # result numpy leaves undefined — fail loudly instead (the
+            # DuckDB oracle diverges rather than matches on the same
+            # input, so silence could never be correct).
+            raise ValueError("zero-norm embedding: cosine space undefined")
         u = c / np.sqrt(acc)[:, None]
         return pd.Series(np.max(np.abs(u), axis=1))
 
@@ -563,15 +666,24 @@ def _sq_dots_scorer(q_embs):
         acc = np.zeros(mat.shape[0])
         for j in range(DIM):
             acc = acc + mat[:, j] * mat[:, j]
+        if not np.all(acc > 0.0):
+            # ADVICE r15 — same loud failure as _row_umax: NaN/Inf
+            # into floor().astype(int64) is undefined in numpy.
+            raise ValueError("zero-norm embedding: cosine space undefined")
         return mat / np.sqrt(acc)[:, None]
 
     uq = _unit(qe)
+    # ADVICE r15: g is ONE broadcast scalar, identical across batches —
+    # quantize the query matrix once per (task, g), not per batch.
+    qm_cache: dict[float, object] = {}
 
     def dots(emb: pd.Series, g: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         gv = float(g.iloc[0])
-        qm = np.floor(uq * 127.0 / gv).astype(np.int64)
+        qm = qm_cache.get(gv)
+        if qm is None:
+            qm = qm_cache[gv] = np.floor(uq * 127.0 / gv).astype(np.int64)
         c = np.stack(emb.to_numpy()).astype(np.float64)
         cq = np.floor(_unit(c) * 127.0 / gv).astype(np.int64)
         return pd.Series(list(cq @ qm.T))
@@ -1002,6 +1114,58 @@ def _cluster_scorer(cent_ids, cent_mat):
     return best_k
 
 
+def _member_sum_partials(cent_ids, cent_mat):
+    """``mapInArrow`` task function for the Lloyd centroid rebuild
+    (round 16, VERDICT r15 #6, guide §4.2): score every row of the
+    task with the EXACT :func:`_cluster_scorer` math, scatter-add the
+    raw int64 quantized vectors into a local k×{DIM} accumulator, and
+    yield ONE small (k, sums) batch per task.
+
+    This replaces the retired per-iteration
+    ``groupBy("k").agg(64 × F.sum(element_at(qv, i)))`` — which
+    evaluated 64 interpreted array lookups per data row and shuffled a
+    64-column aggregate — with one vectorized pass; the downstream
+    aggregation then runs over (tasks × k) partial rows instead of n
+    data rows.  Exactness: integer sums are order-free, the clusters
+    that appear are exactly the non-empty ones (a task emits only ks
+    it saw), and the per-row assignment reuses the same scorer the
+    query plan uses — so the collected centroid matrix is
+    value-identical to the retired spelling, and the final assignment
+    (the declared query result) is bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    score = _cluster_scorer(cent_ids, cent_mat)
+    ids = np.asarray(cent_ids, dtype=np.int64)  # sorted ascending
+
+    def part(batches):
+        acc = np.zeros((len(ids), DIM), dtype=np.int64)
+        seen = np.zeros(len(ids), dtype=bool)
+        for b in batches:
+            qv = b.column("qv").to_pandas()
+            if len(qv) == 0:
+                continue
+            ks = score(qv).to_numpy()
+            pos = np.searchsorted(ids, ks)
+            mat = np.stack(qv.to_numpy()).astype(np.int64)
+            np.add.at(acc, pos, mat)
+            seen[pos] = True
+        if seen.any():
+            idx = np.flatnonzero(seen)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[idx], type=pa.int64()),
+                    pa.array(
+                        [acc[i].tolist() for i in idx],
+                        type=pa.list_(pa.int64()),
+                    ),
+                ],
+                names=["k", "sums"],
+            )
+
+    return part
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster) after 3 Lloyd iterations of cosine k-means.
 
@@ -1053,8 +1217,21 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assign = v.withColumn("k", best_k("qv"))
         if it < KMEANS_ITERS - 1:
-            sum_rows = assign.groupBy("k").agg(
-                *[F.sum(F.element_at("qv", i + 1)).alias(f"c{i}") for i in range(DIM)]
+            # round 16 (guide §4.2): member-sums via one Arrow pass
+            # emitting per-task k×64 partials — the retired
+            # groupBy(64 × sum(element_at)) evaluated 64 interpreted
+            # array lookups per row and shuffled a 64-column agg over
+            # n rows; the keyed agg now runs over (tasks × k) partial
+            # rows.  Value-identical (integer sums are order-free;
+            # see _member_sum_partials).
+            partials = v.select("qv").mapInArrow(
+                _member_sum_partials(
+                    [c[0] for c in cents], [c[1] for c in cents]
+                ),
+                "k long, sums array<bigint>",
+            )
+            sum_rows = partials.groupBy("k").agg(
+                *[F.sum(F.element_at("sums", i + 1)).alias(f"c{i}") for i in range(DIM)]
             ).collect()  # ≤ k ≤ 1024 rows of integer member-sums
             cents = sorted(
                 (int(r["k"]), [int(r[f"c{i}"]) for i in range(DIM)])

@@ -12,13 +12,14 @@ one keyed aggregate — the 100 TB cost is one scan.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 import pyspark.sql.functions as F
 
 from ..functions.text import ascii_lower, duck_ascii_lower
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_unsplittable_scan
 
 #: oracle-side casefold fragment from the ONE canonical helper (ADVICE r11)
 _DUCK_LC_TEXT = duck_ascii_lower("text")
@@ -179,17 +180,73 @@ SHINGLE_CHARS = 8
 FP_K = 3
 
 
+def _fp_batch():
+    """Arrow-batched k-min md5 fingerprint (round 16, guide §4.1/§4.2
+    — replaces an interpreted ``transform(sequence, i -> md5(
+    substring))`` chain that paid a fresh JVM MessageDigest per
+    position, ~2 µs/char, measured 46.8 s single-task at the 100×
+    stress fixture).  Exact equivalence with the retired expression
+    and the unchanged oracle:
+
+    * Spark ``substring(text, i, 8)`` counts CODE POINTS, exactly
+      Python ``str`` slicing; md5 runs over the UTF-8 bytes either
+      way (an ASCII fast path slices the encoded bytes directly —
+      byte slices == char slices there).
+    * distinct commutes with md5: {md5(s) | s ∈ all grams} ==
+      {md5(s) | s ∈ distinct grams} as SETS, so deduplicating the
+      grams FIRST (the fixture vocabulary repeats 8-grams heavily;
+      English does too) is exact, not approximate.
+    * hex digests are ASCII, so Python's sort order == Spark's UTF8
+      binary array_sort; ``heapq.nsmallest(K)`` == sorted()[:K].
+
+    Returns the plain batch function (unit-tested without a Spark
+    session); :func:`text_fingerprint` wraps it as a
+    ``pandas_udf("string")``."""
+    import hashlib
+    import heapq
+
+    md5 = hashlib.md5
+    w = SHINGLE_CHARS
+
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t.isascii():
+                b = t.encode()
+                grams = {b[i : i + w] for i in range(len(b) - w + 1)}
+                smallest = heapq.nsmallest(
+                    FP_K, (md5(g).hexdigest() for g in grams)
+                )
+            else:
+                grams_s = {t[i : i + w] for i in range(len(t) - w + 1)}
+                smallest = heapq.nsmallest(
+                    FP_K, (md5(g.encode()).hexdigest() for g in grams_s)
+                )
+            out.append(",".join(smallest))
+        return pd.Series(out, dtype="object")
+
+    return fp
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-shingle fingerprint: md5 every char-8-gram, keep the K
     lexicographically smallest digests (a deterministic winnowing
-    sketch) — pure array expressions, no explode, no shuffle."""
-    d = load_table(spark, sf_dir, "documents").where(F.length("text") >= SHINGLE_CHARS)
-    fp = F.expr(
-        f"concat_ws(',', slice(array_sort(array_distinct("
-        f"transform(sequence(1, length(text) - {SHINGLE_CHARS - 1}), i -> md5(substring(text, i, {SHINGLE_CHARS})))"
-        f")), 1, {FP_K}))"
+    sketch).  One Arrow-batched narrow map (:func:`_fp_batch`), no
+    explode, no shuffle — the round-15 interpreted HOF spelling paid
+    one JVM MessageDigest construction per character position."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = spread_unsplittable_scan(
+        spark,
+        # filter BEFORE the spread so the scan keeps its pushed filters
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= SHINGLE_CHARS)
+        .select("doc_id", "text"),
+        sf_dir,
+        "documents",
     )
-    return d.select("doc_id", fp.alias("fingerprint"))
+    fp = pandas_udf("string")(_fp_batch())
+    return d.select("doc_id", fp("text").alias("fingerprint"))
 
 
 _FINGERPRINT_ORACLE = f"""
@@ -478,7 +535,16 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by document length, never corpus-wide.  Hash collisions
     (60-bit md5) are corpus-negligible and the oracle computes the
     identical hash, so parity is unconditional."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread the single-row-group scan before the per-position gram
+    # transform (round 16, guide §2.5): the md5-per-gram map ran as
+    # ONE task — twice, once per consumer — measured 32.2 s at the
+    # 100× stress fixture with 31 idle cores
+    d = spread_unsplittable_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     # materialize the token array ONCE per row before the per-position
     # lambda: referencing filter(split(text)) INSIDE transform()
     # re-tokenizes the document at every position — O(len²) per doc,
@@ -702,7 +768,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(t, i, {n}), ' '))"
     ).format(n=DECON_N, n1=DECON_N - 1)
     toks = (
-        load_table(spark, sf_dir, "documents")
+        spread_unsplittable_scan(  # round 16: single-row-group scan starves the gram map (guide §2.5)
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
         .select(
             "doc_id",
             F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
@@ -763,7 +831,9 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(t, i, {n}), ' '))"
     ).format(n=DECON_N, n1=DECON_N - 1)
     return (
-        load_table(spark, sf_dir, "documents")
+        spread_unsplittable_scan(  # round 16: single-row-group scan starves the gram map (guide §2.5)
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
         .select(F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"))
         .where(F.expr(f"size(t) >= {DECON_N}"))
         .select(F.explode(F.expr(grams_expr)).alias("gram"))
@@ -807,7 +877,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division is final, rounded to 9 dp so libm can't reorder
     anything."""
     toks = (
-        load_table(spark, sf_dir, "documents")
+        spread_unsplittable_scan(  # round 16: single-row-group scan starves the gram map (guide §2.5)
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
         .select(
             "doc_id",
             F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
@@ -886,7 +958,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> array_join(slice(t, i, {n}), ' '))"
     ).format(n=REP_N, n1=REP_N - 1)
     return (
-        load_table(spark, sf_dir, "documents")
+        spread_unsplittable_scan(  # round 16: single-row-group scan starves the gram map (guide §2.5)
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
         .select(
             "doc_id",
             F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
@@ -1075,7 +1149,9 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME keys — vocab-sized tables stay keyed shuffles, never
     broadcast (SCALE.md rule) — → one doc-keyed agg.  The model is
     two count tables; scoring is pure joins."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread_unsplittable_scan(  # round 16: guide §2.5
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    ).select(
         "doc_id",
         F.expr(r"filter(split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'), x -> length(x) > 0)").alias("t"),
     )

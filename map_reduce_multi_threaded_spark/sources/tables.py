@@ -68,6 +68,60 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_max_tasks(sf_dir: str, name: str) -> int | None:
+    """Upper bound on the parallelism a parquet scan of this table can
+    achieve: the total ROW-GROUP count across its files (Spark splits
+    parquet at row-group boundaries — byte-range splits below that all
+    collapse onto whichever task holds the group).  None when the
+    layout is not a flat file/dir of .parquet (caller treats unknown
+    as 'parallel enough').  Footer metadata only — no Spark job (the
+    corpus_count precedent, guide §6)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_row_groups
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except Exception:  # noqa: BLE001 — unknown layout → assume splittable
+        return None
+    return None
+
+
+def spread_unsplittable_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Round 16 (guide §2.5 "input skew: one huge unsplittable file …
+    otherwise repartition immediately after the read"): when the
+    table's parquet layout cannot feed every core (row groups <
+    default parallelism), round-robin repartition right after the
+    scan so a CPU-heavy narrow map doesn't run as one straggler task.
+
+    Every driver fixture is a single-row-group file, so every
+    per-document pipeline (shingling, per-position md5, n-gram
+    explode) was bottlenecked on ONE task regardless of cluster size —
+    text_fingerprint measured 46.8 s single-task at the 100× stress
+    fixture with 31 idle cores.  The gate is scale-adaptive, not a
+    local[32] constant: on a production table with thousands of row
+    groups the condition is false and NO exchange is added; it fires
+    exactly when the scan's achievable parallelism starves the map
+    (the same condition at any scale).  Round-robin repartition is
+    retry-safe by default (spark.sql.execution.sortBeforeRepartition,
+    guide §2.5)."""
+    want = spark.sparkContext.defaultParallelism
+    rgs = scan_max_tasks(sf_dir, name)
+    if rgs is not None and rgs < want:
+        return df.repartition(want)
+    return df
+
+
 def power10_base(df: DataFrame, key: str, alias: str = "idbase") -> DataFrame:
     """1-row frame with ``alias`` = smallest power of 10 strictly above
     ``max(df[key])`` — a scale-safe namespace for synthesized row ids.

@@ -1354,3 +1354,79 @@ def test_agg_stats_degenerate_groups(spark, tmp_path):
     assert rows["D1"]["n_rows"] == 1
     assert rows["D2"]["stddev_qty"] == 0.0
     assert rows["D2"]["n_rows"] == 3
+
+
+def test_resample_gap_explode_adversarial_oracle(spark, tmp_path):
+    """Round-16 focused gate for the resample rewrite (carry windows
+    over event-bucket rows + per-gap explode, replacing the grid-join
+    + grid-sized window sorts): a crafted events table exercising the
+    edges the fixtures may not — leading/trailing NULL-value events
+    (head/tail grid regions must stay NULL), a user whose values are
+    ALL NULL, a single-event user, multi-bucket gaps between known
+    points, and a NULL-value event bucket INTERIOR to two knowns
+    (must interpolate, not carry) — hash-compared against the
+    unchanged DuckDB oracle, on BOTH skew-gate branches."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_utils import TABLES, compare
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "fx"
+    dst.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+
+    h = 3_600  # seconds; bucket = 6h
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, hours, value):
+        return {
+            "event_id": eid,
+            "ts": base + dt.timedelta(seconds=hours * h),
+            "user_id": uid,
+            "event_type": "x",
+            "value": value,
+            "props": '{"k": 1}',
+        }
+
+    rows = [
+        # user 1: NULL head (bucket 0), known 7.0 (bucket 2), a NULL
+        # event INSIDE the gap (bucket 4 — must interpolate), known
+        # -3.5 (bucket 7), NULL tail (bucket 9)
+        ev(1, 1, 0, None),
+        ev(2, 1, 13, 7.0),
+        ev(3, 1, 25, None),
+        ev(4, 1, 43, -3.5),
+        ev(5, 1, 55, None),
+        # user 2: all values NULL across a 5-bucket span
+        ev(6, 2, 0, None),
+        ev(7, 2, 30, None),
+        # user 3: single event, known
+        ev(8, 3, 12, 2.25),
+        # user 4: two knowns, adjacent buckets (gap of zero)
+        ev(9, 4, 0, 1.0),
+        ev(10, 4, 6, 2.0),
+        # user 5: duplicate bucket — latest (tu, event_id) wins, and
+        # the winner carries a NULL value over a known earlier row
+        ev(11, 5, 0, 4.0),
+        ev(12, 5, 48, 9.0),
+        ev(13, 5, 49, None),
+    ]
+    schema = pq.ParquetFile(f"{src}/events.parquet").schema_arrow
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema), dst / "events.parquet"
+    )
+
+    specs = {s.name: s for s in relational.SPECS}
+    for name, fn in (
+        ("events_resample_ffill", relational.events_resample_ffill),
+        ("events_resample_interpolate", relational.events_resample_interpolate),
+    ):
+        compare(fn(spark, str(dst)), specs[name].oracle, str(dst))
+        compare(  # forced hot branch: same answer through max(struct)
+            fn(spark, str(dst), hot_key_rows=0), specs[name].oracle, str(dst)
+        )

@@ -548,3 +548,93 @@ def test_sq_and_pq_scorers_property_vs_reference_folds():
 
     sq_case()
     pq_case()
+
+
+def test_member_sum_partials_match_groupby_sums():
+    """The round-16 Arrow centroid-rebuild partials must equal the
+    retired groupBy(64 × sum(element_at)) member-sums exactly: per
+    task, sums appear ONLY for clusters the task saw, assignments come
+    from the same _cluster_scorer math, and the int64 sums are
+    order-free.  Exercised directly on the mapInArrow batch function
+    with multiple batches per task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        DIM,
+        _cluster_scorer,
+        _member_sum_partials,
+    )
+
+    rng = np.random.RandomState(7)
+    corpus = rng.randint(-1_000_000, 1_000_000, size=(23, DIM)).astype(np.int64)
+    cents = sorted([(1, list(corpus[0])), (5, list(corpus[1])), (9, list(corpus[2]))])
+    ids = [k for k, _ in cents]
+    mats = [v for _, v in cents]
+
+    def batch(rows):
+        return pa.RecordBatch.from_arrays(
+            [pa.array([r.tolist() for r in rows], type=pa.list_(pa.int64()))],
+            names=["qv"],
+        )
+
+    part = _member_sum_partials(ids, mats)
+    got_rows = [
+        (int(k), list(s))
+        for b in part(iter([batch(corpus[:11]), batch(corpus[11:])]))
+        for k, s in zip(b.column("k").to_pylist(), b.column("sums").to_pylist())
+    ]
+
+    # reference: score each row with the same scorer, sum per cluster
+    ks = _cluster_scorer(ids, mats)(
+        pd.Series([corpus[i] for i in range(len(corpus))])
+    ).to_numpy()
+    want: dict[int, np.ndarray] = {}
+    for i, k in enumerate(ks):
+        want.setdefault(int(k), np.zeros(DIM, dtype=np.int64))
+        want[int(k)] += corpus[i]
+    got = {}
+    for k, s in got_rows:
+        got.setdefault(k, np.zeros(DIM, dtype=np.int64))
+        got[k] += np.asarray(s, dtype=np.int64)
+    assert set(got) == set(want)           # only clusters actually seen
+    for k in want:
+        assert np.array_equal(got[k], want[k]), k
+    # empty task emits no batches at all
+    assert list(part(iter([]))) == []
+
+
+def test_cos_scorer_matches_sequential_fold():
+    """The round-16 knn_bruteforce Arrow scorer must equal the retired
+    interpreted spelling bit-for-bit: sequential per-dim dot and
+    squared-norm accumulation from a 0.0 seed, one IEEE sqrt, and
+    division by the q_norm·c_norm product computed first."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from map_reduce_multi_threaded_spark.operators.similarity import (
+        DIM,
+        _cos_scorer,
+    )
+
+    rng = np.random.RandomState(3)
+    corpus = [rng.uniform(-2, 2, DIM).astype(np.float64) for _ in range(9)]
+    queries = [list(rng.uniform(-2, 2, DIM)) for _ in range(4)]
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    out = _cos_scorer(queries)(pd.Series(corpus))
+    for r, v in enumerate(corpus):
+        cn = math.sqrt(seq_dot(v, v))
+        for qi, q in enumerate(queries):
+            qn = math.sqrt(seq_dot(q, q))
+            want = seq_dot(q, v) / (qn * cn)
+            assert out[r][qi] == want, (r, qi)
+    assert list(_cos_scorer(queries)(pd.Series([], dtype=object))) == []

@@ -130,3 +130,42 @@ def test_duplicate_spans_grams_occur_verbatim_elsewhere(spark, sf_oracle_dir):
             assert any(
                 d != r["doc_id"] and needle in j for d, j in joined.items()
             ), (r, needle[:80])
+
+
+def test_fp_batch_matches_reference_expression():
+    """The round-16 Arrow fingerprint must equal the retired SQL
+    expression exactly: md5 hex of every char-8-gram (code-point
+    slicing, utf-8 digest bytes), distinct, ascending, first 3,
+    comma-joined — on ASCII (fast path), non-ASCII (char path),
+    boundary lengths, and heavy-duplication inputs."""
+    import hashlib
+
+    import pandas as pd
+
+    from map_reduce_multi_threaded_spark.operators.textstats import (
+        FP_K,
+        SHINGLE_CHARS,
+        _fp_batch,
+    )
+
+    def ref(t: str) -> str:
+        hx = sorted(
+            {
+                hashlib.md5(t[i : i + SHINGLE_CHARS].encode()).hexdigest()
+                for i in range(len(t) - SHINGLE_CHARS + 1)
+            }
+        )
+        return ",".join(hx[:FP_K])
+
+    cases = [
+        "abcdefgh",                      # exactly one gram
+        "abcdefghi",                     # two grams
+        "aaaaaaaaaaaaaaaa",              # total duplication -> 1 distinct
+        "the quick brown fox jumps over the lazy dog",
+        "ab " * 40,                      # vocab-style repetition
+        "héllo wörld ünicode téxt µ∆ß",  # non-ASCII char path
+        "日本語のテキストです、八文字以上あります",  # multi-byte code points
+    ]
+    got = _fp_batch()(pd.Series(cases))
+    for i, t in enumerate(cases):
+        assert got[i] == ref(t), t
