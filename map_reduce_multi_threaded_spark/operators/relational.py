@@ -7172,7 +7172,9 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import md5_bucket
 
     toks = (
-        load_table(spark, sf_dir, "documents")
+        spread_unsplittable_scan(  # round 16: guide §2.5 — 3 consumers of a 1-task token explode
+            spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+        )
         .select(F.explode(F.split(ascii_lower("text"), r"\s+")).alias("w"))
         .where(F.col("w") != "")
     )

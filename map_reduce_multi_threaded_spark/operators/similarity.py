@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import QuerySpec
-from ..sources.tables import load_table
+from ..sources.tables import load_table, spread_unsplittable_scan
 
 DIM = 64
 K_NEIGHBORS = 5
@@ -262,7 +262,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking exchange (guide §2.3).  This stays the EXACT ground-truth
     baseline for the recall harness — only the execution engine of
     the same fold changed, bit-identically (see _cos_scorer)."""
-    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    raw = spread_unsplittable_scan(  # round 16: single-row-group scan starves the Arrow maps (guide §2.5)
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ).select("vec_id", "embedding")
     q_rows = sorted(
         (int(r["vec_id"]), list(r["embedding"]))
         for r in raw.where(F.col("vec_id") < N_QUERIES).collect()
@@ -471,7 +473,9 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = (bits * weights).sum(axis=2)
         return pd.Series(list(b))
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_unsplittable_scan(  # round 16: single-row-group scan starves the Arrow maps (guide §2.5)
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
     return emb.select(
         "vec_id", F.posexplode(buckets("embedding")).alias("t", "bucket")
     )
@@ -734,7 +738,9 @@ def knn_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the score — hash-matches the oracle.  Composable with
     the LSH/IVF bucketing paths: this query certifies the
     compression, those certify the candidate pruning."""
-    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    raw = spread_unsplittable_scan(  # round 16: single-row-group scan starves the Arrow maps (guide §2.5)
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ).select("vec_id", "embedding")
     # ≤ N_QUERIES raw query embeddings: bounded driver state (the
     # documented no-collect exception class — see kmeans_assign).
     q_rows = sorted(
@@ -909,7 +915,9 @@ def _cell_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join of the 8-row centroid table against the corpus, then
     an argmax window per vector — the exact shape of IVF list-building
     on a cluster."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(spread_unsplittable_scan(  # round 16: guide §2.5
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ))
     cents = F.broadcast(
         emb.where(
             (F.col("vec_id") >= _CENTROID_BASE)
@@ -947,7 +955,9 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     real clustered embeddings IVF recall is far above that floor; on
     unstructured data multi-table LSH (knn_lsh) or brute force is the
     better tool.  That trade-off is exactly why both paths exist."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    emb = _with_norm(spread_unsplittable_scan(  # round 16: guide §2.5
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    ))
     assigned = _cell_assignments(spark, sf_dir)
     # per-query probe list: N_PROBE nearest centroids
     cents = F.broadcast(
@@ -1053,7 +1063,9 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     depend on partition/visit order while integer sums do not.  Scoring
     then uses ordered double folds (fixed per-row order — the proven
     cross-engine-identical shape)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_unsplittable_scan(  # round 16: single-row-group scan starves the Arrow maps (guide §2.5)
+        spark, load_table(spark, sf_dir, "embeddings"), sf_dir, "embeddings"
+    )
     qv = F.expr(
         f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {KMEANS_Q}) AS BIGINT))"
     )

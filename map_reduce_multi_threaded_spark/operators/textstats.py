@@ -1012,7 +1012,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc OOV count is then a pure higher-order-function map —
     no explode, no second shuffle over the corpus.  The one double
     division is final."""
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread_unsplittable_scan(  # round 16: guide §2.5
+        spark, load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    ).select(
         "doc_id",
         F.expr(r"filter(split(text, '\\s+'), x -> length(x) > 0)").alias("t"),
     )
