@@ -68,14 +68,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def scan_max_tasks(sf_dir: str, name: str) -> int | None:
-    """Upper bound on the parallelism a parquet scan of this table can
-    achieve: the total ROW-GROUP count across its files (Spark splits
-    parquet at row-group boundaries — byte-range splits below that all
-    collapse onto whichever task holds the group).  None when the
-    layout is not a flat file/dir of .parquet (caller treats unknown
-    as 'parallel enough').  Footer metadata only — no Spark job (the
-    corpus_count precedent, guide §6)."""
+def scan_max_tasks(sf_dir: str, name: str) -> tuple[int, int] | None:
+    """(row_groups, rows): the total ROW-GROUP count across the
+    table's files — the upper bound on scan parallelism, since Spark
+    splits parquet at row-group boundaries (byte-range splits below
+    that all collapse onto whichever task holds the group) — plus the
+    footer row count.  None when the layout is not a flat file/dir of
+    .parquet (caller treats unknown as 'parallel enough').  Footer
+    metadata only — no Spark job (the corpus_count precedent,
+    guide §6)."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"
@@ -83,16 +84,30 @@ def scan_max_tasks(sf_dir: str, name: str) -> int | None:
         import pyarrow.parquet as pq
 
         if os.path.isfile(path):
-            return pq.ParquetFile(path).metadata.num_row_groups
+            m = pq.ParquetFile(path).metadata
+            return m.num_row_groups, m.num_rows
         if os.path.isdir(path):
-            return sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_row_groups
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            )
+            groups = rows = 0
+            for f in os.listdir(path):
+                if f.endswith(".parquet"):
+                    m = pq.ParquetFile(os.path.join(path, f)).metadata
+                    groups += m.num_row_groups
+                    rows += m.num_rows
+            return groups, rows
     except Exception:  # noqa: BLE001 — unknown layout → assume splittable
         return None
     return None
+
+
+#: Minimum rows each would-be task must receive for the spread to be
+#: worth an exchange: below ~1000 rows/core, task-launch and stage
+#: latency dominate any per-row work a narrow map could parallelize
+#: (measured: spreading the 2,000-row sf0.1 embeddings cost
+#: knn_scalar_quant +0.9 s of pure stage latency at the bench scale
+#: while buying nothing — the 80k-row stress corpus is where the same
+#: spread wins 2–4×).  Scale-neutral: compares data volume to the
+#: session's parallelism, not to any host constant.
+SPREAD_MIN_ROWS_PER_TASK = 1000
 
 
 def spread_unsplittable_scan(
@@ -116,8 +131,12 @@ def spread_unsplittable_scan(
     retry-safe by default (spark.sql.execution.sortBeforeRepartition,
     guide §2.5)."""
     want = spark.sparkContext.defaultParallelism
-    rgs = scan_max_tasks(sf_dir, name)
-    if rgs is not None and rgs < want:
+    stats = scan_max_tasks(sf_dir, name)
+    if (
+        stats is not None
+        and stats[0] < want
+        and stats[1] >= SPREAD_MIN_ROWS_PER_TASK * want
+    ):
         return df.repartition(want)
     return df
 
